@@ -1,0 +1,230 @@
+"""Affine block operator algebra + solvers.
+
+TPU-native replacement for the pyMOR ``LincombOperator``/``BlockOperator`` over
+ISTL matrices and the ISTL iterative solvers consumed by the reference
+(SURVEY.md §2.3 "ISTL LA", "ISTL iterative solvers"; the two assembled views
+of ``discretize_lhs``, ``discretize_elliptic_block_swipdg.py:439-507``).
+
+Here the *single* source of truth is the affine family
+
+  A(mu) = sum_q theta_q(mu) * [ diag blocks  A_diag[q]  (K, N, N)
+                              + couplings    C_*[q]     (E, s, nb, nb) ]
+
+Couplings live only on the interface boundary layer (one triangle row per
+side), stored block-diagonal per face — never as N x N matrices.  The
+"monolithic" and "block" views of the reference are both trivial reshapes.
+
+Solvers:
+* ``dense``  — materialize the global matrix and LU-solve (small problems,
+  replaces ISTL ``bicgstab.ilut`` at reference scale).
+* ``pcg``    — on-chip preconditioned CG (``lax.while_loop``) with an exact
+  block-Jacobi preconditioner (batched Cholesky of the diagonal blocks) —
+  the TPU-friendly substitute for ILUT (SURVEY.md §7 hard part 5).  SWIPDG is
+  symmetric, so CG applies.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.spaces import BlockDGSpace
+from ..ops.swipdg import SwipdgComponent, edge_lists, fold_diag
+
+
+@dataclass
+class BlockOpStatic:
+    """Static index metadata shared by all affine components."""
+    K: int
+    N: int
+    s: int
+    nb: int
+    kx: int
+    ky: int
+    side_rows: dict            # side -> [s, nb] dof indices (numpy)
+    left_k: np.ndarray         # [E_R]
+    right_k: np.ndarray
+    low_k: np.ndarray          # [E_U]
+    up_k: np.ndarray
+
+    @staticmethod
+    def from_space(space: BlockDGSpace) -> "BlockOpStatic":
+        side_rows = {side: space.side_dofs(side).reshape(space.s, space.nb)
+                     for side in ("left", "right", "bottom", "top")}
+        left_k, right_k, low_k, up_k = edge_lists(space.grid)
+        return BlockOpStatic(K=space.K, N=space.N, s=space.s, nb=space.nb,
+                             kx=space.grid.kx, ky=space.grid.ky,
+                             side_rows=side_rows, left_k=left_k, right_k=right_k,
+                             low_k=low_k, up_k=up_k)
+
+
+@dataclass
+class AffineBlockOp:
+    """Affine family of block operators (diag + interface couplings)."""
+    static: BlockOpStatic
+    A_diag: jnp.ndarray        # [Q, K, N, N]
+    C_R_io: jnp.ndarray        # [Q, E_R, s, nb, nb]
+    C_R_oi: jnp.ndarray
+    C_U_io: jnp.ndarray
+    C_U_oi: jnp.ndarray
+
+    @property
+    def Q(self) -> int:
+        return self.A_diag.shape[0]
+
+    @staticmethod
+    def from_components(space: BlockDGSpace, comps, dtype=jnp.float64) -> "AffineBlockOp":
+        st = BlockOpStatic.from_space(space)
+        A_diag = jnp.stack([fold_diag(space, c, dtype) for c in comps])
+        C_R_io = jnp.stack([c.R_in_out for c in comps])
+        C_R_oi = jnp.stack([c.R_out_in for c in comps])
+        C_U_io = jnp.stack([c.U_in_out for c in comps])
+        C_U_oi = jnp.stack([c.U_out_in for c in comps])
+        return AffineBlockOp(st, A_diag, C_R_io, C_R_oi, C_U_io, C_U_oi)
+
+    # ------------------------------------------------------------------
+    def assemble(self, theta) -> "AssembledBlockOp":
+        """sum_q theta_q * components (<-> ``LincombOperator.assemble``)."""
+        theta = jnp.asarray(theta)
+        return AssembledBlockOp(
+            static=self.static,
+            A_diag=jnp.einsum("q,qkij->kij", theta, self.A_diag),
+            C_R_io=jnp.einsum("q,qefij->efij", theta, self.C_R_io),
+            C_R_oi=jnp.einsum("q,qefij->efij", theta, self.C_R_oi),
+            C_U_io=jnp.einsum("q,qefij->efij", theta, self.C_U_io),
+            C_U_oi=jnp.einsum("q,qefij->efij", theta, self.C_U_oi),
+        )
+
+
+@dataclass
+class AssembledBlockOp:
+    static: BlockOpStatic
+    A_diag: jnp.ndarray        # [K, N, N]
+    C_R_io: jnp.ndarray        # [E_R, s, nb, nb]
+    C_R_oi: jnp.ndarray
+    C_U_io: jnp.ndarray
+    C_U_oi: jnp.ndarray
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x [K, N] (or [..., K, N]) -> A x."""
+        st = self.static
+        single = x.ndim == 2
+        xb = x[None] if single else x.reshape((-1,) + x.shape[-2:])
+        y = jnp.einsum("kij,bkj->bki", self.A_diag, xb)
+
+        def couple(y, C, rows_out, rows_in, k_out, k_in):
+            if k_out.size == 0:
+                return y
+            xi = xb[:, k_in][:, :, rows_in]                  # [b, E, s, nb]
+            upd = jnp.einsum("efij,befj->befi", C, xi)
+            return y.at[:, k_out[:, None, None],
+                        rows_out[None, :, :]].add(upd)
+
+        sr = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
+        y = couple(y, self.C_R_io, sr["right"], sr["left"], st.left_k, st.right_k)
+        y = couple(y, self.C_R_oi, sr["left"], sr["right"], st.right_k, st.left_k)
+        y = couple(y, self.C_U_io, sr["top"], sr["bottom"], st.low_k, st.up_k)
+        y = couple(y, self.C_U_oi, sr["bottom"], sr["top"], st.up_k, st.low_k)
+        return y[0] if single else y.reshape(x.shape)
+
+    # ------------------------------------------------------------------
+    def to_dense(self) -> jnp.ndarray:
+        """Global [K*N, K*N] matrix (<-> the monolithic CSR view,
+        ``discretize_elliptic_block_swipdg.py:452-471``)."""
+        st = self.static
+        K, N = st.K, st.N
+        G = jnp.zeros((K, K, N, N), self.A_diag.dtype)
+        G = G.at[jnp.arange(K), jnp.arange(K)].set(self.A_diag)
+
+        def place(G, C, k_r, k_c, rows, cols):
+            if k_r.size == 0:
+                return G
+            return G.at[k_r[:, None, None, None], k_c[:, None, None, None],
+                        rows[None, :, :, None], cols[None, :, None, :]].add(C)
+
+        sr = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
+        G = place(G, self.C_R_io, st.left_k, st.right_k, sr["right"], sr["left"])
+        G = place(G, self.C_R_oi, st.right_k, st.left_k, sr["left"], sr["right"])
+        G = place(G, self.C_U_io, st.low_k, st.up_k, sr["top"], sr["bottom"])
+        G = place(G, self.C_U_oi, st.up_k, st.low_k, sr["bottom"], sr["top"])
+        return G.transpose(0, 2, 1, 3).reshape(K * N, K * N)
+
+    # ------------------------------------------------------------------
+    def solve_dense(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Direct global solve; b [K, N] or [..., K, N]."""
+        st = self.static
+        G = self.to_dense()
+        single = b.ndim == 2
+        bb = b.reshape(-1, st.K * st.N).T
+        x = jnp.linalg.solve(G, bb).T.reshape(b.shape if not single else (st.K, st.N))
+        return x
+
+    def block_jacobi_factors(self):
+        """Batched Cholesky of the diagonal blocks: [K, N, N] lower factors."""
+        return jnp.linalg.cholesky(self.A_diag)
+
+    def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
+                  factors=None) -> jnp.ndarray:
+        """Block-Jacobi preconditioned CG (symmetric SWIPDG)."""
+        L = factors if factors is not None else self.block_jacobi_factors()
+
+        def M(r):
+            y = jax.scipy.linalg.solve_triangular(L, r[..., None], lower=True)
+            z = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L, -1, -2), y, lower=False)
+            return z[..., 0]
+
+        def dot(u, v):
+            return jnp.vdot(u, v)
+
+        bnorm = jnp.sqrt(dot(b, b))
+        atol2 = (tol * jnp.maximum(bnorm, 1e-300)) ** 2
+
+        x0 = jnp.zeros_like(b)
+        r0 = b - self.apply(x0)
+        z0 = M(r0)
+        p0 = z0
+        rz0 = dot(r0, z0)
+
+        def cond(state):
+            x, r, z, p, rz, it = state
+            return jnp.logical_and(dot(r, r) > atol2, it < maxiter)
+
+        def body(state):
+            x, r, z, p, rz, it = state
+            Ap = self.apply(p)
+            alpha = rz / dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = dot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return (x, r, z, p, rz_new, it + 1)
+
+        x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+        return x
+
+    def solve(self, b: jnp.ndarray, options: dict | None = None) -> jnp.ndarray:
+        options = options or {}
+        kind = options.get("type", "auto")
+        st = self.static
+        if kind == "auto":
+            kind = "dense" if st.K * st.N <= 6144 else "pcg"
+        if kind in ("dense", "direct"):
+            return self.solve_dense(b)
+        return self.solve_pcg(b, tol=options.get("precision", 1e-12),
+                              maxiter=options.get("max_iter", 2000))
+
+
+def unblock(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., K, N] -> [..., K*N] (<-> ``pymor.algorithms.system.unblock``)."""
+    return x.reshape(x.shape[:-2] + (-1,))
+
+
+def reblock(x: jnp.ndarray, K: int, N: int) -> jnp.ndarray:
+    return x.reshape(x.shape[:-1] + (K, N))

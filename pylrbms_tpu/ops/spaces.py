@@ -1,0 +1,273 @@
+"""Block DG space + local RT0 space descriptors: static tabulations & index maps.
+
+TPU-native replacement for dune-gdt's ``make_block_dg_space`` /
+``make_rt_space`` / ``restrict_to_dd_subdomain_view`` and the mapper machinery
+(``discretize_elliptic_block_swipdg.py:543-546``, SURVEY.md §2.3).
+
+Layouts
+-------
+DG dof vector per subdomain: ``[N]`` with ``N = s*s*T*nb`` and
+``index(cy, cx, t, i) = ((cy*s + cx)*T + t)*nb + i``
+(t = triangle-in-cell: 0 = A below diagonal, 1 = B above).
+
+Block vector over subdomains: ``[K, N]`` with ``K = kx*ky``,
+``ii = sy*kx + sx``  — "block space" = leading axis (SURVEY.md §7).
+
+Local RT0 dof vector per subdomain: ``[N_rt]`` with ``N_rt = 3*s*s + 2*s``:
+  D faces  [s, s]      -> idx = cy*s + cx
+  V faces  [s, s+1]    -> idx = s*s + cy*(s+1) + vx          (vx = 0..s)
+  H faces  [s+1, s]    -> idx = s*s + s*(s+1) + hy*s + cx    (hy = 0..s)
+Face dof convention: integral of the normal trace w.r.t. the *family* normal
+(V: (1,0); H: (0,1); D: (-hy,hx)/|.| pointing from triangle A to B).
+
+Global RT0 space: D [Sy,Sx], V [Sy,Sx+1], H [Sy+1,Sx]; the subdomain->global
+map is a pure index shift (shared interface faces are duplicated in both
+adjacent local spaces, matching dune-gdt's restricted RT spaces,
+``discretize_elliptic_block_swipdg.py:171-173``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..grid import Grid
+from .. import basis as B
+from .. import quadrature as Q
+
+
+@dataclass(frozen=True)
+class FaceTab:
+    """Static tabulation for one face family (or boundary side)."""
+    phi_m: np.ndarray        # [nqf, nb] minus-side traces
+    dphi_m: np.ndarray       # [nqf, nb, 2] physical gradients
+    phi_p: np.ndarray | None  # plus side (None for boundary)
+    dphi_p: np.ndarray | None
+    normal: np.ndarray       # [2] family normal (from minus to plus / outward)
+    length: float            # physical face length
+    w: np.ndarray            # [nqf] weights (sum to 1)
+    pts_unit_m: np.ndarray   # [nqf, 2] unit-cell coords in the minus cell
+    pts_unit_p: np.ndarray | None
+    tri_m: int               # triangle-in-cell index of minus side (0=A, 1=B)
+    tri_p: int | None
+    centroid_m: np.ndarray   # [2] unit-cell centroid of the minus triangle
+    centroid_p: np.ndarray | None
+
+
+TRI_ID = {"A": 0, "B": 1}
+
+
+class BlockDGSpace:
+    """All static metadata for assembly on the block DG space."""
+
+    def __init__(self, grid: Grid, order: int = 1, vol_quad: int = 5, face_quad: int = 5):
+        assert grid.grid_type == "tri", "only the triangulated grid is implemented"
+        self.grid = grid
+        self.order = order
+        self.nb = B.num_basis(order)
+        self.s = grid.s
+        self.T = grid.tri_per_cell
+        self.N = self.s * self.s * self.T * self.nb
+        self.K = grid.num_subdomains
+        self.hx, self.hy = grid.hx, grid.hy
+        self._vol_quad = vol_quad
+        self._face_quad = face_quad
+        self._tabulate()
+
+    # ------------------------------------------------------------------
+    def _phys_grad(self, dunit: np.ndarray) -> np.ndarray:
+        out = dunit.copy()
+        out[..., 0] /= self.hx
+        out[..., 1] /= self.hy
+        return out
+
+    def _tabulate(self):
+        order = self.order
+        # volume quadrature per triangle type
+        qpA, wA = Q.triangle_rule_unit_cell("A", self._vol_quad)
+        qpB, wB = Q.triangle_rule_unit_cell("B", self._vol_quad)
+        self.vol_qp = np.stack([qpA, qpB])                  # [2, nq, 2] unit-cell
+        self.vol_w = np.stack([wA, wB])                     # [2, nq]  (sum 1/2 each)
+        self.vol_phi = np.stack([B.eval_basis("A", order, qpA),
+                                 B.eval_basis("B", order, qpB)])       # [2, nq, nb]
+        self.vol_dphi = np.stack([
+            self._phys_grad(B.eval_basis_grad_unit("A", order, qpA)),
+            self._phys_grad(B.eval_basis_grad_unit("B", order, qpB)),
+        ])                                                   # [2, nq, nb, 2]
+        self.tri_centroids = np.stack([B.TRI_VERTS_UNIT["A"].mean(0),
+                                       B.TRI_VERTS_UNIT["B"].mean(0)])  # [2, 2]
+        # nodal points (for interpolation / oswald / prolongation)
+        self.nodes_unit = np.stack([B.node_coords_unit("A", order),
+                                    B.node_coords_unit("B", order)])    # [2, nb, 2]
+
+        # face tabulations
+        t, w = Q.edge_rule(self._face_quad)
+        self.face_tabs: Dict[str, FaceTab] = {}
+        lengths = {"D": float(np.hypot(self.hx, self.hy)), "V": self.hy, "H": self.hx}
+        normals = {
+            "D": np.array([-self.hy, self.hx]) / np.hypot(self.hx, self.hy),
+            "V": np.array([1.0, 0.0]),
+            "H": np.array([0.0, 1.0]),
+        }
+        for fam, ((tm, em), (tp, ep)) in B.EDGES_UNIT.items():
+            pm = em.points(t)
+            pp = ep.points(t)
+            self.face_tabs[fam] = FaceTab(
+                phi_m=B.eval_basis(tm, order, pm),
+                dphi_m=self._phys_grad(B.eval_basis_grad_unit(tm, order, pm)),
+                phi_p=B.eval_basis(tp, order, pp),
+                dphi_p=self._phys_grad(B.eval_basis_grad_unit(tp, order, pp)),
+                normal=normals[fam], length=lengths[fam], w=w,
+                pts_unit_m=pm, pts_unit_p=pp,
+                tri_m=TRI_ID[tm], tri_p=TRI_ID[tp],
+                centroid_m=self.tri_centroids[TRI_ID[tm]],
+                centroid_p=self.tri_centroids[TRI_ID[tp]],
+            )
+        bnd_normals = {"left": np.array([-1.0, 0.0]), "right": np.array([1.0, 0.0]),
+                       "bottom": np.array([0.0, -1.0]), "top": np.array([0.0, 1.0])}
+        bnd_lengths = {"left": self.hy, "right": self.hy, "bottom": self.hx, "top": self.hx}
+        for side, (tm, em) in B.BOUNDARY_EDGES_UNIT.items():
+            pm = em.points(t)
+            self.face_tabs["bnd_" + side] = FaceTab(
+                phi_m=B.eval_basis(tm, order, pm),
+                dphi_m=self._phys_grad(B.eval_basis_grad_unit(tm, order, pm)),
+                phi_p=None, dphi_p=None,
+                normal=bnd_normals[side], length=bnd_lengths[side], w=w,
+                pts_unit_m=pm, pts_unit_p=None,
+                tri_m=TRI_ID[tm], tri_p=None,
+                centroid_m=self.tri_centroids[TRI_ID[tm]], centroid_p=None,
+            )
+
+    # ------------------------------------------------------------------
+    # dof index helpers (numpy, static)
+    # ------------------------------------------------------------------
+    def dof_index(self, cy, cx, t, i):
+        s, T, nb = self.s, self.T, self.nb
+        return ((np.asarray(cy) * s + np.asarray(cx)) * T + np.asarray(t)) * nb + np.asarray(i)
+
+    def cell_dofs(self, cy, cx, t) -> np.ndarray:
+        """[..., nb] dof indices of cell (cy,cx) triangle t."""
+        i = np.arange(self.nb)
+        return self.dof_index(np.asarray(cy)[..., None], np.asarray(cx)[..., None],
+                              np.asarray(t)[..., None] if np.ndim(t) else t, i)
+
+    @cached_property
+    def subdomain_origins(self) -> np.ndarray:
+        """[K, 2] physical lower-left corner of each subdomain."""
+        g = self.grid
+        sx = np.arange(g.kx) * (g.s * g.hx) + g.lower_left[0]
+        sy = np.arange(g.ky) * (g.s * g.hy) + g.lower_left[1]
+        SX, SY = np.meshgrid(sx, sy)           # [ky, kx]
+        return np.stack([SX.ravel(), SY.ravel()], axis=-1)
+
+    @cached_property
+    def cell_origins_local(self) -> np.ndarray:
+        """[s, s, 2] cell lower-left corners relative to the subdomain origin
+        (index [cy, cx])."""
+        cx = np.arange(self.s) * self.hx
+        cy = np.arange(self.s) * self.hy
+        CX, CY = np.meshgrid(cx, cy)           # [cy, cx] -> CX[cy,cx]=cx*hx
+        return np.stack([CX, CY], axis=-1)
+
+    def node_coords_phys(self) -> np.ndarray:
+        """[K, s, s, T, nb, 2] physical coordinates of all nodal points."""
+        org = (self.subdomain_origins[:, None, None, :]
+               + self.cell_origins_local[None, :, :, :])       # [K, s, s, 2]
+        scale = np.array([self.hx, self.hy])
+        nodes = self.nodes_unit * scale                        # [T, nb, 2]
+        return org[:, :, :, None, None, :] + nodes[None, None, None, :, :, :]
+
+    # ------------------------------------------------------------------
+    # RT0 layout
+    # ------------------------------------------------------------------
+    @property
+    def N_rt(self) -> int:
+        s = self.s
+        return 3 * s * s + 2 * s
+
+    def rt_index_D(self, cy, cx):
+        return np.asarray(cy) * self.s + np.asarray(cx)
+
+    def rt_index_V(self, cy, vx):
+        return self.s * self.s + np.asarray(cy) * (self.s + 1) + np.asarray(vx)
+
+    def rt_index_H(self, hy, cx):
+        return self.s * self.s + self.s * (self.s + 1) + np.asarray(hy) * self.s + np.asarray(cx)
+
+    # triangle -> (local rt dof, orientation sign, opposite vertex unit coords)
+    # edges per triangle: A: [bottom H(cy,cx), right V(cy,cx+1), diag D(cy,cx)]
+    #                     B: [left V(cy,cx), top H(cy+1,cx), diag D(cy,cx)]
+    def tri_face_dofs(self):
+        """Static incidence: returns (idx, sign, opp) with
+        idx [s, s, T, 3] local RT dof ids, sign [T, 3] orientation
+        (+1 if family normal is outward), opp [T, 3, 2] opposite vertex in
+        unit-cell coords."""
+        s = self.s
+        cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        idx = np.zeros((s, s, 2, 3), dtype=np.int64)
+        idx[:, :, 0, 0] = self.rt_index_H(cy, cx)          # A bottom
+        idx[:, :, 0, 1] = self.rt_index_V(cy, cx + 1)      # A right
+        idx[:, :, 0, 2] = self.rt_index_D(cy, cx)          # A diag
+        idx[:, :, 1, 0] = self.rt_index_V(cy, cx)          # B left
+        idx[:, :, 1, 1] = self.rt_index_H(cy + 1, cx)      # B top
+        idx[:, :, 1, 2] = self.rt_index_D(cy, cx)          # B diag
+        sign = np.array([[-1.0, 1.0, 1.0],                  # A: bottom,right,diag
+                         [-1.0, 1.0, -1.0]])                # B: left,top,diag
+        opp = np.array([
+            [[1.0, 1.0], [0.0, 0.0], [1.0, 0.0]],           # A: opp of e0,e1,e2
+            [[1.0, 1.0], [0.0, 0.0], [0.0, 1.0]],           # B
+        ])
+        return idx, sign, opp
+
+    def rt_local_to_global(self) -> np.ndarray:
+        """[K, N_rt] flat indices into the flattened global RT vector.
+
+        Global RT flat layout: concat(D [Sy*Sx], V [Sy*(Sx+1)], H [(Sy+1)*Sx]).
+        """
+        g = self.grid
+        s = self.s
+        Sy, Sx = g.global_ny, g.global_nx
+        offD, offV, offH = 0, Sy * Sx, Sy * Sx + Sy * (Sx + 1)
+        out = np.zeros((self.K, self.N_rt), dtype=np.int64)
+        for ii in range(self.K):
+            sx, sy = g.subdomain_coords(ii)
+            cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+            gD = offD + (sy * s + cy) * Sx + (sx * s + cx)
+            out[ii, self.rt_index_D(cy, cx).ravel()] = gD.ravel()
+            cy, vx = np.meshgrid(np.arange(s), np.arange(s + 1), indexing="ij")
+            gV = offV + (sy * s + cy) * (Sx + 1) + (sx * s + vx)
+            out[ii, self.rt_index_V(cy, vx).ravel()] = gV.ravel()
+            hy, cx = np.meshgrid(np.arange(s + 1), np.arange(s), indexing="ij")
+            gH = offH + (sy * s + hy) * Sx + (sx * s + cx)
+            out[ii, self.rt_index_H(hy, cx).ravel()] = gH.ravel()
+        return out
+
+    @property
+    def N_rt_global(self) -> int:
+        g = self.grid
+        Sy, Sx = g.global_ny, g.global_nx
+        return Sy * Sx + Sy * (Sx + 1) + (Sy + 1) * Sx
+
+    # ------------------------------------------------------------------
+    # interface dof lists (for couplings / patch boundary terms)
+    # ------------------------------------------------------------------
+    def side_cells(self, side: str):
+        """(cy, cx, t) arrays [s] of the cells+triangle touching a subdomain side."""
+        s = self.s
+        r = np.arange(s)
+        if side == "left":
+            return r, np.zeros(s, np.int64), np.ones(s, np.int64)       # B triangles
+        if side == "right":
+            return r, np.full(s, s - 1, np.int64), np.zeros(s, np.int64)  # A
+        if side == "bottom":
+            return np.zeros(s, np.int64), r, np.zeros(s, np.int64)      # A
+        if side == "top":
+            return np.full(s, s - 1, np.int64), r, np.ones(s, np.int64)  # B
+        raise ValueError(side)
+
+    def side_dofs(self, side: str) -> np.ndarray:
+        """[s*nb] dof indices of the boundary-layer triangles on a side."""
+        cy, cx, t = self.side_cells(side)
+        return self.cell_dofs(cy, cx, t).ravel()

@@ -1,0 +1,22 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 enabled.
+
+Multi-chip behaviour is tested on a virtual 8-device CPU mesh (mirrors the
+reference's strategy of exercising MPI semantics on a small real world,
+/root/reference/python/test/mpitest.py).
+
+Environment note: this image pre-imports jax via an axon sitecustomize that
+registers a remote-TPU PJRT plugin and forces jax_platforms=axon, so plain
+``JAX_PLATFORMS=cpu`` env vars are ineffective.  ``jax.config.update`` after
+import (but before first backend use) reliably selects the real CPU backend;
+XLA_FLAGS must also be set before backend initialization.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (may already be imported by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
