@@ -1,0 +1,191 @@
+"""Localized a-posteriori error estimators (elliptic + parabolic).
+
+TPU-native re-implementation of ``/root/reference/python/dune/pylrbms/
+estimators.py`` — the OS2015/RS2017 localized estimator
+
+  eta_nc_sq[ii] = || u - I_os(u) ||^2_{lambda_bar, ii}          (:71)
+  eta_r_sq[ii]  = (C_P / lambda_min,ii) H_ii^2 *
+                  ( int f^2 - 2 int f div(t) + int div(t)^2 )   (:72-76, 87-91)
+  eta_df_sq[ii] = int (lam(mu) k grad u + t) . (lam_hat k)^{-1} (...)
+                = aa + bb + 2 ab                                 (:83-85)
+  eta = (1/sqrt(alpha(mu,mu_bar))) * ( sqrt(gamma(mu,mu_bar)) ||eta_nc_sq||
+        + (1/sqrt(alpha(mu,mu_hat))) ||eta_r_sq + eta_df_sq|| )  (:99-102)
+
+All per-subdomain quantities are batched einsums over the leading K axis; the
+global norms are plain 2-norms (single process) or ``psum``-reductions when
+the K axis is sharded over a device mesh (replacing ``pymor.parallel.mpi.norm``,
+``estimators.py:100-101``).
+
+Reference quirks replicated as-executed (SURVEY.md "bugs to NOT replicate
+blindly" — kept, flagged, and switchable):
+
+* ``alpha`` returns inside its loop (``estimators.py:121``), so
+  alpha = theta_0(mu)/theta_0(mu_bar) (first component only).  Controlled by
+  ``alpha_first_component_only`` (default True = reference behaviour).
+* The ``local_eta_*`` values entering the norms/indicators are *squared*
+  energy quantities; the decomposition then squares them again
+  (``estimators.py:104-110``).  Replicated verbatim.
+
+Deviation (reference defect): for multi-component rhs f the reference skips
+r_fd/r_dd and leaves ``local_eta_rf_squared = None``
+(``discretize_elliptic_block_swipdg.py:739,780-785``), which crashes its own
+parabolic estimate.  We implement the general affine-f residual instead.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .parameters import evaluate_coefficients, as_functional
+from .ops.oswald import OswaldOperator
+from .ops.fluxreco import FluxReconstructor
+
+
+@dataclass
+class EstimatorData:
+    """All precomputed per-subdomain tensors the estimator needs."""
+    E_bar: jnp.ndarray          # [K, N, N] elliptic product at lambda_bar
+    L2: jnp.ndarray             # [K, N, N]
+    M_aa: jnp.ndarray           # [Q, Q, K, N, N]
+    BB: jnp.ndarray             # [K, Nrt, Nrt]
+    M_ab: jnp.ndarray           # [Q, K, N, Nrt]
+    A_div: jnp.ndarray          # [N, Nrt] (RT coeffs -> DG coeffs of div t)
+    R_dd: jnp.ndarray           # [K, Nrt, Nrt] = A_div^T L2 A_div
+    d_vec: jnp.ndarray          # [Qf, K, Nrt] = A_div^T b_qf
+    rf_qq: jnp.ndarray          # [Qf, Qf, K] = int f_q f_q'
+    min_ev: jnp.ndarray         # [K]
+    diam: jnp.ndarray           # [K]
+    oswald: OswaldOperator
+    flux: FluxReconstructor
+    lambda_funcs: list          # affine diffusion component functions
+    lambda_coeffs: list
+    f_coeffs: list
+    mu_bar: dict
+    mu_hat: dict
+    parameter_type: Optional[dict]
+
+
+class EllipticEstimator:
+    """<-> ``estimators.EllipticEstimator`` (``estimators.py:133-136``)."""
+
+    poincare_constant = 1.0 / math.pi ** 2      # C_P (``estimators.py:88``)
+
+    def __init__(self, data: EstimatorData, alpha_first_component_only: bool = True):
+        self.data = data
+        self.alpha_first_component_only = alpha_first_component_only
+
+    # -- continuity/coercivity factors (``estimators.py:114-130``) --------
+    def _ratios(self, mu, mu_ref):
+        th = evaluate_coefficients(self.data.lambda_coeffs, mu)
+        th_ref = evaluate_coefficients(self.data.lambda_coeffs, mu_ref)
+        return th / th_ref
+
+    def alpha(self, mu, mu_ref):
+        r = self._ratios(mu, mu_ref)
+        if self.alpha_first_component_only:
+            return r[0]     # reference early-return quirk (estimators.py:121)
+        return jnp.min(r)
+
+    def gamma(self, mu, mu_ref):
+        return jnp.max(self._ratios(mu, mu_ref))
+
+    # ---------------------------------------------------------------------
+    def reconstruct_flux(self, U, mu=None, per_component: bool = False):
+        """Affine flux reconstruction; [..., K, Nrt] (or [Q, ..., K, Nrt])."""
+        d = self.data
+        t_q = jnp.stack([d.flux.apply(lf, U) for lf in d.lambda_funcs])
+        if per_component:
+            return t_q
+        theta = evaluate_coefficients(d.lambda_coeffs, mu)
+        return jnp.einsum("q,q...->...", theta, t_q)
+
+    def local_quantities(self, U, mu):
+        """Per-subdomain squared quantities; U [..., K, N] -> each [..., K]."""
+        d = self.data
+        theta = evaluate_coefficients(d.lambda_coeffs, mu)
+        theta_f = evaluate_coefficients(d.f_coeffs, mu)
+
+        t = self.reconstruct_flux(U, mu)                       # [..., K, Nrt]
+        U_o = d.oswald.apply(U)
+
+        eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, d.E_bar, U_o)
+
+        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, d.rf_qq)
+        r_fd = jnp.einsum("p,pkn,...kn->...k", theta_f, d.d_vec, t)
+        r_dd = jnp.einsum("...kn,knm,...km->...k", t, d.R_dd, t)
+        scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
+        eta_r = (rf - 2.0 * r_fd + r_dd) * scale
+
+        aa = jnp.einsum("p,r,prknm,...kn,...km->...k", theta, theta, d.M_aa, U, U)
+        bb = jnp.einsum("...kn,knm,...km->...k", t, d.BB, t)
+        ab = jnp.einsum("p,pknm,...kn,...km->...k", theta, d.M_ab, U, t)
+        eta_df = aa + bb + 2.0 * ab
+        return eta_nc, eta_r, eta_df
+
+    def estimate(self, U, mu, d=None, decompose: bool = False):
+        """U [K, N] or [B, K, N].  Returns eta (scalar) and, with
+        ``decompose``, the local squared triples [K, B] and indicators [K, B]
+        (reference array convention ``(num_subdomains, len(U))``,
+        ``estimators.py:50-53``)."""
+        data = self.data
+        single = U.ndim == 2
+        Ub = U[None] if single else U
+        eta_nc, eta_r, eta_df = self.local_quantities(Ub, mu)   # [B, K]
+
+        a_bar = self.alpha(mu, data.mu_bar)
+        g_bar = self.gamma(mu, data.mu_bar)
+        a_hat = self.alpha(mu, data.mu_hat)
+
+        def norm(v):    # Frobenius over (B, K) <-> mpi_norm of [K, len(U)]
+            return jnp.sqrt(jnp.sum(v * v))
+
+        eta = (jnp.sqrt(g_bar) * norm(eta_nc)
+               + (1.0 / jnp.sqrt(a_hat)) * norm(eta_r + eta_df))
+        eta = eta / jnp.sqrt(a_bar)
+
+        if not decompose:
+            return eta
+        # [K, B] layout like the reference's (vec_size, len(U)) arrays
+        nc, r, df = (jnp.moveaxis(v, 0, -1) for v in (eta_nc, eta_r, eta_df))
+        indicators = (2.0 / a_bar) * (g_bar * nc ** 2 + (1.0 / a_hat) * (r + df) ** 2)
+        return eta, (nc, r, df), indicators
+
+
+class ParabolicEstimator(EllipticEstimator):
+    """<-> ``estimators.ParabolicEstimator`` (``estimators.py:139-168``).
+
+    Operates on a trajectory U [nt+1, K, N].  Needs the model for
+    ``operator.apply`` / ``l2_product`` (time residual, ``:147-151``)."""
+
+    def estimate(self, U, mu, d=None, decompose: bool = False):
+        assert d is not None, "parabolic estimate needs the model (operator/mass)"
+        data = self.data
+        dt = d.T / d.nt
+
+        eta, (nc, r, df), elliptic_indicators = super().estimate(U, mu, decompose=True)
+
+        # time-stepping residual: dt/3 ||B(u^{n+1}-u^n)||^2_{M^-1}  (:147-151)
+        dU = U[1:] - U[:-1]
+        BdU = d.operator_apply(dU, mu)
+        MinvBdU = d.l2_solve(BdU)
+        time_res = jnp.sqrt(dt / 3.0 * jnp.einsum("bkn,bkn->b", MinvBdU, BdU))
+
+        # scale elliptic parts (:153-157)
+        c = 2.0 * jnp.sqrt(dt / 3.0)
+        eta = eta * c
+        nc, r, df = nc * c, r * c, df * c
+
+        # time-derivative nonconformity (:159-165)
+        U_o = data.oswald.apply(U)
+        dU_o = U_o[1:] - U_o[:-1]
+        tdnc = jnp.einsum("bkn,knm,bkm->kb", dU_o, data.E_bar, dU_o) / dt
+        tdnc = jnp.sqrt(jnp.maximum(tdnc, 0.0))
+
+        est = (jnp.linalg.norm(jnp.atleast_1d(eta))
+               + jnp.linalg.norm(time_res) + jnp.linalg.norm(tdnc))
+        return est, (nc, r, df, time_res, tdnc)

@@ -1,0 +1,297 @@
+"""Model containers: stationary / instationary block discretizations.
+
+TPU-native replacement for the pyMOR ``StationaryDiscretization`` /
+``InstationaryDiscretization`` containers and the reference's
+``DuneDiscretization`` / ``InstationaryDuneDiscretization``
+(``discretize_elliptic_block_swipdg.py:203-316``,
+``discretize_parabolic_block_swipdg.py:15-40``).
+
+A model owns the affine block operator + rhs, the named products, the
+estimator, the parameter space, and the enrichment machinery
+(``solve_for_local_correction`` — the oversampled corrector patch solve,
+``discretize_elliptic_block_swipdg.py:227-316``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .grid import Grid
+from .ops.spaces import BlockDGSpace
+from .ops.swipdg import SwipdgComponent, edge_lists
+from .la.block import AffineBlockOp, unblock, reblock
+from .parameters import (CubicParameterSpace, evaluate_coefficients,
+                         parse_parameter)
+from .estimators import EllipticEstimator, ParabolicEstimator
+
+
+@dataclass
+class StationaryBlockModel:
+    grid: Grid
+    space: BlockDGSpace
+    op: AffineBlockOp
+    lambda_coeffs: list
+    rhs_q: jnp.ndarray                     # [Qf, K, N]
+    f_coeffs: list
+    estimator: Optional[EllipticEstimator]
+    parameter_space: Optional[CubicParameterSpace]
+    parameter_type: Optional[dict]
+    components: List[SwipdgComponent] = field(default_factory=list)
+    products: Dict[str, jnp.ndarray] = field(default_factory=dict)
+    solver_options: Optional[dict] = None
+    dtype: object = jnp.float64
+    name: str = "StationaryBlockModel"
+
+    # ------------------------------------------------------------------
+    def parse_parameter(self, mu):
+        return parse_parameter(self.parameter_type, mu)
+
+    def theta(self, mu):
+        return evaluate_coefficients(self.lambda_coeffs, mu)
+
+    def theta_f(self, mu):
+        return evaluate_coefficients(self.f_coeffs, mu)
+
+    def rhs(self, mu):
+        """[K, N] assembled rhs (<-> ``global_rhs.as_vector(mu)``)."""
+        return jnp.einsum("q,qkn->kn", self.theta_f(mu), self.rhs_q)
+
+    def assemble(self, mu):
+        return self.op.assemble(self.theta(mu))
+
+    def solve(self, mu, inverse_options=None):
+        """Detailed (FOM) solve (<-> ``DuneDiscretization._solve``,
+        ``discretize_elliptic_block_swipdg.py:219-225``)."""
+        mu = self.parse_parameter(mu)
+        A = self.assemble(mu)
+        return A.solve(self.rhs(mu), inverse_options or self.solver_options)
+
+    def operator_apply(self, U, mu):
+        return self.assemble(mu).apply(U)
+
+    def estimate(self, U, mu, decompose: bool = False):
+        mu = self.parse_parameter(mu)
+        return self.estimator.estimate(U, mu, d=self, decompose=decompose)
+
+    # ------------------------------------------------------------------
+    def l2_solve(self, V):
+        """Apply the inverse of the (block-diagonal) L2 product."""
+        L = jnp.linalg.cholesky(self.products["l2"])
+        y = jax.scipy.linalg.solve_triangular(L, V[..., None], lower=True)
+        z = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+        return z[..., 0]
+
+    @property
+    def l2_product(self):
+        return self.products["l2"]
+
+    def unblock(self, U):
+        return unblock(U)
+
+    def reblock(self, u):
+        return reblock(u, self.space.K, self.space.N)
+
+    @property
+    def solution_shape(self):
+        return (self.space.K, self.space.N)
+
+    # ------------------------------------------------------------------
+    def shape_functions(self, subdomain: int, order: int = 0):
+        """Initial local RB functions (<-> ``DuneDiscretizationBase.
+        shape_functions``, ``discretize_elliptic_block_swipdg.py:187-200``):
+        order 0 = the constant; order 1 adds x, y, x*y.  With the nodal basis
+        these are nodal interpolants (the reference's order-1 branch is
+        broken — ``dune_project`` NameError at ``:197`` — so interpolation is
+        our documented choice)."""
+        assert 0 <= order <= 1
+        sp = self.space
+        vecs = [np.ones(sp.N)]
+        if order == 1:
+            xn = sp.node_coords_phys()[subdomain].reshape(sp.N, 2)
+            vecs += [xn[:, 0], xn[:, 1], xn[:, 0] * xn[:, 1]]
+        return jnp.asarray(np.stack(vecs), self.dtype)          # [n_vec, N]
+
+    # ------------------------------------------------------------------
+    def assemble_patch(self, subdomain: int, mu=None):
+        """Assemble the oversampled-neighborhood corrector system
+        (<-> ``solve_for_local_correction``'s fresh neighborhood SWIPDG
+        assembly with local all-Dirichlet boundary info,
+        ``discretize_elliptic_block_swipdg.py:241-276``).
+
+        Returns (members, A [m*N, m*N] per affine component list, b [m*N]).
+        Patch-boundary faces (interfaces leaving the patch) get the one-sided
+        Dirichlet penalty blocks; intra-patch interfaces keep their coupling
+        quadruples; physical-boundary faces keep the true Dirichlet terms.
+        """
+        grid, sp = self.grid, self.space
+        members = grid.neighborhood_of(subdomain)
+        m = len(members)
+        pos = {ii: i for i, ii in enumerate(members)}
+        N, s, nb = sp.N, sp.s, sp.nb
+        kx = grid.kx
+        left_k, right_k, low_k, up_k = edge_lists(grid)
+        eR = {(int(l), int(r)): e for e, (l, r) in enumerate(zip(left_k, right_k))}
+        eU = {(int(l), int(u)): e for e, (l, u) in enumerate(zip(low_k, up_k))}
+        side_rows = {side: sp.side_dofs(side).reshape(s, nb)
+                     for side in ("left", "right", "bottom", "top")}
+        side_neighbor = {"left": -1, "right": +1, "bottom": -kx, "top": +kx}
+
+        mats = []
+        for comp in self.components:
+            A = np.zeros((m * N, m * N))
+            for ii in members:
+                i = pos[ii]
+                blk = np.asarray(comp.A_loc[ii])
+                sx, sy = grid.subdomain_coords(ii)
+                for side in ("left", "right", "bottom", "top"):
+                    on_bnd = ((side == "left" and sx == 0) or
+                              (side == "right" and sx == kx - 1) or
+                              (side == "bottom" and sy == 0) or
+                              (side == "top" and sy == grid.ky - 1))
+                    nb_sub = ii + side_neighbor[side]
+                    if on_bnd or nb_sub not in pos:
+                        rows = side_rows[side]
+                        Ds = np.asarray(comp.D_side[side][ii])   # [s, nb, nb]
+                        for f in range(s):
+                            r = rows[f]
+                            blk[np.ix_(r, r)] += Ds[f]
+                A[i * N:(i + 1) * N, i * N:(i + 1) * N] += blk
+            # intra-patch interface terms
+            for ii in members:
+                i = pos[ii]
+                for side, quads in (("right", ("R_in_in", "R_in_out", "R_out_in", "R_out_out")),
+                                    ("top", ("U_in_in", "U_in_out", "U_out_in", "U_out_out"))):
+                    jj = ii + side_neighbor[side]
+                    if jj not in pos:
+                        continue
+                    j = pos[jj]
+                    e = eR[(ii, jj)] if side == "right" else eU[(ii, jj)]
+                    rm = side_rows["right" if side == "right" else "top"]
+                    rp = side_rows["left" if side == "right" else "bottom"]
+                    q_ii, q_io, q_oi, q_oo = (np.asarray(getattr(comp, q)[e]) for q in quads)
+                    for f in range(s):
+                        r_i = rm[f] + i * N
+                        r_j = rp[f] + j * N
+                        A[np.ix_(r_i, r_i)] += q_ii[f]
+                        A[np.ix_(r_i, r_j)] += q_io[f]
+                        A[np.ix_(r_j, r_i)] += q_oi[f]
+                        A[np.ix_(r_j, r_j)] += q_oo[f]
+            mats.append(jnp.asarray(A, self.dtype))
+
+        b = jnp.einsum("q,qmn->mn", self.theta_f(mu or {}),
+                       self.rhs_q[:, np.asarray(members)]).reshape(m * N)
+        return members, mats, b
+
+    def solve_for_local_correction(self, subdomain: int, Us=None, mu=None,
+                                   inverse_options=None):
+        """Local corrector solve on the oversampled patch
+        (<-> ``discretize_elliptic_block_swipdg.py:227-316``).
+
+        Like the reference, the Dirichlet lift from the current solution is
+        not applied (explicitly disabled there, comment at ``:252-262``):
+        the patch problem is A_patch(mu) w = f with homogeneous Dirichlet on
+        the patch boundary.  ``Us`` is accepted for interface parity."""
+        mu = self.parse_parameter(mu)
+        members, mats, b = self.assemble_patch(subdomain, mu)
+        theta = self.theta(mu)
+        A = sum(t * M for t, M in zip(theta, mats))
+        w = jnp.linalg.solve(A, b)
+        i = members.index(subdomain)
+        N = self.space.N
+        return w[i * N:(i + 1) * N]
+
+    # ------------------------------------------------------------------
+    def visualize(self, U, filename: str):   # pragma: no cover
+        from .utils.vtk import write_dg_vtu
+        write_dg_vtu(self.space, np.asarray(U), filename)
+
+
+@dataclass
+class InstationaryBlockModel:
+    """Implicit-Euler time-stepping wrapper
+    (<-> ``InstationaryDuneDiscretization`` +
+    ``ImplicitEulerTimeStepper(nt, solver_options='operator')``,
+    ``discretize_parabolic_block_swipdg.py:15-40``;
+    per step: (M + dt A(mu)) u^{n+1} = M u^n + dt f(t_{n+1})).
+    """
+    stationary: StationaryBlockModel
+    T: float
+    nt: int
+    mass: jnp.ndarray = None          # [K, N, N] global L2 mass (block diag)
+    name: str = "InstationaryBlockModel"
+
+    def __post_init__(self):
+        if self.mass is None:
+            self.mass = self.stationary.products["l2"]
+
+    # passthroughs
+    def parse_parameter(self, mu):
+        return self.stationary.parse_parameter(mu)
+
+    @property
+    def parameter_space(self):
+        return self.stationary.parameter_space
+
+    @property
+    def estimator(self):
+        return self._estimator
+
+    def solve(self, mu):
+        """Trajectory [nt+1, K, N] via lax.scan over implicit Euler steps.
+
+        Time enters through the '_t' parameter in the rhs coefficients
+        (``artificial_channels_problem.py:96-98``); the operator is
+        time-independent, so its factorization is reused across all steps."""
+        st = self.stationary
+        mu = self.parse_parameter(mu)
+        dt = self.T / self.nt
+        A = st.assemble(mu)
+        # dense global (M + dt*A); factor once, reuse over the scan
+        G = A.to_dense() * dt
+        K, N = st.space.K, st.space.N
+        M_dense = jax.scipy.linalg.block_diag(*[self.mass[k] for k in range(K)]) \
+            if K > 1 else self.mass[0]
+        G = G + M_dense
+        lu, piv = jax.scipy.linalg.lu_factor(G)
+
+        rhs_q = st.rhs_q
+        f_coeffs = st.f_coeffs
+
+        def theta_f_at(t):
+            mu_t = dict(mu)
+            mu_t["_t"] = t
+            return evaluate_coefficients(f_coeffs, mu_t)
+
+        def step(u, n):
+            t_next = (n + 1.0) * dt
+            f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
+            rhs = jnp.einsum("knm,km->kn", self.mass, u) + dt * f
+            u_next = jax.scipy.linalg.lu_solve((lu, piv), rhs.reshape(-1))
+            u_next = u_next.reshape(K, N)
+            return u_next, u_next
+
+        u0 = jnp.zeros((K, N), st.dtype)
+        _, traj = jax.lax.scan(step, u0, jnp.arange(self.nt))
+        return jnp.concatenate([u0[None], traj], axis=0)
+
+    def operator_apply(self, U, mu):
+        return self.stationary.operator_apply(U, mu)
+
+    def l2_solve(self, V):
+        return self.stationary.l2_solve(V)
+
+    @property
+    def products(self):
+        return self.stationary.products
+
+    def estimate(self, U, mu, decompose: bool = False):
+        mu = self.parse_parameter(mu)
+        est = ParabolicEstimator(self.stationary.estimator.data)
+        return est.estimate(U, mu, d=self)
+
+    def unblock(self, U):
+        return unblock(U)

@@ -1,0 +1,90 @@
+"""Oswald interpolation error operator (vertex averaging), batched.
+
+TPU-native equivalent of dune-gdt's ``apply_oswald_interpolation_operator``
+and the reference's ``OswaldInterpolationErrorOperator``
+(``discretize_elliptic_block_swipdg.py:30,72-122``): for a P1 DG function u,
+the conforming Oswald interpolant I_os(u) takes at every mesh vertex the
+arithmetic mean of the DG values from all incident elements, and 0 at
+Dirichlet-boundary vertices (all-Dirichlet boundary info, ``:108-113``).
+The operator returns the nonconformity witness  u - I_os(u).
+
+The reference computes this per source-subdomain on oversampled neighborhood
+views; because the 1-layer (3x3, incl. diagonal) neighborhood contains every
+element incident to a vertex of the subdomain's closure, that equals the
+restriction of the *global* Oswald interpolation — which is what we compute,
+as one vertex scatter/gather over the whole mesh.  The per-source-block
+structure needed by the reductor (``reductor.py:36-46``) is recovered by
+applying this operator to basis vectors supported on a single subdomain.
+
+Only order 1 is supported (the reference applies Oswald on the P1 block
+space only; the P2 space is used solely as EOC reference without estimator).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .spaces import BlockDGSpace
+
+
+class OswaldOperator:
+    def __init__(self, space: BlockDGSpace):
+        assert space.order == 1, "Oswald interpolation implemented for P1"
+        self.space = space
+        g = space.grid
+        Sy, Sx = g.global_ny, g.global_nx
+        self.Sy, self.Sx = Sy, Sx
+        # vertex ids per (global cell, tri, node): [Sy, Sx, T, nb]
+        gy, gx = np.meshgrid(np.arange(Sy), np.arange(Sx), indexing="ij")
+        vid = np.zeros((Sy, Sx, 2, 3), dtype=np.int64)
+
+        def v(iy, ix):
+            return iy * (Sx + 1) + ix
+        # A: (0,0), (1,0), (1,1);  B: (0,0), (0,1), (1,1)   (unit-cell coords)
+        vid[:, :, 0, 0] = v(gy, gx)
+        vid[:, :, 0, 1] = v(gy, gx + 1)
+        vid[:, :, 0, 2] = v(gy + 1, gx + 1)
+        vid[:, :, 1, 0] = v(gy, gx)
+        vid[:, :, 1, 1] = v(gy + 1, gx)
+        vid[:, :, 1, 2] = v(gy + 1, gx + 1)
+        self.vertex_ids = vid.reshape(-1)                       # [Sy*Sx*T*nb]
+        self.n_vertices = (Sy + 1) * (Sx + 1)
+        counts = np.zeros(self.n_vertices)
+        np.add.at(counts, self.vertex_ids, 1.0)
+        self.counts = counts
+        iy, ix = np.meshgrid(np.arange(Sy + 1), np.arange(Sx + 1), indexing="ij")
+        self.interior_mask = ((iy > 0) & (iy < Sy) & (ix > 0) & (ix < Sx)).reshape(-1)
+
+    # ------------------------------------------------------------------
+    def _block_to_global_cells(self, U):
+        """[..., K, N] -> [..., Sy*Sx*T*nb] in global-cell order."""
+        sp = self.space
+        g = sp.grid
+        lead = U.shape[:-2]
+        U = U.reshape(lead + (g.ky, g.kx, sp.s, sp.s, sp.T, sp.nb))
+        U = jnp.moveaxis(U, -4, -5)      # [.., ky, s, kx, s, T, nb]
+        return U.reshape(lead + (-1,))
+
+    def _global_cells_to_block(self, V, lead):
+        sp = self.space
+        g = sp.grid
+        V = V.reshape(lead + (g.ky, sp.s, g.kx, sp.s, sp.T, sp.nb))
+        V = jnp.moveaxis(V, -4, -5)      # [.., ky, kx, s, s, T, nb]
+        return V.reshape(lead + (sp.K, sp.N))
+
+    def interpolate(self, U):
+        """I_os(u): [..., K, N] -> [..., K, N] (conforming, zero on boundary)."""
+        lead = U.shape[:-2]
+        vals = self._block_to_global_cells(U)
+        vid = jnp.asarray(self.vertex_ids)
+        sums = jnp.zeros(lead + (self.n_vertices,), U.dtype)
+        sums = sums.at[..., vid].add(vals)
+        avg = sums / jnp.asarray(self.counts, U.dtype)
+        avg = avg * jnp.asarray(self.interior_mask, U.dtype)
+        out = avg[..., vid]
+        return self._global_cells_to_block(out, lead)
+
+    def apply(self, U):
+        """Nonconformity witness u - I_os(u)  (<-> the identity-minus-
+        interpolant of ``...block_swipdg.py:118-119``)."""
+        return U - self.interpolate(U)
