@@ -145,7 +145,7 @@ class StationaryBlockModel:
             A = np.zeros((m * N, m * N))
             for ii in members:
                 i = pos[ii]
-                blk = np.asarray(comp.A_loc[ii])
+                blk = np.array(comp.A_loc[ii], copy=True)
                 sx, sy = grid.subdomain_coords(ii)
                 for side in ("left", "right", "bottom", "top"):
                     on_bnd = ((side == "left" and sx == 0) or
@@ -163,8 +163,13 @@ class StationaryBlockModel:
             # intra-patch interface terms
             for ii in members:
                 i = pos[ii]
+                sx, sy = grid.subdomain_coords(ii)
                 for side, quads in (("right", ("R_in_in", "R_in_out", "R_out_in", "R_out_out")),
                                     ("top", ("U_in_in", "U_in_out", "U_out_in", "U_out_out"))):
+                    if side == "right" and sx >= kx - 1:
+                        continue
+                    if side == "top" and sy >= grid.ky - 1:
+                        continue
                     jj = ii + side_neighbor[side]
                     if jj not in pos:
                         continue
@@ -187,16 +192,26 @@ class StationaryBlockModel:
         return members, mats, b
 
     def solve_for_local_correction(self, subdomain: int, Us=None, mu=None,
-                                   inverse_options=None):
+                                   inverse_options=None, current_solution=None,
+                                   mode: str = "residual"):
         """Local corrector solve on the oversampled patch
         (<-> ``discretize_elliptic_block_swipdg.py:227-316``).
 
-        Like the reference, the Dirichlet lift from the current solution is
-        not applied (explicitly disabled there, comment at ``:252-262``):
-        the patch problem is A_patch(mu) w = f with homogeneous Dirichlet on
-        the patch boundary.  ``Us`` is accepted for interface parity."""
+        mode='reference': A_patch(mu) w = f with homogeneous Dirichlet on the
+        patch boundary — the reference's behaviour (its Dirichlet lift from
+        the current solution is explicitly disabled, comment at ``:252-262``).
+        This corrector is mu-only: repeated enrichment at the same mu stalls.
+
+        mode='residual' (default, the OS2015 paper's actual corrector /
+        residual localization): A_patch(mu) w = (f - A(mu) u_current)|_patch
+        with homogeneous Dirichlet on the patch boundary.  As the reduced
+        solution improves the corrector shrinks, so adaptive enrichment
+        converges; w = 0 exactly when u_current solves the FOM."""
         mu = self.parse_parameter(mu)
         members, mats, b = self.assemble_patch(subdomain, mu)
+        if mode == "residual" and current_solution is not None:
+            r = self.rhs(mu) - self.assemble(mu).apply(current_solution)
+            b = r[np.asarray(members)].reshape(-1)
         theta = self.theta(mu)
         A = sum(t * M for t, M in zip(theta, mats))
         w = jnp.linalg.solve(A, b)

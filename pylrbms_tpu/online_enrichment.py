@@ -1,0 +1,102 @@
+"""Online adaptive enrichment: Doerfler marking + solve/estimate/enrich loop.
+
+TPU-native counterpart of ``/root/reference/python/dune/pylrbms/
+online_enrichment.py``:
+
+* :func:`doerfler_marking` (``online_enrichment.py:9-22``): square the
+  indicators (note: they are already squared quantities — the reference's
+  double-squaring is replicated by feeding the same arrays), sort descending,
+  return the smallest prefix whose cumulative sum exceeds theta * total.
+* :class:`AdaptiveEnrichment` (``:25-93``): solve -> estimate -> mark
+  (Doerfler + age-based, ``:43-45``) -> enrich marked subdomains
+  (corrector solves) -> re-reduce; loop until eta <= target_error or
+  enrichment_steps exhausted; metrics callback hook (``:76-80``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .utils.logging import getLogger
+
+
+def doerfler_marking(indicators, theta: float):
+    """<-> ``online_enrichment.doerfler_marking`` (``:9-22``)."""
+    assert 0.0 < theta <= 1.0
+    ind = np.asarray(indicators, dtype=float).reshape(-1) ** 2
+    order = np.argsort(-ind, kind="stable")
+    sorted_vals = ind[order]
+    total = sorted_vals.sum()
+    csum = np.cumsum(sorted_vals)
+    over = csum > theta * total
+    if over.any():
+        cut = int(np.argmax(over)) + 1
+        return [int(i) for i in order[:cut]]
+    return [int(i) for i in order]
+
+
+class AdaptiveEnrichment:
+    """<-> ``online_enrichment.AdaptiveEnrichment`` (``:25-93``)."""
+
+    def __init__(self, grid_and_problem_data, discretization, block_space,
+                 reductor, rd, target_error: float,
+                 marking_doerfler_theta: float = 0.33,
+                 marking_max_age: int = 4):
+        self.grid_and_problem_data = grid_and_problem_data
+        self.discretization = discretization
+        self.block_space = block_space
+        self.reductor = reductor
+        self.rd = rd
+        self.target_error = float(target_error)
+        self.marking_doerfler_theta = float(marking_doerfler_theta)
+        self.marking_max_age = int(marking_max_age)
+        self.logger = getLogger("pylrbms.online_enrichment")
+
+    def estimate(self, u, mu, decompose: bool = False):
+        return self.rd.estimate(u, mu, decompose=decompose)
+
+    def _enrich_once(self, u, mu, indicators, age_count):
+        marked = set(doerfler_marking(indicators, self.marking_doerfler_theta))
+        n_doerfler = len(marked)
+        for ii in np.where(age_count > self.marking_max_age)[0]:
+            marked.add(int(ii))
+        self.logger.info3(
+            f"marked {n_doerfler}/{self.block_space.K} subdomains (Doerfler) "
+            f"+ {len(marked) - n_doerfler} (age)")
+        # reconstruct once, before the bases change mid-round
+        u_full = self.rd.reconstruct(u)
+        for ii in sorted(marked):
+            self.reductor.enrich_local(ii, u, mu, current_solution=u_full)
+        self.rd = self.reductor.reduce()
+        for ii in range(self.block_space.K):
+            age_count[ii] = 1 if ii in marked else age_count[ii] + 1
+        return len(marked)
+
+    def solve(self, mu, enrichment_steps=np.inf, callback=None):
+        mu = self.discretization.parse_parameter(mu)
+        enrichment_step = 1
+        age_count = np.ones(self.block_space.K)
+        local_problem_solves = 0
+        rb_size = self.rd.solution_dim
+        while True:
+            u = self.rd.solve(mu)
+            eta, _, indicators = self.estimate(u, mu, decompose=True)
+            eta = float(eta)
+            if callback:
+                callback(self.rd, u, mu, {
+                    "eta": eta,
+                    "local_problem_solves": local_problem_solves,
+                    "global RB size": self.rd.solution_dim,
+                    "local RB sizes": list(map(int, self.rd.sizes))})
+            if eta <= self.target_error:
+                self.logger.info3(f"eta {eta:.3e} <= target {self.target_error:.3e}")
+                return u, self.rd, self.reductor
+            if enrichment_step > enrichment_steps:
+                self.logger.warning(
+                    f"eta {eta:.3e} > target {self.target_error:.3e}, stopping "
+                    f"after {enrichment_steps} enrichment steps")
+                return u, self.rd, self.reductor
+            enrichment_step += 1
+            local_problem_solves = self._enrich_once(u, mu, indicators, age_count)
+            self.logger.info3(
+                f"RB size {rb_size} -> {self.rd.solution_dim}")
+            rb_size = self.rd.solution_dim

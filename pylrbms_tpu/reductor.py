@@ -1,0 +1,460 @@
+"""LRBMS reductors: local reduced bases + blockwise Galerkin projection.
+
+TPU-native re-design of ``/root/reference/python/dune/pylrbms/reductor.py``
+(``LRBMSReductor(GenericRBSystemReductor)``, ``:17-78``) and the pyMOR
+machinery it consumes (SURVEY.md §2.4):
+
+* local bases live per subdomain, orthonormalized w.r.t. the local energy DG
+  product (gram_schmidt, ``reductor.py:30-31``; products passed at
+  ``scripts/linearelliptic_block_swipdg_decomp.py:46-48``);
+* ``reduce()`` projects the affine block operator/rhs blockwise
+  (A_hat_ij = V_i^T A_ij V_j, pyMOR ``GenericRBSystemReductor._reduce``) and
+  precomputes *projected estimator tensors* so the online estimate is
+  N-independent (the role of the projected Oswald/flux-reconstruction
+  operators, ``reductor.py:33-73``);
+* ``enrich_local(subdomain, U, mu)`` solves the oversampled corrector problem
+  and extends the local basis (``reductor.py:75-78``).
+
+Offline linear algebra runs in float64 numpy on host (it is small and
+latency-bound); the produced ReducedModel carries padded, batched jnp tensors
+so the online solve + localized estimate are jit-able array programs.
+
+``ParallelLRBMSReductor`` (``reductor.py:81-147``) exists in the reference for
+MPI operator summation but its reduction path is dead code (early return at
+``:125``); its role here is played by sharding the K axis (parallel/).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .model import StationaryBlockModel
+from .parameters import evaluate_coefficients
+
+
+class ExtensionError(Exception):
+    """Basis extension added nothing new (<-> pymor.core.exceptions.ExtensionError)."""
+
+
+def gram_schmidt(new: np.ndarray, existing: np.ndarray, P: np.ndarray,
+                 rtol: float = 1e-10):
+    """Orthonormalize rows of `new` [m, N] against `existing` [r, N] w.r.t.
+    the spd product P [N, N]; returns accepted rows (orthonormal)."""
+    accepted = []
+    basis = [v for v in existing]
+    for v in new:
+        v = np.asarray(v, dtype=np.float64).copy()
+        norm0 = np.sqrt(max(v @ (P @ v), 0.0))
+        if norm0 <= 0.0:
+            continue
+        for _ in range(2):   # reorthogonalization pass
+            for b in basis:
+                v -= (b @ (P @ v)) * b
+        norm = np.sqrt(max(v @ (P @ v), 0.0))
+        if norm > rtol * norm0:
+            v /= norm
+            basis.append(v)
+            accepted.append(v)
+    return np.asarray(accepted).reshape(len(accepted), new.shape[1])
+
+
+@dataclass
+class ReducedModel:
+    """Dense reduced block model + batched projected estimator.
+
+    Online layout: padded coefficients c [K, r_max]; the reduced system is a
+    dense [K*r_max, K*r_max] matrix with identity rows on padding.
+    """
+    reductor: "LRBMSReductor"
+    A_red: jnp.ndarray          # [Q, R, R] (R = K*r_max), padded
+    b_red: jnp.ndarray          # [Qf, R]
+    sizes: np.ndarray           # [K] actual local basis sizes
+    r_max: int
+    # ---- projected estimator tensors (neighborhood-padded, P = 9*r_max) ----
+    nbhd_idx: np.ndarray        # [K, 9] neighbor subdomain ids (-1 pad)
+    G_nc: jnp.ndarray           # [K, P, P]
+    AA: jnp.ndarray             # [Q, Q, K, r_max, r_max]
+    ABT: jnp.ndarray            # [Q(lam), Q(flux), K, r_max, P]
+    BBT: jnp.ndarray            # [Q, Q, K, P, P]
+    DV: jnp.ndarray             # [Qf, Q, K, P]
+    RD: jnp.ndarray             # [Q, Q, K, P, P]
+    rf_qq: jnp.ndarray          # [Qf, Qf, K]
+    min_ev: jnp.ndarray
+    diam: jnp.ndarray
+
+    # ------------------------------------------------------------------
+    @property
+    def d(self):
+        return self.reductor.d
+
+    @property
+    def solution_dim(self) -> int:
+        return int(self.sizes.sum())
+
+    def parse_parameter(self, mu):
+        return self.d.parse_parameter(mu)
+
+    @property
+    def parameter_space(self):
+        return self.d.parameter_space
+
+    def solve(self, mu):
+        """Dense reduced block solve (<-> ``rd.solve``)."""
+        mu = self.parse_parameter(mu)
+        theta = self.d.theta(mu)
+        A = jnp.einsum("q,qij->ij", theta, self.A_red)
+        b = jnp.einsum("q,qi->i", self.d.theta_f(mu), self.b_red)
+        c = jnp.linalg.solve(A, b)
+        return c.reshape(len(self.sizes), self.r_max)
+
+    def reconstruct(self, c):
+        return self.reductor.reconstruct(c)
+
+    # ------------------------------------------------------------------
+    def _gather_neighborhood(self, c):
+        """c [..., K, r_max] -> chat [..., K, 9*r_max] (zero-padded)."""
+        idx = jnp.asarray(np.where(self.nbhd_idx < 0, 0, self.nbhd_idx))
+        mask = jnp.asarray((self.nbhd_idx >= 0).astype(np.float64))
+        g = c[..., idx, :]                             # [..., K, 9, r_max]
+        g = g * mask[..., :, None]
+        return g.reshape(g.shape[:-2] + (9 * self.r_max,))
+
+    def local_quantities(self, c, mu):
+        """Reduced localized squared quantities; c [..., K, r_max] -> [..., K].
+
+        Algebraically identical to the FOM estimator applied to the
+        reconstruction (exact Galerkin projection), at N-independent cost."""
+        theta = self.d.theta(mu)
+        theta_f = self.d.theta_f(mu)
+        ch = self._gather_neighborhood(c)              # [..., K, P]
+
+        eta_nc = jnp.einsum("...kp,kpr,...kr->...k", ch, self.G_nc, ch)
+
+        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, self.rf_qq)
+        r_fd = jnp.einsum("f,q,fqkp,...kp->...k", theta_f, theta, self.DV, ch)
+        r_dd = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.RD, ch, ch)
+        scale = (1.0 / (jnp.pi ** 2) / self.min_ev) * self.diam ** 2
+        eta_r = (rf - 2.0 * r_fd + r_dd) * scale
+
+        aa = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.AA, c, c)
+        bb = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.BBT, ch, ch)
+        ab = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.ABT, c, ch)
+        eta_df = aa + bb + 2.0 * ab
+        return eta_nc, eta_r, eta_df
+
+    def estimate(self, c, mu, decompose: bool = False):
+        """Reduced estimate (same aggregation as the FOM estimator,
+        estimators.py docstring)."""
+        mu = self.parse_parameter(mu)
+        est = self.d.estimator
+        single = c.ndim == 2
+        cb = c[None] if single else c
+        eta_nc, eta_r, eta_df = self.local_quantities(cb, mu)
+        a_bar = est.alpha(mu, est.data.mu_bar)
+        g_bar = est.gamma(mu, est.data.mu_bar)
+        a_hat = est.alpha(mu, est.data.mu_hat)
+
+        def norm(v):
+            return jnp.sqrt(jnp.sum(v * v))
+
+        eta = (jnp.sqrt(g_bar) * norm(eta_nc)
+               + (1.0 / jnp.sqrt(a_hat)) * norm(eta_r + eta_df)) / jnp.sqrt(a_bar)
+        if not decompose:
+            return eta
+        nc, r, df = (jnp.moveaxis(v, 0, -1) for v in (eta_nc, eta_r, eta_df))
+        indicators = (2.0 / a_bar) * (g_bar * nc ** 2 + (1.0 / a_hat) * (r + df) ** 2)
+        return eta, (nc, r, df), indicators
+
+
+class LRBMSReductor:
+    """<-> ``reductor.LRBMSReductor`` (``reductor.py:17-78``)."""
+
+    def __init__(self, d: StationaryBlockModel, bases: Optional[List[np.ndarray]] = None,
+                 products: Optional[jnp.ndarray] = None, order: Optional[int] = None,
+                 num_cpus: int = 1, solver_options=None):
+        assert order is None or 0 <= order <= 1
+        self.d = d
+        self.solver_options = solver_options
+        K, N = d.space.K, d.space.N
+        if products is None:
+            products = d.products.get("energy_mu_bar", d.products["l2"])
+        self.products = np.asarray(products, dtype=np.float64)   # [K, N, N]
+        self.bases: List[np.ndarray] = ([np.asarray(b, dtype=np.float64).reshape(-1, N)
+                                         for b in bases] if bases is not None
+                                        else [np.zeros((0, N))] * K)
+        self.bases = list(self.bases)
+        if order is None and bases is None:
+            order = 0
+        if order is not None:
+            for ii in range(K):
+                self.extend_basis_local(ii, np.asarray(d.shape_functions(ii, order)))
+
+    # ------------------------------------------------------------------
+    def extend_basis_local(self, subdomain: int, vectors) -> int:
+        """Gram-Schmidt extend the local basis w.r.t. the local energy product
+        (``reductor.py:30-31,78``).  Raises ExtensionError if nothing new."""
+        vecs = np.atleast_2d(np.asarray(vectors, dtype=np.float64))
+        added = gram_schmidt(vecs, self.bases[subdomain], self.products[subdomain])
+        if added.shape[0] == 0:
+            raise ExtensionError(f"no new basis vectors on subdomain {subdomain}")
+        self.bases[subdomain] = np.vstack([self.bases[subdomain], added])
+        return added.shape[0]
+
+    def extend_basis(self, U) -> int:
+        """Blockwise extension with a global snapshot [.., K, N]
+        (<-> ``GenericRBSystemReductor.extend_basis``)."""
+        U = np.asarray(U, dtype=np.float64)
+        if U.ndim == 2:
+            U = U[None]
+        total = 0
+        for ii in range(self.d.space.K):
+            try:
+                total += self.extend_basis_local(ii, U[:, ii, :])
+            except ExtensionError:
+                pass
+        if total == 0:
+            raise ExtensionError("no new basis vectors on any subdomain")
+        return total
+
+    def basis_sizes(self) -> np.ndarray:
+        return np.array([b.shape[0] for b in self.bases])
+
+    def reconstruct(self, c) -> jnp.ndarray:
+        """Padded reduced coefficients [.., K, r_max] -> [.., K, N]."""
+        c = np.asarray(c)
+        K, N = self.d.space.K, self.d.space.N
+        r_max = c.shape[-1]
+        V = self._padded_bases(r_max)                      # [K, r_max, N]
+        return jnp.asarray(np.einsum("...kr,krn->...kn", c, V))
+
+    def reconstruct_local(self, c, subdomain: int):
+        c = np.asarray(c)
+        V = self.bases[subdomain]
+        r = V.shape[0]
+        return jnp.asarray(np.einsum("...r,rn->...n", c[..., subdomain, :r], V))
+
+    def _padded_bases(self, r_max: int) -> np.ndarray:
+        K, N = self.d.space.K, self.d.space.N
+        V = np.zeros((K, r_max, N))
+        for ii, b in enumerate(self.bases):
+            V[ii, :b.shape[0]] = b
+        return V
+
+    # ------------------------------------------------------------------
+    def enrich_local(self, subdomain: int, U=None, mu=None, mode: str = "residual",
+                     current_solution=None):
+        """Corrector solve + local extension (``reductor.py:75-78``).
+
+        ``U`` is the current *reduced* solution (padded coefficients); in
+        residual mode it is reconstructed to drive the residual corrector
+        (<-> ``reconstruct_local`` per neighborhood member, ``reductor.py:76``).
+        Pass ``current_solution`` ([K, N]) directly when the bases may have
+        grown since ``U`` was computed (mid-enrichment-round).
+        Returns the number of added vectors (0 if extension failed)."""
+        current = current_solution
+        if current is None and U is not None and mode == "residual":
+            current = self.reconstruct(U)
+        w = self.d.solve_for_local_correction(subdomain, None, mu,
+                                              inverse_options=self.solver_options,
+                                              current_solution=current, mode=mode)
+        try:
+            return self.extend_basis_local(subdomain, np.asarray(w))
+        except ExtensionError:
+            return 0
+
+    # ------------------------------------------------------------------
+    def reduce(self) -> ReducedModel:
+        d = self.d
+        sp = d.space
+        K, N, Nrt = sp.K, sp.N, sp.N_rt
+        sizes = self.basis_sizes()
+        r_max = int(max(1, sizes.max()))
+        V = self._padded_bases(r_max)                      # [K, r_max, N]
+        ed = d.estimator.data
+        Q = len(ed.lambda_funcs)
+        Qf = len(d.f_coeffs)
+
+        # ---- reduced affine operator (diag + couplings) ----
+        A_diag = np.asarray(d.op.A_diag)                   # [Q, K, N, N]
+        R = K * r_max
+        A_red = np.zeros((Q, R, R))
+        for q in range(Q):
+            diag = np.einsum("kan,knm,kbm->kab", V, A_diag[q], V)
+            for k in range(K):
+                A_red[q, k * r_max:(k + 1) * r_max, k * r_max:(k + 1) * r_max] = diag[k]
+        st = d.op.static
+        side_rows = st.side_rows
+
+        def couple(A_red, C, k_out, k_in, side_out, side_in):
+            C = np.asarray(C)                              # [Q, E, s, nb, nb]
+            ro = side_rows[side_out].reshape(-1)
+            ri = side_rows[side_in].reshape(-1)
+            for e, (ko, ki) in enumerate(zip(k_out, k_in)):
+                Vo = V[ko][:, ro].reshape(r_max, st.s, st.nb)
+                Vi = V[ki][:, ri].reshape(r_max, st.s, st.nb)
+                blk = np.einsum("afi,qfij,bfj->qab", Vo, C[:, e], Vi)
+                A_red[:, ko * r_max:(ko + 1) * r_max,
+                      ki * r_max:(ki + 1) * r_max] += blk
+            return A_red
+
+        A_red = couple(A_red, d.op.C_R_io, st.left_k, st.right_k, "right", "left")
+        A_red = couple(A_red, d.op.C_R_oi, st.right_k, st.left_k, "left", "right")
+        A_red = couple(A_red, d.op.C_U_io, st.low_k, st.up_k, "top", "bottom")
+        A_red = couple(A_red, d.op.C_U_oi, st.up_k, st.low_k, "bottom", "top")
+
+        # identity on padded rows keeps the dense solve well-posed
+        pad_mask = np.ones(R, dtype=bool)
+        for k in range(K):
+            pad_mask[k * r_max:k * r_max + sizes[k]] = False
+        A_red[:, pad_mask, :] = 0.0
+        A_red[:, :, pad_mask] = 0.0
+        A_red[0, pad_mask, pad_mask] = 1.0
+
+        b_red = np.einsum("qkn,krn->qkr", np.asarray(d.rhs_q), V).reshape(Qf, R)
+        b_red[:, pad_mask] = 0.0
+
+        # ---- projected estimator tensors ----
+        # stack all basis vectors as global block vectors, apply Oswald/flux once
+        B_all = np.zeros((K * r_max, K, N))
+        for k in range(K):
+            B_all[k * r_max:k * r_max + sizes[k], k] = self.bases[k]
+        B_all_j = jnp.asarray(B_all)
+        W_all = np.asarray(ed.oswald.apply(B_all_j))       # [K*r_max, K, N]
+        T_all = np.stack([np.asarray(ed.flux.apply(lf, B_all_j))
+                          for lf in ed.lambda_funcs])      # [Q, K*r_max, K, Nrt]
+
+        nbhd_idx = -np.ones((K, 9), dtype=np.int64)
+        for k in range(K):
+            nb_list = d.grid.neighborhood_of(k)
+            nbhd_idx[k, :len(nb_list)] = nb_list
+
+        P = 9 * r_max
+        E_bar = np.asarray(ed.E_bar)
+        BB = np.asarray(ed.BB)
+        M_aa = np.asarray(ed.M_aa)
+        M_ab = np.asarray(ed.M_ab)
+        d_vec = np.asarray(ed.d_vec)
+        R_dd = np.asarray(ed.R_dd)
+
+        G_nc = np.zeros((K, P, P))
+        BBT = np.zeros((Q, Q, K, P, P))
+        RD = np.zeros((Q, Q, K, P, P))
+        ABT = np.zeros((Q, Q, K, r_max, P))
+        DV = np.zeros((Qf, Q, K, P))
+        AA = np.einsum("prknm,kan,kbm->prkab", M_aa, V, V)
+        for k in range(K):
+            rows = []
+            for j in range(9):
+                ss = nbhd_idx[k, j]
+                if ss < 0:
+                    rows.extend([-1] * r_max)
+                else:
+                    rows.extend(range(ss * r_max, ss * r_max + r_max))
+            rows = np.asarray(rows)
+            valid = rows >= 0
+            rr = np.where(valid, rows, 0)
+            Wk = W_all[rr][:, k, :] * valid[:, None]       # [P, N]
+            G_nc[k] = Wk @ E_bar[k] @ Wk.T
+            Tk = T_all[:, rr, k, :] * valid[None, :, None]  # [Q, P, Nrt]
+            BBT[:, :, k] = np.einsum("pur,rs,qvs->pquv", Tk, BB[k], Tk)
+            RD[:, :, k] = np.einsum("pur,rs,qvs->pquv", Tk, R_dd[k], Tk)
+            ABT[:, :, k] = np.einsum("an,pnr,qur->pqau",
+                                     V[k], M_ab[:, k], Tk)
+            DV[:, :, k] = np.einsum("fr,qur->fqu", d_vec[:, k], Tk)
+
+        return ReducedModel(
+            reductor=self,
+            A_red=jnp.asarray(A_red), b_red=jnp.asarray(b_red),
+            sizes=sizes, r_max=r_max, nbhd_idx=nbhd_idx,
+            G_nc=jnp.asarray(G_nc), AA=jnp.asarray(AA), ABT=jnp.asarray(ABT),
+            BBT=jnp.asarray(BBT), DV=jnp.asarray(DV), RD=jnp.asarray(RD),
+            rf_qq=ed.rf_qq, min_ev=ed.min_ev, diam=ed.diam)
+
+
+class ParallelLRBMSReductor(LRBMSReductor):
+    """Interface-parity alias (<-> ``reductor.ParallelLRBMSReductor``,
+    ``reductor.py:81-147``): in the reference this adds MPI Allreduce of
+    reduced operators, but its `_reduce` returns before summing (dead code).
+    Here distribution is handled by sharding the K axis; nothing extra to do.
+    """
+
+
+class ParabolicLRBMSReductor(LRBMSReductor):
+    """<-> ``reductor.ParabolicLRBMSReductor`` (``reductor.py:149-180``, a
+    ``pass`` stub in the reference).  The elliptic machinery suffices; the
+    reduced mass matrix is the blockwise projection of L2 (computed by
+    ``reduce_parabolic``)."""
+
+    def reduce(self) -> "ReducedParabolicModel":
+        rd = super().reduce()
+        d = self.d
+        sizes, r_max = rd.sizes, rd.r_max
+        K = d.space.K
+        V = self._padded_bases(r_max)
+        L2 = np.asarray(d.products["l2"])
+        R = K * r_max
+        M_red = np.zeros((R, R))
+        diag = np.einsum("kan,knm,kbm->kab", V, L2, V)
+        for k in range(K):
+            M_red[k * r_max:(k + 1) * r_max, k * r_max:(k + 1) * r_max] = diag[k]
+        return ReducedParabolicModel(rd, jnp.asarray(M_red))
+
+
+@dataclass
+class ReducedParabolicModel:
+    """Implicit Euler on the reduced system + parabolic reduced estimate."""
+    elliptic: ReducedModel
+    M_red: jnp.ndarray
+
+    def __getattr__(self, name):
+        return getattr(self.elliptic, name)
+
+    def solve(self, mu, T: float = None, nt: int = None):
+        rd = self.elliptic
+        d = rd.d
+        im = self._instationary
+        T = T if T is not None else im.T
+        nt = nt if nt is not None else im.nt
+        mu = d.parse_parameter(mu)
+        dt = T / nt
+        theta = d.theta(mu)
+        A = jnp.einsum("q,qij->ij", theta, rd.A_red)
+        G = self.M_red + dt * A
+        # keep padding rows solvable
+        lu, piv = jax.scipy.linalg.lu_factor(G + jnp.diag(
+            jnp.where(jnp.diag(G) == 0, 1.0, 0.0)))
+        b_red = rd.b_red
+        f_coeffs = d.f_coeffs
+
+        def theta_f_at(t):
+            mu_t = dict(mu)
+            mu_t["_t"] = t
+            return evaluate_coefficients(f_coeffs, mu_t)
+
+        K, r_max = len(rd.sizes), rd.r_max
+
+        def step(c, n):
+            f = jnp.einsum("q,qi->i", theta_f_at((n + 1.0) * dt), b_red)
+            rhs = self.M_red @ c + dt * f
+            c_next = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            return c_next, c_next
+
+        c0 = jnp.zeros((K * r_max,))
+        _, traj = jax.lax.scan(step, c0, jnp.arange(nt))
+        traj = jnp.concatenate([c0[None], traj], axis=0)
+        return traj.reshape(nt + 1, K, r_max)
+
+    def attach_instationary(self, im):
+        self._instationary = im
+        return self
+
+    def estimate(self, c, mu, decompose: bool = False):
+        """Parabolic reduced estimate via reconstruction (exact; the fully
+        projected parabolic path is a later optimization)."""
+        im = self._instationary
+        U = self.elliptic.reconstruct(c)
+        return im.estimate(U, mu, decompose=decompose)
