@@ -1,0 +1,332 @@
+"""Experimental-order-of-convergence studies with table rendering.
+
+<-> ``/root/reference/python/dune/pylrbms/EOC.py`` (505 LoC): per level solve,
+compare against a higher-order (p=2) monolithic reference solution on the
+finest grid via nested prolongation, print norms / estimator indicators /
+estimates with EOC columns and estimator efficiencies
+(``EOC.py:51-218`` harness, ``:221-323`` stationary, ``:326-505`` instationary).
+
+The table rendering here is our own (plain column formatting), the measured
+quantities mirror the reference:
+
+* accuracies: h (max element diameter), H (max subdomain diameter), dt
+* norms: L2 and elliptic_mu_bar against the prolonged reference solution
+* indicators: ||eta_nc||, ||eta_r||, ||eta_df|| (+ R_T, partial_t_nc in time)
+* estimate: eta with efficiency = norm / estimate
+"""
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from .discretize_elliptic_swipdg import discretize as discretize_elliptic_swipdg
+from .discretize_parabolic_swipdg import discretize as discretize_parabolic_swipdg
+from .ops.prolong import prolong
+
+
+def default_refine(cfg: dict) -> dict:
+    """Halve h by one extra refinement level (our refinement semantics; the
+    reference mutates config keys its own grid factory ignores —
+    ``scripts/OS2015_convergence_study.py:9-13`` — which we do not replicate)."""
+    out = dict(cfg)
+    out["num_refinements"] = cfg.get("num_refinements", 2) + 1
+    return out
+
+
+class EocStudy:
+    level_info_title = "level"
+    accuracies: Sequence[str] = ()
+    norms: Sequence[str] = ()
+    indicators: Sequence[str] = ()
+    estimates: Sequence = ()
+    max_levels = 2
+
+    # --- per-level hooks -------------------------------------------------
+    def solve(self, level):
+        raise NotImplementedError
+
+    def level_info(self, level):
+        raise NotImplementedError
+
+    def accuracy(self, level, aid):
+        raise NotImplementedError
+
+    def compute_norm(self, level, nid):
+        raise NotImplementedError
+
+    def compute_indicator(self, level, iid):
+        raise NotImplementedError
+
+    def compute_estimate(self, level, eid):
+        raise NotImplementedError
+
+    # --- driver ----------------------------------------------------------
+    def run(self, only_these: Optional[Sequence[str]] = None):
+        acc = [a for a in self.accuracies if not only_these or a in only_these]
+        norms = [n for n in self.norms if not only_these or n in only_these]
+        inds = [i for i in self.indicators if not only_these or i in only_these]
+        ests = [e for e in self.estimates if not only_these or e[0] in only_these]
+        self.data: Dict[int, dict] = getattr(self, "data", {}) or {}
+
+        headers = [self.level_info_title] + [f"{a}" for a in acc]
+        for n in norms + inds:
+            headers += [n] + [f"EOC({a})" if len(acc) > 1 else "EOC" for a in acc]
+        for eid, _ in ests:
+            headers += [f"{eid} eff."] + [f"EOC({a})" if len(acc) > 1 else "EOC" for a in acc]
+        widths = [max(12, len(h) + 1) for h in headers]
+        print("  ".join(h.rjust(w) for h, w in zip(headers, widths)))
+        print("  ".join("-" * w for w in widths))
+
+        prev: Dict[str, float] = {}
+        prev_acc: Dict[str, float] = {}
+        for level in range(self.max_levels + 1):
+            self.data.setdefault(level, {})
+            self.solve(level)
+            row = [str(self.level_info(level))]
+            accs = {a: float(self.accuracy(level, a)) for a in acc}
+            row += [f"{accs[a]:.2e}" for a in acc]
+
+            def eoc(key, value):
+                cells = []
+                for a in acc:
+                    if level == 0 or prev.get(key) in (None, 0.0):
+                        cells.append("----")
+                    else:
+                        num = math.log(value / prev[key])
+                        den = math.log(accs[a] / prev_acc[a])
+                        cells.append(f"{num / den:.2f}" if den != 0 else "inf")
+                return cells
+
+            new_prev = {}
+            for n in norms:
+                v = float(self.compute_norm(level, n))
+                self.data[level].setdefault("norm", {})[n] = v
+                row += [f"{v:.2e}"] + eoc(n, v)
+                new_prev[n] = v
+            for i in inds:
+                v = float(self.compute_indicator(level, i))
+                self.data[level].setdefault("indicator", {})[i] = v
+                row += [f"{v:.2e}"] + eoc(i, v)
+                new_prev[i] = v
+            for eid, nid in ests:
+                v = float(self.compute_estimate(level, eid))
+                nv = float(self.compute_norm(level, nid))
+                self.data[level].setdefault("estimate", {})[eid] = v
+                row += [f"{nv / v:.2f}"] + eoc(eid, v)
+                new_prev[eid] = v
+            prev = new_prev
+            prev_acc = accs
+            print("  ".join(c.rjust(w) for c, w in zip(row, widths)))
+        return self.data
+
+
+class StationaryEocStudy(EocStudy):
+    """<-> ``EOC.py:221-323``."""
+
+    level_info_title = "|grid|/|Grid|"
+    accuracies = ("h", "H")
+    norms = ("L2", "elliptic_mu_bar")
+    indicators = ("eta_nc", "eta_r", "eta_df")
+    estimates = (("eta", "elliptic_mu_bar"),)
+    max_levels = 2
+
+    def __init__(self, gp_initializer: Callable, disc: Callable, base_cfg: dict,
+                 refine: Callable = default_refine, mu=1, p_ref: int = 2,
+                 max_levels: int = 2):
+        self.max_levels = max_levels
+        self.data = {}
+        self._gpd, self._d, self._data, self._U, self._U_ref, self._cfg, self._cache = \
+            {}, {}, {}, {}, {}, {}, {}
+        self._init = gp_initializer
+        self._disc = disc
+        self.mu = mu
+        self.p_ref = p_ref
+        self._cfg[0] = dict(base_cfg)
+        for lvl in range(1, self.max_levels + 1):
+            self._cfg[lvl] = refine(self._cfg[lvl - 1])
+        self._cfg[-1] = dict(self._cfg[self.max_levels])
+
+    def solve(self, level):
+        if level in self._U:
+            return
+        self._gpd[level] = self._init(self._cfg[level])
+        self._d[level], self._data[level] = self._disc(self._gpd[level])
+        mu = self._d[level].parse_parameter(self.mu)
+        self._U[level] = self._d[level].solve(mu)
+
+    def level_info(self, level):
+        g = self._gpd[level]["grid"]
+        return f"{g.num_elements}/{g.num_subdomains}"
+
+    def accuracy(self, level, aid):
+        g = self._gpd[level]["grid"]
+        if aid == "h":
+            return g.max_entity_diameter()
+        if aid == "H":
+            return g.subdomain_diameter()
+        raise KeyError(aid)
+
+    def _reference(self):
+        if -1 in self._U:
+            return
+        self._gpd[-1] = self._init(self._cfg[-1])
+        self._d[-1], self._data[-1] = discretize_elliptic_swipdg(self._gpd[-1], self.p_ref)
+        self._U[-1] = self._d[-1].solve(self._d[-1].parse_parameter(self.mu))
+
+    def _prolonged(self, level):
+        if level in self._U_ref:
+            return self._U_ref[level]
+        self._reference()
+        U = self._U[level]
+        if "reductor" in self._data[level]:
+            U = self._data[level]["reductor"].reconstruct(U)
+        src_space = self._data[level].get("block_space") or self._data[level]["space"]
+        self._U_ref[level] = prolong(src_space, U, self._d[-1].space)
+        return self._U_ref[level]
+
+    def compute_norm(self, level, nid):
+        self._reference()
+        diff = self._U[-1] - self._prolonged(level)
+        P = self._d[-1].products["l2" if nid == "L2" else "elliptic_mu_bar"]
+        return float(jnp.sqrt(jnp.einsum("kn,knm,km->", diff, P, diff)))
+
+    def _estimates(self, level):
+        if level not in self._cache:
+            mu = self._d[level].parse_parameter(self.mu)
+            eta, (nc, r, df), _ = self._d[level].estimate(self._U[level], mu,
+                                                          decompose=True)
+            self._cache[level] = {
+                "eta_nc": float(jnp.linalg.norm(nc)),
+                "eta_r": float(jnp.linalg.norm(r)),
+                "eta_df": float(jnp.linalg.norm(df)),
+                "eta": float(eta)}
+        return self._cache[level]
+
+    def compute_indicator(self, level, iid):
+        return self._estimates(level)[iid]
+
+    def compute_estimate(self, level, eid):
+        return self._estimates(level)[eid]
+
+
+class InstationaryEocStudy(EocStudy):
+    """<-> ``EOC.py:326-505``: adds dt accuracy, L_oo/L2-in-time x
+    L2/elliptic-in-space norms (P1-in-time quadrature) and the parabolic
+    indicator set."""
+
+    level_info_title = "|grid|/|Grid|/nt"
+    accuracies = ("h", "H", "dt")
+    norms = tuple(f"{t} - {s}" for t, s in
+                  itertools.product(["L_oo", "L2"], ["L2", "elliptic_mu_bar"]))
+    indicators = ("eta_nc", "eta_r", "eta_df", "R_T", "partial_t_nc")
+    estimates = (("eta", "L2 - elliptic_mu_bar"),)
+    max_levels = 2
+
+    def __init__(self, gp_initializer, disc, base_cfg, refine, reference_cfg,
+                 mu=1, p_ref: int = 2, max_levels: int = 2):
+        self.max_levels = max_levels
+        self.data = {}
+        self._gpd, self._d, self._data, self._U, self._U_ref, self._cfg, self._cache = \
+            {}, {}, {}, {}, {}, {}, {}
+        self._init = gp_initializer
+        self._disc = disc
+        self.mu = mu
+        self.p_ref = p_ref
+        self._cfg[0] = dict(base_cfg)
+        for lvl in range(1, self.max_levels + 1):
+            self._cfg[lvl] = refine(self._cfg[lvl - 1])
+        self._cfg[-1] = dict(reference_cfg)
+        self._T = float(base_cfg["T"])
+
+    def solve(self, level):
+        if level in self._U:
+            return
+        self._gpd[level] = self._init(self._cfg[level])
+        dt = self._cfg[level]["dt"]
+        nt = int(self._T / dt)
+        self._d[level], self._data[level] = self._disc(self._gpd[level], self._T, nt)
+        self._U[level] = self._d[level].solve(self._d[level].parse_parameter(self.mu))
+
+    def level_info(self, level):
+        g = self._gpd[level]["grid"]
+        return f"{g.num_elements}/{g.num_subdomains}/{self._U[level].shape[0] - 1}"
+
+    def accuracy(self, level, aid):
+        g = self._gpd[level]["grid"]
+        if aid == "h":
+            return g.max_entity_diameter()
+        if aid == "H":
+            return g.subdomain_diameter()
+        if aid == "dt":
+            return self._cfg[level]["dt"]
+        raise KeyError(aid)
+
+    def _reference(self):
+        if -1 in self._U:
+            return
+        self._gpd[-1] = self._init(self._cfg[-1])
+        dt = self._cfg[-1]["dt"]
+        self._d[-1], self._data[-1] = discretize_parabolic_swipdg(
+            self._gpd[-1], self._T, int(self._T / dt), self.p_ref)
+        self._U[-1] = self._d[-1].solve(self._d[-1].parse_parameter(self.mu))
+
+    def _prolonged(self, level):
+        """Prolong in space, then P1-interpolate in time onto the reference
+        time grid (``EOC.py:455-491``)."""
+        if level in self._U_ref:
+            return self._U_ref[level]
+        self._reference()
+        src_space = self._data[level].get("block_space") or self._data[level]["space"]
+        U = prolong(src_space, self._U[level], self._d[-1].stationary.space)
+        nt_c = U.shape[0] - 1
+        nt_f = self._U[-1].shape[0] - 1
+        tf = np.linspace(0.0, self._T, nt_f + 1)
+        tc = np.linspace(0.0, self._T, nt_c + 1)
+        idx = np.clip(np.searchsorted(tc, tf, side="right") - 1, 0, nt_c - 1)
+        w = (tf - tc[idx]) / (tc[idx + 1] - tc[idx])
+        Uf = (U[idx] * (1 - w)[:, None, None] + U[idx + 1] * w[:, None, None])
+        self._U_ref[level] = Uf
+        return Uf
+
+    def compute_norm(self, level, nid):
+        self._reference()
+        diff = self._U[-1] - self._prolonged(level)
+        t_id, s_id = (p.strip() for p in nid.split("-"))
+        P = self._d[-1].products["l2" if s_id == "L2" else "elliptic_mu_bar"]
+        sq = jnp.einsum("bkn,knm,bkm->b", diff, P, diff)
+        if t_id == "L_oo":
+            return float(jnp.sqrt(jnp.max(sq)))
+        # L2 in time with P1-in-time quadrature: trapezoid-exact for the
+        # piecewise-linear interpolant: int ~ dt/3 (a^2 + a.b + b^2) per step
+        # evaluated on the norm-squared values via 2-pt Gauss on each interval
+        nt = sq.shape[0] - 1
+        dt = self._T / nt
+        g = 0.5 / math.sqrt(3.0)
+        acc = 0.0
+        for pt in (0.5 - g, 0.5 + g):
+            vals = (1 - pt) * jnp.sqrt(sq[:-1]) + pt * jnp.sqrt(sq[1:])
+            acc = acc + 0.5 * jnp.sum(vals ** 2) * dt
+        return float(jnp.sqrt(acc))
+
+    def _estimates(self, level):
+        if level not in self._cache:
+            mu = self._d[level].parse_parameter(self.mu)
+            est, (nc, r, df, rt, tdnc) = self._d[level].estimate(self._U[level], mu)
+            self._cache[level] = {
+                "eta_nc": float(jnp.linalg.norm(nc)),
+                "eta_r": float(jnp.linalg.norm(r)),
+                "eta_df": float(jnp.linalg.norm(df)),
+                "R_T": float(jnp.linalg.norm(rt)),
+                "partial_t_nc": float(jnp.linalg.norm(tdnc)),
+                "eta": float(est)}
+        return self._cache[level]
+
+    def compute_indicator(self, level, iid):
+        return self._estimates(level)[iid]
+
+    def compute_estimate(self, level, eid):
+        return self._estimates(level)[eid]

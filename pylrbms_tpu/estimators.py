@@ -165,6 +165,14 @@ class ParabolicEstimator(EllipticEstimator):
     def estimate(self, U, mu, d=None, decompose: bool = False):
         assert d is not None, "parabolic estimate needs the model (operator/mass)"
         data = self.data
+        # time-dependent rhs coefficients ('_t', artificial_channels_problem.py:97)
+        # are frozen at t=0 for the elliptic residual parts, mirroring the
+        # reference's mu['_t'] = 0 convention in the instationary solve
+        # (discretize_parabolic_block_swipdg.py:34); its own estimator path is
+        # unrunnable as committed (estimators.py:64 'assert False' +
+        # local_eta_rf_squared=None for multi-component f).
+        mu = dict(mu)
+        mu.setdefault("_t", 0.0)
         dt = d.T / d.nt
 
         eta, (nc, r, df), elliptic_indicators = super().estimate(U, mu, decompose=True)

@@ -111,10 +111,14 @@ class AssembledBlockOp:
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         """x [K, N] (or [..., K, N]) -> A x."""
+        from ..ops.pallas_kernels import block_matvec, use_pallas_matvec
         st = self.static
         single = x.ndim == 2
         xb = x[None] if single else x.reshape((-1,) + x.shape[-2:])
-        y = jnp.einsum("kij,bkj->bki", self.A_diag, xb)
+        if single and use_pallas_matvec(self.A_diag, x):
+            y = block_matvec(self.A_diag, x)[None]
+        else:
+            y = jnp.einsum("kij,bkj->bki", self.A_diag, xb)
 
         def couple(y, C, rows_out, rows_in, k_out, k_in):
             if k_out.size == 0:
@@ -164,19 +168,20 @@ class AssembledBlockOp:
         return x
 
     def block_jacobi_factors(self):
-        """Batched Cholesky of the diagonal blocks: [K, N, N] lower factors."""
-        return jnp.linalg.cholesky(self.A_diag)
+        """Explicit inverses of the diagonal blocks [K, N, N].
+
+        On TPU a batched dense inverse applied as a matmul keeps the
+        preconditioner on the MXU; sequential triangular solves would
+        serialize (SURVEY.md §7 hard part 5)."""
+        return jnp.linalg.inv(self.A_diag)
 
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
                   factors=None) -> jnp.ndarray:
         """Block-Jacobi preconditioned CG (symmetric SWIPDG)."""
-        L = factors if factors is not None else self.block_jacobi_factors()
+        Ainv = factors if factors is not None else self.block_jacobi_factors()
 
         def M(r):
-            y = jax.scipy.linalg.solve_triangular(L, r[..., None], lower=True)
-            z = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(L, -1, -2), y, lower=False)
-            return z[..., 0]
+            return jnp.einsum("knm,km->kn", Ainv, r)
 
         def dot(u, v):
             return jnp.vdot(u, v)
@@ -219,6 +224,34 @@ class AssembledBlockOp:
             return self.solve_dense(b)
         return self.solve_pcg(b, tol=options.get("precision", 1e-12),
                               maxiter=options.get("max_iter", 2000))
+
+
+def to_scipy_csr(op: AssembledBlockOp):
+    """Export the assembled block operator as a scipy CSR matrix without
+    materializing the dense global matrix (for CPU baselines / oracles)."""
+    import scipy.sparse as sp
+    st = op.static
+    K, N, s, nb = st.K, st.N, st.s, st.nb
+    blocks = [[None] * K for _ in range(K)]
+    A_diag = np.asarray(op.A_diag)
+    for k in range(K):
+        blocks[k][k] = sp.csr_matrix(A_diag[k])
+
+    def place(C, k_r, k_c, rows, cols):
+        C = np.asarray(C)
+        for e, (kr, kc) in enumerate(zip(k_r, k_c)):
+            M = np.zeros((N, N))
+            for f in range(s):
+                M[np.ix_(rows[f], cols[f])] += C[e, f]
+            B = sp.csr_matrix(M)
+            blocks[kr][kc] = B if blocks[kr][kc] is None else blocks[kr][kc] + B
+
+    sr = st.side_rows
+    place(op.C_R_io, st.left_k, st.right_k, sr["right"], sr["left"])
+    place(op.C_R_oi, st.right_k, st.left_k, sr["left"], sr["right"])
+    place(op.C_U_io, st.low_k, st.up_k, sr["top"], sr["bottom"])
+    place(op.C_U_oi, st.up_k, st.low_k, sr["bottom"], sr["top"])
+    return sp.bmat(blocks, format="csr")
 
 
 def unblock(x: jnp.ndarray) -> jnp.ndarray:

@@ -81,8 +81,9 @@ class StationaryBlockModel:
     def l2_solve(self, V):
         """Apply the inverse of the (block-diagonal) L2 product."""
         L = jnp.linalg.cholesky(self.products["l2"])
-        y = jax.scipy.linalg.solve_triangular(L, V[..., None], lower=True)
-        z = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+        Lb = jnp.broadcast_to(L, V.shape[:-2] + L.shape)
+        y = jax.scipy.linalg.solve_triangular(Lb, V[..., None], lower=True)
+        z = jax.scipy.linalg.solve_triangular(jnp.swapaxes(Lb, -1, -2), y, lower=False)
         return z[..., 0]
 
     @property

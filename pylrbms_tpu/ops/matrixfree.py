@@ -1,0 +1,226 @@
+"""Matrix-free (stencil) SWIPDG operator: elementwise blocks, fused apply.
+
+The dense per-subdomain blocks ``A_diag [K, N, N]`` stream O(K N^2) bytes per
+matvec — fine for the reference-scale configs, but the HBM-bandwidth wall at
+SPE10 scale (SURVEY.md §7 hard part 6).  The SWIPDG operator is local: its
+action is fully described by per-cell volume blocks and per-face block
+quadruples, O(K s^2 nb^2) bytes — at s=16 this is ~75x less traffic than the
+dense blocks, with the apply a handful of fused batched einsums + shifts
+(no gathers: the mesh is structured).
+
+Layout (x as [K, s, s, T, nb]):
+  vol   [K, s, s, T, nb, nb]         y[c,t]   += V x[c,t]
+  D     4 x [K, s, s, nb, nb]        A<->B within each cell
+  Vint  4 x [K, s, s-1, nb, nb]      cell (cy,cx,A) <-> (cy,cx+1,B)
+  Hint  4 x [K, s-1, s, nb, nb]      cell (cy,cx,B) <-> (cy+1,cx,A)
+  interface quadruples + Dirichlet side blocks reuse SwipdgComponent's strips.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .spaces import BlockDGSpace
+from . import assembly as asm
+from .assembly import IPDGParams, DEFAULT_IPDG
+from .swipdg import _interior_face_sets, edge_lists
+
+
+@dataclass
+class SwipdgStencil:
+    """One affine component in stencil form."""
+    vol: jnp.ndarray                      # [K, s, s, T, nb, nb]
+    D: Tuple[jnp.ndarray, ...]            # 4 x [K, s, s, nb, nb]
+    V: Tuple[jnp.ndarray, ...]            # 4 x [K, s, s-1, nb, nb]
+    H: Tuple[jnp.ndarray, ...]            # 4 x [K, s-1, s, nb, nb]
+    # subdomain interfaces / boundary (shared layout with SwipdgComponent)
+    R: Tuple[jnp.ndarray, ...]            # 4 x [E_R, s, nb, nb]
+    U: Tuple[jnp.ndarray, ...]            # 4 x [E_U, s, nb, nb]
+    D_side: Dict[str, jnp.ndarray]        # side -> [K, s, nb, nb]
+
+
+def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
+                            ipdg: IPDGParams = DEFAULT_IPDG,
+                            dtype=jnp.float64) -> SwipdgStencil:
+    s, nb, K, T = space.s, space.nb, space.K, space.T
+    origins = space.subdomain_origins
+
+    # volume blocks (same integrand as assembly.volume_elliptic, pre-scatter)
+    xq = jnp.asarray(asm._vol_points(space), dtype)
+    lam = lam_fn(xq).astype(dtype)
+    dphi = jnp.asarray(space.vol_dphi, dtype)
+    w = jnp.asarray(space.vol_w, dtype)
+    area = space.hx * space.hy
+    if kappa_fn is None:
+        vol = area * jnp.einsum("tq,kyxtq,tqia,tqja->kyxtij", w, lam, dphi, dphi)
+    else:
+        kap = kappa_fn(xq).astype(dtype)
+        vol = area * jnp.einsum("tq,kyxtq,tqia,kyxtqab,tqjb->kyxtij",
+                                w, lam, dphi, kap, dphi)
+
+    def faces(fam, cy_m, cx_m, shape):
+        tab = space.face_tabs[fam]
+        _, x_m, x_p = asm._face_phys_points(space, tab, cy_m, cx_m, origins)
+        blocks = asm.inner_face_blocks(space, tab, lam_fn, kappa_fn,
+                                       x_m, x_p, space.order, ipdg, dtype)
+        return tuple(b.reshape((K,) + shape + (nb, nb)) for b in blocks)
+
+    sets = _interior_face_sets(space)
+    Dq = faces("D", sets["D"][0], sets["D"][1], (s, s))
+    Vq = faces("V", sets["V"][0], sets["V"][1], (s, s - 1)) if s > 1 else \
+        tuple(jnp.zeros((K, s, 0, nb, nb), dtype) for _ in range(4))
+    Hq = faces("H", sets["H"][0], sets["H"][1], (s - 1, s)) if s > 1 else \
+        tuple(jnp.zeros((K, 0, s, nb, nb), dtype) for _ in range(4))
+
+    # reuse the component machinery for interface / boundary strips
+    from .swipdg import assemble_swipdg_component
+    comp = None  # avoid re-assembling everything: build strips directly
+    grid = space.grid
+    org = origins.reshape(grid.ky, grid.kx, 2)
+    r = np.arange(s)
+
+    def interface(fam, left_org, cy_m, cx_m):
+        tab = space.face_tabs[fam]
+        _, x_m, x_p = asm._face_phys_points(space, tab, cy_m, cx_m, left_org)
+        return asm.inner_face_blocks(space, tab, lam_fn, kappa_fn, x_m, x_p,
+                                     space.order, ipdg, dtype)
+
+    if grid.kx > 1:
+        Rq = interface("V", org[:, :-1].reshape(-1, 2), r, np.full(s, s - 1))
+    else:
+        Rq = tuple(jnp.zeros((0, s, nb, nb), dtype) for _ in range(4))
+    if grid.ky > 1:
+        Uq = interface("H", org[:-1, :].reshape(-1, 2), np.full(s, s - 1), r)
+    else:
+        Uq = tuple(jnp.zeros((0, s, nb, nb), dtype) for _ in range(4))
+
+    D_side = {}
+    for side in ("left", "right", "bottom", "top"):
+        tab = space.face_tabs["bnd_" + side]
+        cy, cx, _t = space.side_cells(side)
+        _, x_m, _ = asm._face_phys_points(space, tab, cy, cx, origins)
+        D_side[side] = asm.boundary_face_blocks(space, tab, lam_fn, kappa_fn,
+                                                x_m, space.order, ipdg, dtype)
+    return SwipdgStencil(vol=vol, D=Dq, V=Vq, H=Hq, R=Rq, U=Uq, D_side=D_side)
+
+
+@dataclass
+class StencilOperator:
+    """Affine family of stencils with a fused matrix-free apply."""
+    space: BlockDGSpace
+    stencils: Tuple[SwipdgStencil, ...]
+
+    def assemble(self, theta) -> "AssembledStencil":
+        theta = jnp.asarray(theta)
+
+        def mix(getter):
+            parts = [getter(st) for st in self.stencils]
+            return sum(t * p for t, p in zip(theta, parts))
+
+        st0 = self.stencils[0]
+        return AssembledStencil(
+            space=self.space,
+            vol=mix(lambda s: s.vol),
+            D=tuple(mix(lambda s, i=i: s.D[i]) for i in range(4)),
+            V=tuple(mix(lambda s, i=i: s.V[i]) for i in range(4)),
+            H=tuple(mix(lambda s, i=i: s.H[i]) for i in range(4)),
+            R=tuple(mix(lambda s, i=i: s.R[i]) for i in range(4)),
+            U=tuple(mix(lambda s, i=i: s.U[i]) for i in range(4)),
+            D_side={k: mix(lambda s, k=k: s.D_side[k]) for k in st0.D_side},
+        )
+
+
+@dataclass
+class AssembledStencil:
+    space: BlockDGSpace
+    vol: jnp.ndarray
+    D: tuple
+    V: tuple
+    H: tuple
+    R: tuple
+    U: tuple
+    D_side: dict
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x [..., K, N] -> A x, matrix-free."""
+        sp = self.space
+        grid = sp.grid
+        K, s, T, nb = sp.K, sp.s, sp.T, sp.nb
+        lead = x.shape[:-2]
+        xc = x.reshape(lead + (K, s, s, T, nb))
+        xA, xB = xc[..., 0, :], xc[..., 1, :]        # [..., K, s, s, nb]
+
+        e = "kyxij,...kyxj->...kyxi"
+        yA = jnp.einsum(e, self.vol[:, :, :, 0], xA)
+        yB = jnp.einsum(e, self.vol[:, :, :, 1], xB)
+
+        # D faces (within cell, minus=A plus=B)
+        Dmm, Dmp, Dpm, Dpp = self.D
+        yA = yA + jnp.einsum(e, Dmm, xA) + jnp.einsum(e, Dmp, xB)
+        yB = yB + jnp.einsum(e, Dpm, xA) + jnp.einsum(e, Dpp, xB)
+
+        # V interior faces: minus (cy,cx,A), plus (cy,cx+1,B)
+        if s > 1:
+            Vmm, Vmp, Vpm, Vpp = self.V
+            ev = "kyxij,...kyxj->...kyxi"
+            yA = yA.at[..., :, :-1, :].add(
+                jnp.einsum(ev, Vmm, xA[..., :, :-1, :])
+                + jnp.einsum(ev, Vmp, xB[..., :, 1:, :]))
+            yB = yB.at[..., :, 1:, :].add(
+                jnp.einsum(ev, Vpm, xA[..., :, :-1, :])
+                + jnp.einsum(ev, Vpp, xB[..., :, 1:, :]))
+            # H interior: minus (cy,cx,B), plus (cy+1,cx,A)
+            Hmm, Hmp, Hpm, Hpp = self.H
+            yB = yB.at[..., :-1, :, :].add(
+                jnp.einsum(ev, Hmm, xB[..., :-1, :, :])
+                + jnp.einsum(ev, Hmp, xA[..., 1:, :, :]))
+            yA = yA.at[..., 1:, :, :].add(
+                jnp.einsum(ev, Hpm, xB[..., :-1, :, :])
+                + jnp.einsum(ev, Hpp, xA[..., 1:, :, :]))
+
+        y = jnp.stack([yA, yB], axis=-2)             # [..., K, s, s, T, nb]
+
+        # ---- subdomain interfaces (reshape K -> [ky, kx]) ----
+        kx, ky = grid.kx, grid.ky
+        yg = y.reshape(lead + (ky, kx, s, s, T, nb))
+        xg = xc.reshape(lead + (ky, kx, s, s, T, nb))
+        es = "efij,...efj->...efi"
+        if kx > 1:
+            Rii, Rio, Roi, Roo = (b.reshape((ky, kx - 1, s, nb, nb)) for b in self.R)
+            xm = xg[..., :, :-1, :, s - 1, 0, :]      # [..., ky, kx-1, s(cy), nb]
+            xp = xg[..., :, 1:, :, 0, 1, :]
+            em = "YXfij,...YXfj->...YXfi"
+            yg = yg.at[..., :, :-1, :, s - 1, 0, :].add(
+                jnp.einsum(em, Rii, xm) + jnp.einsum(em, Rio, xp))
+            yg = yg.at[..., :, 1:, :, 0, 1, :].add(
+                jnp.einsum(em, Roi, xm) + jnp.einsum(em, Roo, xp))
+        if ky > 1:
+            Uii, Uio, Uoi, Uoo = (b.reshape((ky - 1, kx, s, nb, nb)) for b in self.U)
+            xm = xg[..., :-1, :, s - 1, :, 1, :]      # [..., ky-1, kx, s(cx), nb]
+            xp = xg[..., 1:, :, 0, :, 0, :]
+            em = "YXfij,...YXfj->...YXfi"
+            yg = yg.at[..., :-1, :, s - 1, :, 1, :].add(
+                jnp.einsum(em, Uii, xm) + jnp.einsum(em, Uio, xp))
+            yg = yg.at[..., 1:, :, 0, :, 0, :].add(
+                jnp.einsum(em, Uoi, xm) + jnp.einsum(em, Uoo, xp))
+
+        # ---- physical Dirichlet boundary ----
+        eb = "Xfij,...Xfj->...Xfi"
+        yg = yg.at[..., :, 0, :, 0, 1, :].add(
+            jnp.einsum(eb, self.D_side["left"].reshape(ky, kx, s, nb, nb)[:, 0],
+                       xg[..., :, 0, :, 0, 1, :]))
+        yg = yg.at[..., :, kx - 1, :, s - 1, 0, :].add(
+            jnp.einsum(eb, self.D_side["right"].reshape(ky, kx, s, nb, nb)[:, -1],
+                       xg[..., :, kx - 1, :, s - 1, 0, :]))
+        yg = yg.at[..., 0, :, 0, :, 0, :].add(
+            jnp.einsum(eb, self.D_side["bottom"].reshape(ky, kx, s, nb, nb)[0],
+                       xg[..., 0, :, 0, :, 0, :]))
+        yg = yg.at[..., ky - 1, :, s - 1, :, 1, :].add(
+            jnp.einsum(eb, self.D_side["top"].reshape(ky, kx, s, nb, nb)[-1],
+                       xg[..., ky - 1, :, s - 1, :, 1, :]))
+
+        return yg.reshape(lead + (K, sp.N))

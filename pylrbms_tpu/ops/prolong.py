@@ -1,0 +1,71 @@
+"""Inter-grid prolongation for nested structured triangulations.
+
+TPU-native equivalent of dune-gdt's ``prolong`` (``EOC.py:10-12,313,474``):
+evaluate the coarse DG function one-sidedly at the nodal points of the fine
+space.  For nested refinements (fine mesh = integer subdivision of the coarse
+mesh; the diagonal split is the same line on both levels) this is an *exact*
+embedding of the coarse DG space into the fine one, for any combination of
+orders (P1/P2 coarse -> P1/P2 fine).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .spaces import BlockDGSpace
+from .. import basis as B
+
+
+def prolongation_gather(coarse: BlockDGSpace, fine: BlockDGSpace):
+    """Static gather data: for each fine dof, the coarse (subdomain, cell,
+    tri) flat block index and the coarse basis values at the fine node.
+
+    Returns (src_idx [Mf], weights [Mf, nb_c]) with Mf = fine.K * fine.N and
+    src_idx indexing flat coarse triangles [K_c * s_c * s_c * T].
+    """
+    gc, gf = coarse.grid, fine.grid
+    assert np.isclose(gc.lower_left[0], gf.lower_left[0]) and \
+        np.isclose(gc.upper_right[0], gf.upper_right[0])
+    # fine nodal points, global: [Kf, s, s, T, nb, 2]
+    xn = fine.node_coords_phys()
+    Mf = fine.K * fine.N
+    xn = xn.reshape(Mf, 2)
+    # fine triangle centroids decide which coarse cell/triangle we are in
+    org = (fine.subdomain_origins[:, None, None, :]
+           + fine.cell_origins_local[None, :, :, :])          # [Kf, s, s, 2]
+    cen = (org[:, :, :, None, :]
+           + fine.tri_centroids[None, None, None, :, :] * np.array([fine.hx, fine.hy]))
+    cen = np.broadcast_to(cen[:, :, :, :, None, :],
+                          (fine.K, fine.s, fine.s, fine.T, fine.nb, 2)).reshape(Mf, 2)
+
+    cgx = np.clip(((cen[:, 0] - gc.lower_left[0]) / gc.hx).astype(np.int64),
+                  0, gc.global_nx - 1)
+    cgy = np.clip(((cen[:, 1] - gc.lower_left[1]) / gc.hy).astype(np.int64),
+                  0, gc.global_ny - 1)
+    # local unit coords within the coarse cell
+    xi = (cen[:, 0] - gc.lower_left[0]) / gc.hx - cgx
+    eta = (cen[:, 1] - gc.lower_left[1]) / gc.hy - cgy
+    tri = (eta > xi).astype(np.int64)            # 0 = A (below diag), 1 = B
+    # unit coords of the fine NODE within the coarse cell
+    nxi = (xn[:, 0] - gc.lower_left[0]) / gc.hx - cgx
+    neta = (xn[:, 1] - gc.lower_left[1]) / gc.hy - cgy
+    pts = np.stack([nxi, neta], axis=-1)
+    wA = B.eval_basis("A", coarse.order, pts)    # [Mf, nb_c]
+    wB = B.eval_basis("B", coarse.order, pts)
+    weights = np.where(tri[:, None] == 0, wA, wB)
+    # flat coarse triangle index consistent with the block dof layout
+    csx, ccx = cgx // gc.s, cgx % gc.s
+    csy, ccy = cgy // gc.s, cgy % gc.s
+    k = csy * gc.kx + csx
+    flat_tri = (k * (gc.s * gc.s * gc.tri_per_cell)
+                + (ccy * gc.s + ccx) * gc.tri_per_cell + tri)
+    return flat_tri, weights
+
+
+def prolong(coarse: BlockDGSpace, U_coarse, fine: BlockDGSpace):
+    """[.., K_c, N_c] -> [.., K_f, N_f] exact nested-grid prolongation."""
+    src, wts = prolongation_gather(coarse, fine)
+    lead = U_coarse.shape[:-2]
+    Uc = jnp.asarray(U_coarse).reshape(lead + (-1, coarse.nb))   # [.., tris, nb]
+    vals = jnp.einsum("...tn,tn->...t", Uc[..., src, :], jnp.asarray(wts))
+    return vals.reshape(lead + (fine.K, fine.N))

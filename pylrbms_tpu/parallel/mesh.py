@@ -1,0 +1,100 @@
+"""Device-mesh distribution of the subdomain axis.
+
+TPU-native replacement for the reference's MPI domain decomposition
+(SURVEY.md §2.5): the rank-local subdomain lists (``grid.subdomains_on_rank``)
+become shards of the leading K axis over a 1D ``jax.sharding.Mesh``; the
+``dof_communicator`` halo exchanges become XLA collectives GSPMD inserts for
+the interface-coupling gathers; ``pymor.parallel.mpi.norm`` becomes a plain
+``jnp`` norm over sharded arrays (an all-reduce under the hood).
+
+Multi-host: call :func:`initialize_distributed` once per process
+(<-> ``Dune::XT::Common::bindings::add_initialization`` / ``init_mpi()``,
+``bindings.cc:16-20``, ``threadpool_test.py:7-8``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host init (no-op single-host)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+@dataclass
+class SubdomainMesh:
+    """1D mesh over the subdomain axis."""
+    mesh: Mesh
+
+    @staticmethod
+    def create(n_devices: Optional[int] = None, axis: str = "k") -> "SubdomainMesh":
+        devs = jax.devices()
+        n = n_devices or len(devs)
+        return SubdomainMesh(Mesh(np.array(devs[:n]), (axis,)))
+
+    @property
+    def axis(self) -> str:
+        return self.mesh.axis_names[0]
+
+    def shard_k(self, ndim_before_k: int = 0):
+        """NamedSharding placing the K axis (at position ndim_before_k) on
+        the mesh axis."""
+        spec = [None] * ndim_before_k + [self.axis]
+        return NamedSharding(self.mesh, P(*spec))
+
+    def replicated(self):
+        return NamedSharding(self.mesh, P())
+
+    # ------------------------------------------------------------------
+    def distribute_model(self, d):
+        """Shard the big per-subdomain tensors of a StationaryBlockModel
+        over the mesh (in place).  K must be divisible by the mesh size."""
+        K = d.space.K
+        n = self.mesh.devices.size
+        assert K % n == 0, f"K={K} not divisible by mesh size {n}"
+        sk1 = self.shard_k(1)    # [Q, K, ...]
+        sk0 = self.shard_k(0)    # [K, ...]
+        d.op.A_diag = jax.device_put(d.op.A_diag, sk1)
+        d.rhs_q = jax.device_put(d.rhs_q, sk1)
+        for key, v in list(d.products.items()):
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == K:
+                d.products[key] = jax.device_put(v, sk0)
+        ed = d.estimator.data if d.estimator else None
+        if ed is not None:
+            for name in ("E_bar", "L2", "BB", "R_dd", "min_ev", "diam"):
+                setattr(ed, name, jax.device_put(getattr(ed, name), sk0))
+            ed.M_aa = jax.device_put(ed.M_aa, self.shard_k(2))
+            ed.M_ab = jax.device_put(ed.M_ab, self.shard_k(1))
+            ed.d_vec = jax.device_put(ed.d_vec, self.shard_k(1))
+            ed.rf_qq = jax.device_put(ed.rf_qq, self.shard_k(2))
+        return d
+
+    def jit_online_step(self, d, tol: float = 1e-8, maxiter: int = 500):
+        """Jitted sharded online step: assemble + PCG solve + localized
+        estimate; outputs sharded over K."""
+        import jax.numpy as jnp
+
+        def step(theta, theta_f, mu):
+            A = d.op.assemble(theta)
+            b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
+            U = A.solve_pcg(b, tol=tol, maxiter=maxiter)
+            nc, r, df = d.estimator.local_quantities(U, mu)
+            return U, nc + r + df
+
+        with self.mesh:
+            return jax.jit(step, out_shardings=(self.shard_k(0), self.shard_k(0)))
+
+
+def psum_norm(local_sq, axis_name: str):
+    """Global 2-norm of rank-local squared contributions inside shard_map
+    (<-> ``pymor.parallel.mpi.norm``, ``estimators.py:100-101``)."""
+    import jax.numpy as jnp
+    return jnp.sqrt(jax.lax.psum(jnp.sum(local_sq), axis_name))

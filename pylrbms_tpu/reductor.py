@@ -85,6 +85,10 @@ class ReducedModel:
     rf_qq: jnp.ndarray          # [Qf, Qf, K]
     min_ev: jnp.ndarray
     diam: jnp.ndarray
+    # ---- algebraic-residual Gramians (greedy surrogate; N-independent) ----
+    G_bb: jnp.ndarray = None    # [Qf, Qf]
+    G_Ab: jnp.ndarray = None    # [Q, Qf, R]
+    G_AA: jnp.ndarray = None    # [Q, Q, R, R]
 
     # ------------------------------------------------------------------
     @property
@@ -122,6 +126,19 @@ class ReducedModel:
         g = c[..., idx, :]                             # [..., K, 9, r_max]
         g = g * mask[..., :, None]
         return g.reshape(g.shape[:-2] + (9 * self.r_max,))
+
+    def residual_norm(self, c, mu):
+        """l2 dual norm of the algebraic FOM residual ||b(mu) - A(mu) V c||_2,
+        assembled from the projected Gramians — the greedy error surrogate
+        (goes to 0 as the ROM approaches the FOM, unlike the LRBMS total-error
+        estimator which is floored by the discretization error)."""
+        theta = self.d.theta(mu)
+        theta_f = self.d.theta_f(mu)
+        cf = c.reshape(c.shape[:-2] + (-1,))
+        bb = jnp.einsum("p,r,pr->", theta_f, theta_f, self.G_bb)
+        Ab = jnp.einsum("q,f,qfi,...i->...", theta, theta_f, self.G_Ab, cf)
+        AA = jnp.einsum("p,r,prij,...i,...j->...", theta, theta, self.G_AA, cf, cf)
+        return jnp.sqrt(jnp.maximum(bb - 2.0 * Ab + AA, 0.0))
 
     def local_quantities(self, c, mu):
         """Reduced localized squared quantities; c [..., K, r_max] -> [..., K].
@@ -327,6 +344,17 @@ class LRBMSReductor:
         T_all = np.stack([np.asarray(ed.flux.apply(lf, B_all_j))
                           for lf in ed.lambda_funcs])      # [Q, K*r_max, K, Nrt]
 
+        # ---- algebraic-residual Gramians for the greedy surrogate ----
+        # AV[q, r] = A_q applied to the r-th (zero-extended) basis vector;
+        # basis vectors are local, their images spread to face neighbors only.
+        eye_q = np.eye(Q)
+        AV = np.stack([np.asarray(d.op.assemble(jnp.asarray(eye_q[q])).apply(B_all_j))
+                       for q in range(Q)])                 # [Q, R, K, N]
+        rhs_np = np.asarray(d.rhs_q)
+        G_bb = np.einsum("pkn,rkn->pr", rhs_np, rhs_np)
+        G_Ab = np.einsum("qrkn,fkn->qfr", AV, rhs_np)
+        G_AA = np.einsum("prkn,qskn->pqrs", AV, AV)
+
         nbhd_idx = -np.ones((K, 9), dtype=np.int64)
         for k in range(K):
             nb_list = d.grid.neighborhood_of(k)
@@ -372,7 +400,9 @@ class LRBMSReductor:
             sizes=sizes, r_max=r_max, nbhd_idx=nbhd_idx,
             G_nc=jnp.asarray(G_nc), AA=jnp.asarray(AA), ABT=jnp.asarray(ABT),
             BBT=jnp.asarray(BBT), DV=jnp.asarray(DV), RD=jnp.asarray(RD),
-            rf_qq=ed.rf_qq, min_ev=ed.min_ev, diam=ed.diam)
+            rf_qq=ed.rf_qq, min_ev=ed.min_ev, diam=ed.diam,
+            G_bb=jnp.asarray(G_bb), G_Ab=jnp.asarray(G_Ab),
+            G_AA=jnp.asarray(G_AA))
 
 
 class ParallelLRBMSReductor(LRBMSReductor):

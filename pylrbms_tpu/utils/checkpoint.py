@@ -1,0 +1,35 @@
+"""Checkpoint / resume of offline MOR state.
+
+Absent in the reference (SURVEY.md §5.4: "Offline results (bases, reduced
+ops) are never persisted") but required for greedy at SPE10 scale.  Stores
+the local bases + metadata as an .npz; `save_reductor`/`load_reductor`
+round-trip an LRBMSReductor against an existing model.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def save_reductor(reductor, path: str):
+    if not path.endswith(".npz"):
+        path += ".npz"
+    arrays = {f"basis_{ii}": b for ii, b in enumerate(reductor.bases)}
+    meta = {"K": len(reductor.bases),
+            "sizes": [int(b.shape[0]) for b in reductor.bases],
+            "N": int(reductor.d.space.N)}
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    return path
+
+
+def load_reductor(d, path: str, products=None, solver_options=None):
+    from ..reductor import LRBMSReductor
+    if not path.endswith(".npz"):
+        path += ".npz"
+    with np.load(path, allow_pickle=False) as zz:
+        meta = json.loads(str(zz["__meta__"]))
+        bases = [zz[f"basis_{ii}"] for ii in range(meta["K"])]
+    assert meta["N"] == d.space.N, "checkpoint does not match the discretization"
+    return LRBMSReductor(d, bases=bases, products=products,
+                         solver_options=solver_options, order=None)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Golden-value regression script (<-> ``python/scripts/
+linearelliptic_block_swipdg_decomp.py``): OS2015 detailed solve at mu=1,
+decomposed estimate, greedy-less reduction from 5 uniform snapshots,
+reduced/reconstruction error, timed reduced solve + estimate.
+
+The reference prints "(should be 1.66e-01 / 1.45e-01 / 3.55e-01)" golden
+values produced by its dune-gdt build; our discretization reproduces the same
+first-order indicator behaviour with slightly different absolute values
+(penalty constants / triangulation details differ — see SURVEY.md §6 notes);
+our own regression values for this config are asserted in
+tests/test_scripts.py.
+"""
+import time
+
+import numpy as np
+
+from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+from pylrbms_tpu.reductor import LRBMSReductor, ExtensionError
+
+
+config = {'num_subdomains': [4, 4],
+          'half_num_fine_elements_per_subdomain_and_dim': 1,
+          'num_refinements': 1,
+          'grid_type': 'tri'}
+
+
+def main():
+    grid_and_problem_data = init_grid_and_problem(config)
+    d, d_data = discretize(grid_and_problem_data)
+    mu = d.parse_parameter(1.)
+
+    U = d.solve(mu)
+    print('estimating error:')
+    eta, (local_eta_nc, local_eta_r, local_eta_df), _ = d.estimate(U, mu, decompose=True)
+    print('  nonconformity indicator:  {:.6e}'.format(np.linalg.norm(local_eta_nc)))
+    print('  residual indicator:       {:.6e}'.format(np.linalg.norm(local_eta_r)))
+    print('  diffusive flux indicator: {:.6e}'.format(np.linalg.norm(local_eta_df)))
+    print('  estimated error:          {:.6e}'.format(float(eta)))
+
+    reductor = LRBMSReductor(d)
+    U_snap = []
+    for mu_i in d.parameter_space.sample_uniformly(2)[:5]:
+        snapshot = d.solve(mu_i)
+        U_snap.append(np.asarray(snapshot))
+        try:
+            reductor.extend_basis(snapshot)
+        except ExtensionError:
+            pass
+    rd = reductor.reduce()
+
+    errs = []
+    for mu_i, U_i in zip(d.parameter_space.sample_uniformly(2)[:5], U_snap):
+        u = rd.solve(mu_i)
+        UU = np.asarray(reductor.reconstruct(u))
+        errs.append(np.linalg.norm(UU - U_i) / np.linalg.norm(U_i))
+    print('max relative reduction error over snapshots: {:.3e}'.format(max(errs)))
+
+    tic = time.time()
+    u = rd.solve(mu)
+    print('red solve time: ', time.time() - tic)
+    tic = time.time()
+    eta, (local_eta_nc, local_eta_r, local_eta_df), _ = rd.estimate(u, mu, decompose=True)
+    print('red est time: ', time.time() - tic)
+    print('  nonconformity indicator:  {:.6e}'.format(np.linalg.norm(local_eta_nc)))
+    print('  residual indicator:       {:.6e}'.format(np.linalg.norm(local_eta_r)))
+    print('  diffusive flux indicator: {:.6e}'.format(np.linalg.norm(local_eta_df)))
+    print('  estimated error:          {:.6e}'.format(float(eta)))
+    return eta
+
+
+if __name__ == '__main__':
+    main()

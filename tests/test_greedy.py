@@ -1,0 +1,60 @@
+"""Weak greedy: monotone-ish error decay, certified stop, batched estimates
+match per-parameter estimates."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+from pylrbms_tpu.greedy import weak_greedy, batched_estimates, _stack_mus
+from pylrbms_tpu.reductor import LRBMSReductor
+
+
+@pytest.fixture(scope="module")
+def fom():
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    return d
+
+
+def test_batched_estimates_match_sequential(fom):
+    d = fom
+    red = LRBMSReductor(d, order=0)
+    red.extend_basis(d.solve(d.parse_parameter(1.0)))
+    rd = red.reduce()
+    mus = [d.parse_parameter(m) for m in (0.1, 0.4, 0.9)]
+    etas = np.asarray(batched_estimates(rd, _stack_mus(mus)))
+    for mu, eta in zip(mus, etas):
+        ref = float(rd.estimate(rd.solve(mu), mu))
+        assert eta == pytest.approx(ref, rel=1e-10)
+
+
+def test_residual_norm_matches_true_residual(fom):
+    d = fom
+    red = LRBMSReductor(d, order=0)
+    red.extend_basis(d.solve(d.parse_parameter(1.0)))
+    rd = red.reduce()
+    mu = d.parse_parameter(0.35)
+    c = rd.solve(mu)
+    r_proj = float(rd.residual_norm(c, mu))
+    U = red.reconstruct(c)
+    r_true = float(jnp.linalg.norm(
+        (d.rhs(mu) - d.assemble(mu).apply(U)).reshape(-1)))
+    assert r_proj == pytest.approx(r_true, rel=1e-8)
+
+
+def test_weak_greedy_converges(fom):
+    d = fom
+    training = d.parameter_space.sample_uniformly(7)
+    res = weak_greedy(d, training, target_error=1e-8, max_extensions=10,
+                      criterion="residual")
+    # residual surrogate decays hard (smooth 1-parameter problem)
+    assert res.max_etas[-1] < 1e-6 * res.max_etas[0], res.max_etas
+    # and the ROM reproduces the FOM at an unseen parameter
+    mu = d.parse_parameter(0.55)
+    U_rom = res.reductor.reconstruct(res.rd.solve(mu))
+    U_fom = d.solve(mu)
+    rel = float(jnp.abs(U_rom - U_fom).max() / jnp.abs(U_fom).max())
+    assert rel < 1e-6, rel

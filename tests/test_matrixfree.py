@@ -1,0 +1,32 @@
+"""Matrix-free stencil apply == dense block-operator apply."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+from pylrbms_tpu.ops.matrixfree import assemble_swipdg_stencil, StencilOperator
+
+
+@pytest.mark.parametrize("kx,ky", [(2, 2), (3, 2)])
+def test_stencil_apply_matches_dense(kx, ky):
+    gpd = init_grid_and_problem({'num_subdomains': [kx, ky],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    stencils = tuple(assemble_swipdg_stencil(d.space, lf, None)
+                     for lf in d.estimator.data.lambda_funcs)
+    sop = StencilOperator(d.space, stencils)
+    theta = jnp.asarray([1.0, 0.4])
+    A_dense = d.op.assemble(theta)
+    A_mf = sop.assemble(theta)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(d.space.K, d.space.N)))
+    y_ref = A_dense.apply(x)
+    y = A_mf.apply(x)
+    err = float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max())
+    assert err < 1e-13, err
+    # batched apply
+    X = jnp.asarray(rng.normal(size=(3, d.space.K, d.space.N)))
+    np.testing.assert_allclose(np.asarray(A_mf.apply(X)),
+                               np.asarray(A_dense.apply(X)), rtol=1e-10, atol=1e-12)

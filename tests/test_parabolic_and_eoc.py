@@ -1,0 +1,100 @@
+"""Parabolic path, prolongation exactness, EOC harness smoke."""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylrbms_tpu.grid import make_grid
+from pylrbms_tpu.ops.spaces import BlockDGSpace
+from pylrbms_tpu.ops.prolong import prolong
+from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+from pylrbms_tpu.problems.artificial_channels import init_grid_and_problem as channels
+from pylrbms_tpu.discretize_parabolic_block_swipdg import discretize as discretize_parabolic
+from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize as discretize_elliptic
+
+
+def test_prolongation_is_exact_embedding():
+    coarse_grid = make_grid(((-1, -1), (1, 1)), [2, 2], 1, num_refinements=0)
+    fine_grid = make_grid(((-1, -1), (1, 1)), [2, 2], 1, num_refinements=2)
+    coarse = BlockDGSpace(coarse_grid, order=1)
+    fine = BlockDGSpace(fine_grid, order=2)
+    rng = np.random.default_rng(3)
+    Uc = jnp.asarray(rng.normal(size=(coarse.K, coarse.N)))
+    Uf = prolong(coarse, Uc, fine)
+    # exact embedding => L2 norms agree across levels
+    from pylrbms_tpu.ops import assembly as asm
+    Mc = asm.volume_mass(coarse)
+    Mf = asm.volume_mass(fine)
+    nc = float(jnp.einsum("kn,knm,km->", Uc, Mc, Uc))
+    nf = float(jnp.einsum("kn,knm,km->", Uf, Mf, Uf))
+    assert abs(nc - nf) < 1e-12 * max(abs(nc), 1.0)
+
+
+def test_implicit_euler_matches_numpy_reference():
+    gpd = os2015({'num_subdomains': [2, 2],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1})
+    im, data = discretize_parabolic(gpd, T=0.5, nt=8)
+    mu = im.parse_parameter(0.7)
+    traj = np.asarray(im.solve(mu))
+    # independent numpy implicit Euler on the dense global system
+    st = im.stationary
+    A = np.asarray(st.assemble(mu).to_dense())
+    b = np.asarray(st.rhs(mu)).reshape(-1)
+    import scipy.linalg as sla
+    K, N = st.space.K, st.space.N
+    M = sla.block_diag(*[np.asarray(st.products['l2'][k]) for k in range(K)])
+    dt = 0.5 / 8
+    u = np.zeros(K * N)
+    G = M + dt * A
+    for n in range(8):
+        u = np.linalg.solve(G, M @ u + dt * b)
+        err = np.abs(traj[n + 1].reshape(-1) - u).max()
+        assert err < 1e-10, f"step {n}: implicit Euler mismatch {err}"
+
+
+def test_parabolic_reaches_steady_state():
+    gpd = os2015({'num_subdomains': [2, 2],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=50.0, nt=60)
+    mu = im.parse_parameter(1.0)
+    traj = im.solve(mu)
+    U_stat = im.stationary.solve(mu)
+    rel = float(jnp.abs(traj[-1] - U_stat).max() / jnp.abs(U_stat).max())
+    assert rel < 1e-5, f"parabolic solution must approach the elliptic one, rel={rel}"
+
+
+def test_parabolic_estimator_runs_on_channels():
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=1.0, nt=5)
+    mu = im.parse_parameter(0.5)
+    traj = im.solve(mu)
+    assert bool(jnp.isfinite(traj).all())
+    est, (nc, r, df, rt, tdnc) = im.estimate(traj, mu)
+    for name, v in (("est", est), ("nc", nc), ("r", r), ("df", df),
+                    ("rt", rt), ("tdnc", tdnc)):
+        assert bool(jnp.isfinite(jnp.asarray(v)).all()), f"{name} not finite"
+    assert float(est) > 0
+
+
+def test_stationary_eoc_study_smoke(capsys):
+    from pylrbms_tpu.EOC import StationaryEocStudy, default_refine
+    study = StationaryEocStudy(
+        os2015,
+        lambda gpd: discretize_elliptic(gpd),
+        {'num_subdomains': [2, 2],
+         'half_num_fine_elements_per_subdomain_and_dim': 1,
+         'num_refinements': 0},
+        default_refine, mu=1, p_ref=2, max_levels=1)
+    data = study.run(("h", "elliptic_mu_bar", "eta_nc", "eta_df", "eta"))
+    out = capsys.readouterr().out
+    assert "EOC" in out
+    # elliptic-norm EOC ~ 1 (first order in the energy norm for P1)
+    n0 = data[0]["norm"]["elliptic_mu_bar"]
+    n1 = data[1]["norm"]["elliptic_mu_bar"]
+    rate = math.log(n1 / n0) / math.log(0.5)
+    assert 0.7 < rate < 1.5, f"elliptic norm EOC {rate}"
