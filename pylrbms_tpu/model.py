@@ -29,6 +29,11 @@ from .parameters import (CubicParameterSpace, evaluate_coefficients,
 from .estimators import EllipticEstimator, ParabolicEstimator
 
 
+class SolverError(RuntimeError):
+    """Raised when the solver post-check fails (<-> ISTL
+    ``post_check_solves_system``)."""
+
+
 @dataclass
 class StationaryBlockModel:
     grid: Grid
@@ -65,10 +70,28 @@ class StationaryBlockModel:
 
     def solve(self, mu, inverse_options=None):
         """Detailed (FOM) solve (<-> ``DuneDiscretization._solve``,
-        ``discretize_elliptic_block_swipdg.py:219-225``)."""
+        ``discretize_elliptic_block_swipdg.py:219-225``).
+
+        If the options carry ``post_check_solves_system`` (the ISTL
+        self-verification knob, ``online_adaptive_lrbms.py:71`` — the
+        reference's only failure-detection mechanism, SURVEY.md §5.3), the
+        relative residual is checked on host and a SolverError is raised on
+        violation."""
         mu = self.parse_parameter(mu)
+        options = inverse_options or self.solver_options
         A = self.assemble(mu)
-        return A.solve(self.rhs(mu), inverse_options or self.solver_options)
+        b = self.rhs(mu)
+        U = A.solve(b, options)
+        check = (options or {}).get("post_check_solves_system")
+        if check is not None:
+            import numpy as _np
+            r = float(jnp.linalg.norm((b - A.apply(U)).reshape(-1)))
+            bn = float(jnp.linalg.norm(b.reshape(-1)))
+            if not _np.isfinite(r) or r > check * max(bn, 1e-300):
+                raise SolverError(
+                    f"solver post-check failed: |r|/|b| = {r / max(bn, 1e-300):.3e} "
+                    f"> {check:.1e}")
+        return U
 
     def operator_apply(self, U, mu):
         return self.assemble(mu).apply(U)

@@ -1,0 +1,82 @@
+"""Base smoke tests mirroring the reference's suite (SURVEY.md §4):
+
+* import-integrity over all submodules (<-> ``python/test/base.py`` /
+  ``load_all_submodule``),
+* mesh creation on a subset of devices (<-> comm-split grid creation,
+  ``python/test/mpitest.py:11-28``),
+* pickling of core containers (<-> ``test_blockspace`` pickling guard,
+  ``mpitest.py:40-46``),
+* typed config validation + solver post-check failure detection.
+"""
+import importlib
+import pickle
+import pkgutil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_load_all_submodules():
+    import pylrbms_tpu
+    failures = []
+    for mod in pkgutil.walk_packages(pylrbms_tpu.__path__, "pylrbms_tpu."):
+        try:
+            importlib.import_module(mod.name)
+        except Exception as e:          # noqa: BLE001
+            failures.append((mod.name, repr(e)))
+    assert not failures, failures
+
+
+def test_mesh_on_device_subset():
+    from pylrbms_tpu.parallel.mesh import SubdomainMesh
+    assert len(jax.devices()) >= 8
+    sm = SubdomainMesh.create(4)        # 'split' half the world
+    assert sm.mesh.devices.size == 4
+    x = jax.device_put(jnp.arange(8.0).reshape(4, 2), sm.shard_k(0))
+    assert len(set(s.device for s in x.addressable_shards)) == 4
+
+
+def test_grid_and_space_pickle():
+    from pylrbms_tpu.grid import make_grid
+    from pylrbms_tpu.ops.spaces import BlockDGSpace
+    grid = make_grid(((0, 0), (1, 1)), [2, 2], 1, num_refinements=1)
+    g2 = pickle.loads(pickle.dumps(grid))
+    assert g2 == grid
+    space = BlockDGSpace(grid, order=1)
+    s2 = pickle.loads(pickle.dumps(space))
+    assert s2.N == space.N and s2.N_rt == space.N_rt
+
+
+def test_typed_config_roundtrip_and_validation():
+    from pylrbms_tpu.config import LRBMSConfig, GridConfig
+    cfg = LRBMSConfig.from_dict({'num_subdomains': [4, 4],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 2,
+                                 'enrichment_target_error': 1e-3})
+    assert cfg.grid.num_subdomains == (4, 4)
+    assert cfg.enrichment.target_error == 1e-3
+    cfg2 = LRBMSConfig.from_json(cfg.to_json())
+    assert cfg2.grid == cfg.grid
+    with pytest.raises(AssertionError):
+        GridConfig(num_subdomains=(0, 2))
+
+
+def test_solver_post_check_detects_failure():
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    from pylrbms_tpu.model import SolverError
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(1.0)
+    # healthy solve passes the post-check
+    d.solve(mu, inverse_options={'type': 'pcg', 'precision': 1e-10,
+                                 'max_iter': 400,
+                                 'post_check_solves_system': 1e-5})
+    # starved iteration budget must be caught
+    with pytest.raises(SolverError):
+        d.solve(mu, inverse_options={'type': 'pcg', 'precision': 1e-12,
+                                     'max_iter': 1,
+                                     'post_check_solves_system': 1e-8})
