@@ -64,41 +64,70 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     mu_hat = parse_parameter(parameter_type, gpd.get("mu_hat")) \
         if gpd.get("mu_hat") is not None else {}
 
-    # ---------------- operator + rhs ----------------
-    comps = [assemble_swipdg_component(space, lf, kappa, ipdg, dtype)
-             for lf in lambda_funcs]
-    op = AffineBlockOp.from_components(space, comps, dtype)
-    rhs_q = jnp.stack([asm.volume_functional(space, ff, dtype) for ff in f_funcs])
+    # ---------------- one jitted assembly graph ----------------
+    # All offline assembly (operator components, rhs, products, estimator
+    # tensors) is traced into a single XLA computation: on the remote-compile
+    # TPU path one compile replaces ~100 per-op compiles, and on-device the
+    # whole offline phase is fused (SURVEY.md §3.1 "one grid walk").
+    import jax
 
-    # ---------------- products ----------------
-    L2 = asm.volume_mass(space, None, dtype)
-    E_bar = asm.volume_elliptic(space, lambda_bar, kappa, dtype)
-    # local energy DG product assembled at mu_bar (:651-677)
-    th_bar = np.asarray(evaluate_coefficients(lambda_coeffs, mu_bar)) \
-        if mu_bar else np.ones(len(lambda_funcs))
-    energy = jnp.zeros_like(L2)
-    for lf, c in zip(lambda_funcs, th_bar):
-        energy = energy + float(c) * (asm.volume_elliptic(space, lf, kappa, dtype)
-                                      + prod.penalty_product(space, lf, kappa, ipdg, dtype))
+    def _build():
+        comps = [assemble_swipdg_component(space, lf, kappa, ipdg, dtype)
+                 for lf in lambda_funcs]
+        rhs_q = jnp.stack([asm.volume_functional(space, ff, dtype) for ff in f_funcs])
+        L2 = asm.volume_mass(space, None, dtype)
+        E_bar = asm.volume_elliptic(space, lambda_bar, kappa, dtype)
+        # local energy DG product assembled at mu_bar (:651-677)
+        th_bar = (evaluate_coefficients(lambda_coeffs, mu_bar) if mu_bar
+                  else jnp.ones(len(lambda_funcs), dtype))
+        energy = jnp.zeros_like(L2)
+        for lf, c in zip(lambda_funcs, th_bar):
+            energy = energy + c * (asm.volume_elliptic(space, lf, kappa, dtype)
+                                   + prod.penalty_product(space, lf, kappa, ipdg, dtype))
+        M_aa = jnp.stack([
+            jnp.stack([prod.df_aa(space, lu, lv, lambda_hat, kappa, dtype)
+                       for lv in lambda_funcs])
+            for lu in lambda_funcs])                              # [Q, Q, K, N, N]
+        BB = prod.df_bb(space, lambda_hat, kappa, dtype)
+        M_ab = jnp.stack([prod.df_ab(space, lv, lambda_hat, kappa, dtype)
+                          for lv in lambda_funcs])
+        A_div = prod.divergence_matrix(space, dtype)
+        R_dd = jnp.einsum("nr,knm,ms->krs", A_div, L2, A_div)
+        d_vec = jnp.einsum("nr,qkn->qkr", A_div, rhs_q)
+        rf_qq = jnp.stack([
+            jnp.stack([asm.volume_scalar(space, lambda x, fu=fu, fv=fv: fu(x) * fv(x),
+                                         dtype)
+                       for fv in f_funcs])
+            for fu in f_funcs])                                   # [Qf, Qf, K]
+        min_ev = prod.min_diffusion_ev(space, lambda_hat, kappa, dtype)
+        comp_dicts = [dict(A_loc=c.A_loc, D_side=c.D_side,
+                           R_in_in=c.R_in_in, R_in_out=c.R_in_out,
+                           R_out_in=c.R_out_in, R_out_out=c.R_out_out,
+                           U_in_in=c.U_in_in, U_in_out=c.U_in_out,
+                           U_out_in=c.U_out_in, U_out_out=c.U_out_out)
+                      for c in comps]
+        from .ops.swipdg import fold_diag
+        folded = dict(
+            A_diag=jnp.stack([fold_diag(space, c, dtype) for c in comps]),
+            C_R_io=jnp.stack([c.R_in_out for c in comps]),
+            C_R_oi=jnp.stack([c.R_out_in for c in comps]),
+            C_U_io=jnp.stack([c.U_in_out for c in comps]),
+            C_U_oi=jnp.stack([c.U_out_in for c in comps]))
+        return dict(comps=comp_dicts, folded=folded, rhs_q=rhs_q, L2=L2,
+                    E_bar=E_bar, energy=energy, M_aa=M_aa, BB=BB, M_ab=M_ab,
+                    A_div=A_div, R_dd=R_dd, d_vec=d_vec, rf_qq=rf_qq,
+                    min_ev=min_ev)
 
-    # ---------------- estimator operators ----------------
-    Q = len(lambda_funcs)
-    M_aa = jnp.stack([
-        jnp.stack([prod.df_aa(space, lu, lv, lambda_hat, kappa, dtype)
-                   for lv in lambda_funcs])
-        for lu in lambda_funcs])                                  # [Q, Q, K, N, N]
-    BB = prod.df_bb(space, lambda_hat, kappa, dtype)
-    M_ab = jnp.stack([prod.df_ab(space, lv, lambda_hat, kappa, dtype)
-                      for lv in lambda_funcs])
-    A_div = prod.divergence_matrix(space, dtype)
-    R_dd = jnp.einsum("nr,knm,ms->krs", A_div, L2, A_div)
-    d_vec = jnp.einsum("nr,qkn->qkr", A_div, rhs_q)
-    rf_qq = jnp.stack([
-        jnp.stack([asm.volume_scalar(space, lambda x, fu=fu, fv=fv: fu(x) * fv(x), dtype)
-                   for fv in f_funcs])
-        for fu in f_funcs])                                       # [Qf, Qf, K]
-
-    min_ev = prod.min_diffusion_ev(space, lambda_hat, kappa, dtype)
+    built = jax.jit(_build)()
+    from .ops.swipdg import SwipdgComponent
+    from .la.block import BlockOpStatic
+    comps = [SwipdgComponent(**cd) for cd in built["comps"]]
+    op = AffineBlockOp(static=BlockOpStatic.from_space(space), **built["folded"])
+    rhs_q = built["rhs_q"]
+    L2, E_bar, energy = built["L2"], built["E_bar"], built["energy"]
+    M_aa, BB, M_ab = built["M_aa"], built["BB"], built["M_ab"]
+    A_div, R_dd, d_vec = built["A_div"], built["R_dd"], built["d_vec"]
+    rf_qq, min_ev = built["rf_qq"], built["min_ev"]
     diam = jnp.full((space.K,), grid.subdomain_diameter(), dtype)
 
     oswald = OswaldOperator(space)

@@ -104,8 +104,17 @@ class EllipticEstimator:
         theta = evaluate_coefficients(d.lambda_coeffs, mu)
         return jnp.einsum("q,q...->...", theta, t_q)
 
-    def local_quantities(self, U, mu):
-        """Per-subdomain squared quantities; U [..., K, N] -> each [..., K]."""
+    def local_quantities(self, U, mu, elliptic_reconstruction: bool = False,
+                         d_model=None):
+        """Per-subdomain squared quantities; U [..., K, N] -> each [..., K].
+
+        ``elliptic_reconstruction`` adds the parabolic extension of the
+        residual part (<-> the ``r_l2_ii`` / ``r_ud_ii`` operators of
+        ``discretize_parabolic_block_swipdg.py:64-73`` consumed at
+        ``estimators.py:78-81``):
+          eta_r[ii] += (M^-1 B u)^T L2 (M^-1 B u) - (M^-1 F)^T L2 (M^-1 F)
+                       - 2 (M^-1(Bu - F))^T L2 div(t)      per subdomain.
+        """
         d = self.data
         theta = evaluate_coefficients(d.lambda_coeffs, mu)
         theta_f = evaluate_coefficients(d.f_coeffs, mu)
@@ -118,8 +127,23 @@ class EllipticEstimator:
         rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, d.rf_qq)
         r_fd = jnp.einsum("p,pkn,...kn->...k", theta_f, d.d_vec, t)
         r_dd = jnp.einsum("...kn,knm,...km->...k", t, d.R_dd, t)
+        eta_r = rf - 2.0 * r_fd + r_dd
+
+        if elliptic_reconstruction:
+            assert d_model is not None
+            BU = d_model.operator_apply(U, mu)
+            F = jnp.broadcast_to(d_model.rhs(mu), U.shape)
+            BU_R = d_model.l2_solve(BU)
+            F_R = d_model.l2_solve(F)
+            BUF_R = BU_R - F_R
+            div_t = jnp.einsum("nr,...kr->...kn", d.A_div, t)
+            eta_r = eta_r + jnp.einsum("...kn,knm,...km->...k", BU_R, d.L2, BU_R)
+            eta_r = eta_r - jnp.einsum("...kn,knm,...km->...k", F_R, d.L2, F_R)
+            eta_r = eta_r - 2.0 * jnp.einsum("...kn,knm,...km->...k",
+                                             BUF_R, d.L2, div_t)
+
         scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
-        eta_r = (rf - 2.0 * r_fd + r_dd) * scale
+        eta_r = eta_r * scale
 
         aa = jnp.einsum("p,r,prknm,...kn,...km->...k", theta, theta, d.M_aa, U, U)
         bb = jnp.einsum("...kn,knm,...km->...k", t, d.BB, t)
@@ -127,7 +151,8 @@ class EllipticEstimator:
         eta_df = aa + bb + 2.0 * ab
         return eta_nc, eta_r, eta_df
 
-    def estimate(self, U, mu, d=None, decompose: bool = False):
+    def estimate(self, U, mu, d=None, decompose: bool = False,
+                 elliptic_reconstruction: bool = False):
         """U [K, N] or [B, K, N].  Returns eta (scalar) and, with
         ``decompose``, the local squared triples [K, B] and indicators [K, B]
         (reference array convention ``(num_subdomains, len(U))``,
@@ -135,7 +160,9 @@ class EllipticEstimator:
         data = self.data
         single = U.ndim == 2
         Ub = U[None] if single else U
-        eta_nc, eta_r, eta_df = self.local_quantities(Ub, mu)   # [B, K]
+        eta_nc, eta_r, eta_df = self.local_quantities(
+            Ub, mu, elliptic_reconstruction=elliptic_reconstruction,
+            d_model=d)                                           # [B, K]
 
         a_bar = self.alpha(mu, data.mu_bar)
         g_bar = self.gamma(mu, data.mu_bar)
@@ -175,7 +202,11 @@ class ParabolicEstimator(EllipticEstimator):
         mu.setdefault("_t", 0.0)
         dt = d.T / d.nt
 
-        eta, (nc, r, df), elliptic_indicators = super().estimate(U, mu, decompose=True)
+        # elliptic parts with the elliptic-reconstruction extension, as the
+        # reference intends (`_estimate_elliptic(U, mu, d, True, True)`,
+        # estimators.py:144-145)
+        eta, (nc, r, df), elliptic_indicators = super().estimate(
+            U, mu, d=d, decompose=True, elliptic_reconstruction=True)
 
         # time-stepping residual: dt/3 ||B(u^{n+1}-u^n)||^2_{M^-1}  (:147-151)
         dU = U[1:] - U[:-1]

@@ -34,6 +34,47 @@ class SolverError(RuntimeError):
     ``post_check_solves_system``)."""
 
 
+class OperatorDictView:
+    """Read-only dict facade over the named per-subdomain operators
+    (API parity with the reference's ``d.operators`` string keys)."""
+
+    def __init__(self, model: "StationaryBlockModel"):
+        self._m = model
+
+    def _lookup(self, key: str):
+        m = self._m
+        ed = m.estimator.data if m.estimator else None
+        name, _, idx = key.rpartition("_")
+        if idx.isdigit():
+            ii = int(idx)
+            table = {
+                "local_energy_dg_product": lambda: m.products["energy_mu_bar"][ii],
+                "nc": lambda: ed.E_bar[ii],
+                "r_dd": lambda: ed.R_dd[ii],
+                "r_fd": lambda: ed.d_vec[:, ii],
+                "df_bb": lambda: ed.BB[ii],
+                "df_aa": lambda: ed.M_aa[:, :, ii],
+                "df_ab": lambda: ed.M_ab[:, ii],
+                "r_l2": lambda: m.products["l2"][ii],
+                "r_ud": lambda: jnp.einsum("nm,mr->nr", m.products["l2"][ii], ed.A_div),
+            }
+            if name in table:
+                return table[name]()
+        if key in m.products:
+            return m.products[key]
+        raise KeyError(key)
+
+    def __getitem__(self, key):
+        return self._lookup(key)
+
+    def __contains__(self, key):
+        try:
+            self._lookup(key)
+            return True
+        except KeyError:
+            return False
+
+
 @dataclass
 class StationaryBlockModel:
     grid: Grid
@@ -52,6 +93,26 @@ class StationaryBlockModel:
     name: str = "StationaryBlockModel"
 
     # ------------------------------------------------------------------
+    @property
+    def operators(self) -> "OperatorDictView":
+        """Stringly-keyed view of the named per-subdomain operators, for API
+        parity with the reference's ``d.operators['local_energy_dg_product_{ii}']``
+        / ``'nc_{ii}'`` etc. (``discretize_elliptic_block_swipdg.py:625-770``).
+        Values are the per-subdomain tensors; the estimator consumes the
+        batched originals directly."""
+        return OperatorDictView(self)
+
+    def enable_caching(self, region: str = "memory"):
+        """Memoize ``solve`` by parameter (<-> pyMOR ``cache_region``;
+        the reference disables caching explicitly,
+        ``online_adaptive_lrbms.py:63`` — ours is opt-in)."""
+        object.__setattr__(self, "_solution_cache", {})
+        return self
+
+    def disable_caching(self):
+        object.__setattr__(self, "_solution_cache", None)
+        return self
+
     def parse_parameter(self, mu):
         return parse_parameter(self.parameter_type, mu)
 
@@ -78,10 +139,19 @@ class StationaryBlockModel:
         relative residual is checked on host and a SolverError is raised on
         violation."""
         mu = self.parse_parameter(mu)
+        cache = getattr(self, "_solution_cache", None)
+        key = None
+        if cache is not None:
+            key = tuple(sorted((k, tuple(np.asarray(v).ravel().tolist()))
+                               for k, v in mu.items()))
+            if key in cache:
+                return cache[key]
         options = inverse_options or self.solver_options
         A = self.assemble(mu)
         b = self.rhs(mu)
         U = A.solve(b, options)
+        if cache is not None:
+            cache[key] = U
         check = (options or {}).get("post_check_solves_system")
         if check is not None:
             import numpy as _np
@@ -319,6 +389,9 @@ class InstationaryBlockModel:
 
     def operator_apply(self, U, mu):
         return self.stationary.operator_apply(U, mu)
+
+    def rhs(self, mu):
+        return self.stationary.rhs(mu)
 
     def l2_solve(self, V):
         return self.stationary.l2_solve(V)

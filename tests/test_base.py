@@ -80,3 +80,31 @@ def test_solver_post_check_detects_failure():
         d.solve(mu, inverse_options={'type': 'pcg', 'precision': 1e-12,
                                      'max_iter': 1,
                                      'post_check_solves_system': 1e-8})
+
+
+def test_operators_dict_view_and_caching():
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    ed = d.estimator.data
+    assert 'local_energy_dg_product_0' in d.operators
+    np.testing.assert_array_equal(np.asarray(d.operators['nc_1']),
+                                  np.asarray(ed.E_bar[1]))
+    np.testing.assert_array_equal(np.asarray(d.operators['df_bb_2']),
+                                  np.asarray(ed.BB[2]))
+    # solution caching (pymor cache_region analog)
+    d.enable_caching()
+    mu = d.parse_parameter(0.5)
+    U1 = d.solve(mu)
+    U2 = d.solve(mu)
+    assert U1 is U2            # memoized object
+    d.disable_caching()
+    U3 = d.solve(mu)
+    assert U3 is not U1
+    np.testing.assert_allclose(np.asarray(U3), np.asarray(U1), rtol=1e-14)
+    # determinism: identical results across repeated solves (XLA is
+    # deterministic on a fixed platform - the race-detection analog)
+    np.testing.assert_array_equal(np.asarray(U3), np.asarray(d.solve(mu)))

@@ -7,7 +7,7 @@ from pylrbms_tpu.ops.pallas_kernels import block_matvec_pallas
 
 def test_block_matvec_pallas_matches_einsum():
     rng = np.random.default_rng(5)
-    K, N = 4, 128
+    K, N = 8, 128
     A = jnp.asarray(rng.normal(size=(K, N, N)), jnp.float32)
     x = jnp.asarray(rng.normal(size=(K, N)), jnp.float32)
     y_ref = jnp.einsum("kij,kj->ki", A, x)
