@@ -175,13 +175,46 @@ class AssembledBlockOp:
         serialize (SURVEY.md §7 hard part 5)."""
         return jnp.linalg.inv(self.A_diag)
 
+    def coarse_matrix(self) -> jnp.ndarray:
+        """Galerkin coarse matrix on the subdomain-constant space:
+        A0[k, k'] = 1_k^T A 1_k'  ([K, K]); the second level of the
+        two-level preconditioner (K-independent CG iterations — the
+        TPU-friendly substitute for ILUT coarse corrections)."""
+        st = self.static
+        K = st.K
+        A0 = jnp.zeros((K, K), self.A_diag.dtype)
+        A0 = A0.at[jnp.arange(K), jnp.arange(K)].set(
+            jnp.sum(self.A_diag, axis=(1, 2)))
+
+        def add(A0, C, k_r, k_c):
+            if k_r.size == 0:
+                return A0
+            return A0.at[k_r, k_c].add(jnp.sum(C, axis=(1, 2, 3)))
+
+        A0 = add(A0, self.C_R_io, st.left_k, st.right_k)
+        A0 = add(A0, self.C_R_oi, st.right_k, st.left_k)
+        A0 = add(A0, self.C_U_io, st.low_k, st.up_k)
+        A0 = add(A0, self.C_U_oi, st.up_k, st.low_k)
+        return A0
+
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
-                  factors=None) -> jnp.ndarray:
-        """Block-Jacobi preconditioned CG (symmetric SWIPDG)."""
+                  factors=None, two_level: bool = False) -> jnp.ndarray:
+        """Block-Jacobi preconditioned CG (symmetric SWIPDG); optionally with
+        an additive coarse subdomain-constant level."""
         Ainv = factors if factors is not None else self.block_jacobi_factors()
 
-        def M(r):
-            return jnp.einsum("knm,km->kn", Ainv, r)
+        if two_level:
+            A0 = self.coarse_matrix()
+            lu0 = jax.scipy.linalg.lu_factor(A0)
+
+            def M(r):
+                fine = jnp.einsum("knm,km->kn", Ainv, r)
+                rc = jnp.sum(r, axis=1)
+                xc = jax.scipy.linalg.lu_solve(lu0, rc)
+                return fine + xc[:, None]
+        else:
+            def M(r):
+                return jnp.einsum("knm,km->kn", Ainv, r)
 
         def dot(u, v):
             return jnp.vdot(u, v)

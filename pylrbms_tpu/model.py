@@ -353,19 +353,31 @@ class InstationaryBlockModel:
         """Trajectory [nt+1, K, N] via lax.scan over implicit Euler steps.
 
         Time enters through the '_t' parameter in the rhs coefficients
-        (``artificial_channels_problem.py:96-98``); the operator is
-        time-independent, so its factorization is reused across all steps."""
+        (``artificial_channels_problem.py:96-98``); the operator
+        G = M + dt A(mu) is time-independent, so its factorization /
+        preconditioner is built once and reused across all steps.  Small
+        systems use a dense global LU; large ones block-Jacobi PCG on the
+        block operator (no global matrix is ever materialized)."""
+        from .la.block import AssembledBlockOp
         st = self.stationary
         mu = self.parse_parameter(mu)
         dt = self.T / self.nt
         A = st.assemble(mu)
-        # dense global (M + dt*A); factor once, reuse over the scan
-        G = A.to_dense() * dt
         K, N = st.space.K, st.space.N
-        M_dense = jax.scipy.linalg.block_diag(*[self.mass[k] for k in range(K)]) \
-            if K > 1 else self.mass[0]
-        G = G + M_dense
-        lu, piv = jax.scipy.linalg.lu_factor(G)
+        G_op = AssembledBlockOp(A.static, self.mass + dt * A.A_diag,
+                                dt * A.C_R_io, dt * A.C_R_oi,
+                                dt * A.C_U_io, dt * A.C_U_oi)
+        use_dense = K * N <= 6144
+        if use_dense:
+            lu, piv = jax.scipy.linalg.lu_factor(G_op.to_dense())
+
+            def solve_step(rhs):
+                return jax.scipy.linalg.lu_solve((lu, piv), rhs.reshape(-1)).reshape(K, N)
+        else:
+            factors = G_op.block_jacobi_factors()
+
+            def solve_step(rhs):
+                return G_op.solve_pcg(rhs, tol=1e-10, maxiter=500, factors=factors)
 
         rhs_q = st.rhs_q
         f_coeffs = st.f_coeffs
@@ -379,8 +391,7 @@ class InstationaryBlockModel:
             t_next = (n + 1.0) * dt
             f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
             rhs = jnp.einsum("knm,km->kn", self.mass, u) + dt * f
-            u_next = jax.scipy.linalg.lu_solve((lu, piv), rhs.reshape(-1))
-            u_next = u_next.reshape(K, N)
+            u_next = solve_step(rhs)
             return u_next, u_next
 
         u0 = jnp.zeros((K, N), st.dtype)

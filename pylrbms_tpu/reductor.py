@@ -33,7 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from .model import StationaryBlockModel
+from .la.block import AssembledBlockOp
 from .parameters import evaluate_coefficients
+
+# jitted projection functions keyed by (K, N, r_max, Q, Qf)
+_PROJECT_CACHE: dict = {}
 
 
 class ExtensionError(Exception):
@@ -284,125 +288,150 @@ class LRBMSReductor:
             return 0
 
     # ------------------------------------------------------------------
+    # the full blockwise projection as ONE jitted batched computation.
+    # r_max is bucketed (rounded up to a multiple of 4) so enrichment only
+    # recompiles when the padded width grows past a bucket boundary
+    # (SURVEY.md §7 hard part 1: growing bases vs XLA static shapes).
+    R_BUCKET = 4
+
+    @staticmethod
+    def _project(op_arrays, ed_arrays, rhs_q, V, mask, nbhd_rows, nbhd_valid,
+                 side_rows, edges):
+        """V [K, r_max, N] padded bases (rows masked), -> all reduced tensors."""
+        A_diag, C_R_io, C_R_oi, C_U_io, C_U_oi = op_arrays
+        E_bar, BB, M_aa, M_ab, d_vec, R_dd = ed_arrays
+        left_k, right_k, low_k, up_k = edges
+        K, r_max, N = V.shape
+        Q = A_diag.shape[0]
+        R = K * r_max
+
+        # --- reduced affine operator ---
+        diag = jnp.einsum("kan,qknm,kbm->qkab", V, A_diag, V)
+        kk = jnp.arange(K)
+        blk_r = (kk[:, None] * r_max + jnp.arange(r_max)[None, :])   # [K, r]
+        A_red = jnp.zeros((Q, R, R), V.dtype)
+        # scatter the K diagonal r x r blocks for all Q components at once
+        # (index arrays broadcast to [K, r, r] against the leading Q axis)
+        A_red = A_red.at[:, blk_r[:, :, None], blk_r[:, None, :]].add(diag)
+
+        def couple(A_red, C, k_out, k_in, rows_out, rows_in):
+            if k_out.size == 0:
+                return A_red
+            s, nb = C.shape[2], C.shape[3]
+            Vo = V[k_out][:, :, rows_out.reshape(-1)].reshape(-1, r_max, s, nb)
+            Vi = V[k_in][:, :, rows_in.reshape(-1)].reshape(-1, r_max, s, nb)
+            blk = jnp.einsum("eafi,qefij,ebfj->qeab", Vo, C, Vi)
+            ro = k_out[:, None] * r_max + jnp.arange(r_max)[None, :]
+            ri = k_in[:, None] * r_max + jnp.arange(r_max)[None, :]
+            return A_red.at[:, ro[:, :, None], ri[:, None, :]].add(blk)
+
+        A_red = couple(A_red, C_R_io, left_k, right_k,
+                       side_rows["right"], side_rows["left"])
+        A_red = couple(A_red, C_R_oi, right_k, left_k,
+                       side_rows["left"], side_rows["right"])
+        A_red = couple(A_red, C_U_io, low_k, up_k,
+                       side_rows["top"], side_rows["bottom"])
+        A_red = couple(A_red, C_U_oi, up_k, low_k,
+                       side_rows["bottom"], side_rows["top"])
+
+        # identity on padded rows keeps the dense solve well-posed
+        flat_mask = mask.reshape(R)          # 1 = real dof, 0 = padding
+        A_red = A_red * flat_mask[None, :, None] * flat_mask[None, None, :]
+        A_red = A_red.at[0].add(jnp.diag(1.0 - flat_mask))
+
+        b_red = jnp.einsum("qkn,krn->qkr", rhs_q, V).reshape(-1, R)
+        b_red = b_red * flat_mask[None, :]
+
+        # --- Oswald / flux / operator applies over all basis vectors ---
+        B_all = jnp.zeros((K * r_max, K, N), V.dtype)
+        B_all = B_all.at[blk_r.reshape(-1), jnp.repeat(kk, r_max), :].set(
+            V.reshape(K * r_max, N))
+        return A_red, b_red, B_all
+
     def reduce(self) -> ReducedModel:
         d = self.d
         sp = d.space
         K, N, Nrt = sp.K, sp.N, sp.N_rt
         sizes = self.basis_sizes()
         r_max = int(max(1, sizes.max()))
-        V = self._padded_bases(r_max)                      # [K, r_max, N]
+        r_max = -(-r_max // self.R_BUCKET) * self.R_BUCKET   # bucket
+        V = jnp.asarray(self._padded_bases(r_max))           # [K, r_max, N]
+        mask = jnp.asarray((np.arange(r_max)[None, :]
+                            < sizes[:, None]).astype(np.float64))
         ed = d.estimator.data
         Q = len(ed.lambda_funcs)
         Qf = len(d.f_coeffs)
-
-        # ---- reduced affine operator (diag + couplings) ----
-        A_diag = np.asarray(d.op.A_diag)                   # [Q, K, N, N]
-        R = K * r_max
-        A_red = np.zeros((Q, R, R))
-        for q in range(Q):
-            diag = np.einsum("kan,knm,kbm->kab", V, A_diag[q], V)
-            for k in range(K):
-                A_red[q, k * r_max:(k + 1) * r_max, k * r_max:(k + 1) * r_max] = diag[k]
         st = d.op.static
-        side_rows = st.side_rows
-
-        def couple(A_red, C, k_out, k_in, side_out, side_in):
-            C = np.asarray(C)                              # [Q, E, s, nb, nb]
-            ro = side_rows[side_out].reshape(-1)
-            ri = side_rows[side_in].reshape(-1)
-            for e, (ko, ki) in enumerate(zip(k_out, k_in)):
-                Vo = V[ko][:, ro].reshape(r_max, st.s, st.nb)
-                Vi = V[ki][:, ri].reshape(r_max, st.s, st.nb)
-                blk = np.einsum("afi,qfij,bfj->qab", Vo, C[:, e], Vi)
-                A_red[:, ko * r_max:(ko + 1) * r_max,
-                      ki * r_max:(ki + 1) * r_max] += blk
-            return A_red
-
-        A_red = couple(A_red, d.op.C_R_io, st.left_k, st.right_k, "right", "left")
-        A_red = couple(A_red, d.op.C_R_oi, st.right_k, st.left_k, "left", "right")
-        A_red = couple(A_red, d.op.C_U_io, st.low_k, st.up_k, "top", "bottom")
-        A_red = couple(A_red, d.op.C_U_oi, st.up_k, st.low_k, "bottom", "top")
-
-        # identity on padded rows keeps the dense solve well-posed
-        pad_mask = np.ones(R, dtype=bool)
-        for k in range(K):
-            pad_mask[k * r_max:k * r_max + sizes[k]] = False
-        A_red[:, pad_mask, :] = 0.0
-        A_red[:, :, pad_mask] = 0.0
-        A_red[0, pad_mask, pad_mask] = 1.0
-
-        b_red = np.einsum("qkn,krn->qkr", np.asarray(d.rhs_q), V).reshape(Qf, R)
-        b_red[:, pad_mask] = 0.0
-
-        # ---- projected estimator tensors ----
-        # stack all basis vectors as global block vectors, apply Oswald/flux once
-        B_all = np.zeros((K * r_max, K, N))
-        for k in range(K):
-            B_all[k * r_max:k * r_max + sizes[k], k] = self.bases[k]
-        B_all_j = jnp.asarray(B_all)
-        W_all = np.asarray(ed.oswald.apply(B_all_j))       # [K*r_max, K, N]
-        T_all = np.stack([np.asarray(ed.flux.apply(lf, B_all_j))
-                          for lf in ed.lambda_funcs])      # [Q, K*r_max, K, Nrt]
-
-        # ---- algebraic-residual Gramians for the greedy surrogate ----
-        # AV[q, r] = A_q applied to the r-th (zero-extended) basis vector;
-        # basis vectors are local, their images spread to face neighbors only.
-        eye_q = np.eye(Q)
-        AV = np.stack([np.asarray(d.op.assemble(jnp.asarray(eye_q[q])).apply(B_all_j))
-                       for q in range(Q)])                 # [Q, R, K, N]
-        rhs_np = np.asarray(d.rhs_q)
-        G_bb = np.einsum("pkn,rkn->pr", rhs_np, rhs_np)
-        G_Ab = np.einsum("qrkn,fkn->qfr", AV, rhs_np)
-        G_AA = np.einsum("prkn,qskn->pqrs", AV, AV)
 
         nbhd_idx = -np.ones((K, 9), dtype=np.int64)
         for k in range(K):
             nb_list = d.grid.neighborhood_of(k)
             nbhd_idx[k, :len(nb_list)] = nb_list
+        # neighborhood gather rows [K, P] into the stacked basis axis
+        rows = np.where(nbhd_idx[:, :, None] >= 0,
+                        nbhd_idx[:, :, None] * r_max + np.arange(r_max)[None, None, :],
+                        -1).reshape(K, 9 * r_max)
+        valid = (rows >= 0)
+        rows_safe = np.where(valid, rows, 0)
 
-        P = 9 * r_max
-        E_bar = np.asarray(ed.E_bar)
-        BB = np.asarray(ed.BB)
-        M_aa = np.asarray(ed.M_aa)
-        M_ab = np.asarray(ed.M_ab)
-        d_vec = np.asarray(ed.d_vec)
-        R_dd = np.asarray(ed.R_dd)
+        op_arrays = (d.op.A_diag, d.op.C_R_io, d.op.C_R_oi, d.op.C_U_io, d.op.C_U_oi)
+        ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec, ed.R_dd)
+        side_rows = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
+        edges = (st.left_k, st.right_k, st.low_k, st.up_k)
 
-        G_nc = np.zeros((K, P, P))
-        BBT = np.zeros((Q, Q, K, P, P))
-        RD = np.zeros((Q, Q, K, P, P))
-        ABT = np.zeros((Q, Q, K, r_max, P))
-        DV = np.zeros((Qf, Q, K, P))
-        AA = np.einsum("prknm,kan,kbm->prkab", M_aa, V, V)
-        for k in range(K):
-            rows = []
-            for j in range(9):
-                ss = nbhd_idx[k, j]
-                if ss < 0:
-                    rows.extend([-1] * r_max)
-                else:
-                    rows.extend(range(ss * r_max, ss * r_max + r_max))
-            rows = np.asarray(rows)
-            valid = rows >= 0
-            rr = np.where(valid, rows, 0)
-            Wk = W_all[rr][:, k, :] * valid[:, None]       # [P, N]
-            G_nc[k] = Wk @ E_bar[k] @ Wk.T
-            Tk = T_all[:, rr, k, :] * valid[None, :, None]  # [Q, P, Nrt]
-            BBT[:, :, k] = np.einsum("pur,rs,qvs->pquv", Tk, BB[k], Tk)
-            RD[:, :, k] = np.einsum("pur,rs,qvs->pquv", Tk, R_dd[k], Tk)
-            ABT[:, :, k] = np.einsum("an,pnr,qur->pqau",
-                                     V[k], M_ab[:, k], Tk)
-            DV[:, :, k] = np.einsum("fr,qur->fqu", d_vec[:, k], Tk)
+        # per-reductor jit cache (the traced closure captures this model's
+        # coefficient functions); keyed by the bucketed padded width
+        if not hasattr(self, "_project_cache"):
+            self._project_cache = {}
+        key = (K, N, r_max, Q, Qf)
+        fn = self._project_cache.get(key)
+        if fn is None:
+            lam_funcs = ed.lambda_funcs
+            oswald, flux = ed.oswald, ed.flux
+
+            def _full(op_arrays, ed_arrays, rhs_q, V, mask, rows_safe, valid_f):
+                A_red, b_red, B_all = LRBMSReductor._project(
+                    op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
+                    mask, None, None, side_rows, edges)
+                E_bar, BB, M_aa, M_ab, d_vec, R_dd = ed_arrays
+                W_all = oswald.apply(B_all)                          # [R, K, N]
+                T_all = jnp.stack([flux.apply(lf, B_all) for lf in lam_funcs])
+                A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
+                AV = jnp.stack([
+                    AssembledBlockOp(st, A_diag_q[q], CRio[q], CRoi[q],
+                                     CUio[q], CUoi[q]).apply(B_all)
+                    for q in range(len(lam_funcs))])                 # [Q, R, K, N]
+                G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
+                G_Ab = jnp.einsum("qrkn,fkn->qfr", AV, rhs_q)
+                G_AA = jnp.einsum("prkn,qskn->pqrs", AV, AV)
+
+                kk = jnp.arange(K)
+                Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
+                Tk = (T_all[:, rows_safe, kk[:, None], :]
+                      * valid_f[None, :, :, None])                   # [Q, K, P, Nrt]
+                G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
+                BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
+                RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)
+                Vm = V * mask[:, :, None]
+                AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
+                ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
+                DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
+                return dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
+                            ABT=ABT, BBT=BBT, DV=DV, RD=RD,
+                            G_bb=G_bb, G_Ab=G_Ab, G_AA=G_AA)
+
+            fn = jax.jit(_full)
+            self._project_cache[key] = fn
+
+        out = fn(op_arrays, ed_arrays, d.rhs_q, V, mask,
+                 jnp.asarray(rows_safe), jnp.asarray(valid, V.dtype))
 
         return ReducedModel(
-            reductor=self,
-            A_red=jnp.asarray(A_red), b_red=jnp.asarray(b_red),
+            reductor=self, A_red=out["A_red"], b_red=out["b_red"],
             sizes=sizes, r_max=r_max, nbhd_idx=nbhd_idx,
-            G_nc=jnp.asarray(G_nc), AA=jnp.asarray(AA), ABT=jnp.asarray(ABT),
-            BBT=jnp.asarray(BBT), DV=jnp.asarray(DV), RD=jnp.asarray(RD),
-            rf_qq=ed.rf_qq, min_ev=ed.min_ev, diam=ed.diam,
-            G_bb=jnp.asarray(G_bb), G_Ab=jnp.asarray(G_Ab),
-            G_AA=jnp.asarray(G_AA))
+            G_nc=out["G_nc"], AA=out["AA"], ABT=out["ABT"], BBT=out["BBT"],
+            DV=out["DV"], RD=out["RD"], rf_qq=ed.rf_qq, min_ev=ed.min_ev,
+            diam=ed.diam, G_bb=out["G_bb"], G_Ab=out["G_Ab"], G_AA=out["G_AA"])
 
 
 class ParallelLRBMSReductor(LRBMSReductor):
