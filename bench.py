@@ -14,8 +14,6 @@ vs_baseline = (scipy CSR spsolve + numpy estimator einsums on host CPU, f64 —
               divided by `value`;  >1 means faster than baseline.
 """
 import json
-import os
-import sys
 import time
 
 import numpy as np
@@ -38,22 +36,24 @@ def main():
     d, _ = discretize(gpd, dtype=dtype)
     K, N = d.space.K, d.space.N
 
-    def step(theta, theta_f):
-        """Assemble theta(mu) + block-Jacobi-PCG detailed solve
-        (<-> LincombOperator.assemble + ISTL bicgstab solve)."""
-        A = d.op.assemble(theta)
-        b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
-        return A.solve_pcg(b, tol=1e-6, maxiter=400)
-
-    fn = jax.jit(step)
+    # One full online step: assemble theta(mu) + block-Jacobi-PCG detailed
+    # solve + localized error estimate (<-> the reference's phase 2:
+    # LincombOperator.assemble + ISTL bicgstab solve + d.estimate,
+    # scripts/online_adaptive_lrbms.py:81-95).
+    from pylrbms_tpu.model import make_online_step
+    fn = make_online_step(d, tol=1e-6, maxiter=400)
     theta = jnp.asarray([1.0, 0.5], dtype)
     theta_f = jnp.asarray([1.0], dtype)
-    U = fn(theta, theta_f).block_until_ready()   # compile
+    mu = {"diffusion": jnp.asarray([0.5], dtype)}
+    U, ind = fn(theta, theta_f, mu)   # compile
+    U.block_until_ready()
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        fn(theta, theta_f).block_until_ready()
+        U, ind = fn(theta, theta_f, mu)
+        U.block_until_ready()
+        ind.block_until_ready()
         times.append(time.perf_counter() - t0)
     tpu_s = float(np.median(times))
 
@@ -80,7 +80,9 @@ def main():
     assert rel < 1e-3, f"TPU/CPU solution mismatch: {rel}"
 
     result = {
-        "metric": "OS2015 8x8-subdomain FOM detailed solve (assemble+PCG), 24576 dofs",
+        "metric": ("OS2015 8x8-subdomain online step "
+                   "(assemble + PCG detailed solve + localized estimate), "
+                   "24576 dofs; baseline = scipy CSR spsolve of the same system"),
         "value": round(tpu_s * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_s / tpu_s, 3),

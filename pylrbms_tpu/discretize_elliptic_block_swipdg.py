@@ -19,8 +19,6 @@ Returns ``(model, data)`` like the reference's ``discretize`` (:530).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -36,8 +34,7 @@ from .la.block import AffineBlockOp
 from .estimators import EstimatorData, EllipticEstimator
 from .model import StationaryBlockModel
 from .parameters import (CubicParameterSpace, parse_parameter,
-                         evaluate_coefficients, as_functional,
-                         ProductParameterFunctional)
+                         evaluate_coefficients, as_functional)
 
 
 def _affine(obj):

@@ -34,14 +34,14 @@ parabolic estimate.  We implement the general affine-f residual instead.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .parameters import evaluate_coefficients, as_functional
+from .parameters import evaluate_coefficients
 from .ops.oswald import OswaldOperator
 from .ops.fluxreco import FluxReconstructor
 
@@ -105,7 +105,7 @@ class EllipticEstimator:
         return jnp.einsum("q,q...->...", theta, t_q)
 
     def local_quantities(self, U, mu, elliptic_reconstruction: bool = False,
-                         d_model=None):
+                         d_model=None, tensors: dict | None = None):
         """Per-subdomain squared quantities; U [..., K, N] -> each [..., K].
 
         ``elliptic_reconstruction`` adds the parabolic extension of the
@@ -116,17 +116,28 @@ class EllipticEstimator:
                        - 2 (M^-1(Bu - F))^T L2 div(t)      per subdomain.
         """
         d = self.data
+        # `tensors` lets jitted callers pass the big per-subdomain tensors as
+        # *arguments* instead of captured constants (which would be embedded
+        # in the HLO — prohibitive for remote compilation)
+        g = (tensors or {}).get
+        E_bar = g("E_bar", d.E_bar)
+        BB_t = g("BB", d.BB)
+        M_aa = g("M_aa", d.M_aa)
+        M_ab = g("M_ab", d.M_ab)
+        d_vec = g("d_vec", d.d_vec)
+        R_dd = g("R_dd", d.R_dd)
+        L2_t = g("L2", d.L2)
         theta = evaluate_coefficients(d.lambda_coeffs, mu)
         theta_f = evaluate_coefficients(d.f_coeffs, mu)
 
         t = self.reconstruct_flux(U, mu)                       # [..., K, Nrt]
         U_o = d.oswald.apply(U)
 
-        eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, d.E_bar, U_o)
+        eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, E_bar, U_o)
 
         rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, d.rf_qq)
-        r_fd = jnp.einsum("p,pkn,...kn->...k", theta_f, d.d_vec, t)
-        r_dd = jnp.einsum("...kn,knm,...km->...k", t, d.R_dd, t)
+        r_fd = jnp.einsum("p,pkn,...kn->...k", theta_f, d_vec, t)
+        r_dd = jnp.einsum("...kn,knm,...km->...k", t, R_dd, t)
         eta_r = rf - 2.0 * r_fd + r_dd
 
         if elliptic_reconstruction:
@@ -137,17 +148,17 @@ class EllipticEstimator:
             F_R = d_model.l2_solve(F)
             BUF_R = BU_R - F_R
             div_t = jnp.einsum("nr,...kr->...kn", d.A_div, t)
-            eta_r = eta_r + jnp.einsum("...kn,knm,...km->...k", BU_R, d.L2, BU_R)
-            eta_r = eta_r - jnp.einsum("...kn,knm,...km->...k", F_R, d.L2, F_R)
+            eta_r = eta_r + jnp.einsum("...kn,knm,...km->...k", BU_R, L2_t, BU_R)
+            eta_r = eta_r - jnp.einsum("...kn,knm,...km->...k", F_R, L2_t, F_R)
             eta_r = eta_r - 2.0 * jnp.einsum("...kn,knm,...km->...k",
-                                             BUF_R, d.L2, div_t)
+                                             BUF_R, L2_t, div_t)
 
         scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
         eta_r = eta_r * scale
 
-        aa = jnp.einsum("p,r,prknm,...kn,...km->...k", theta, theta, d.M_aa, U, U)
-        bb = jnp.einsum("...kn,knm,...km->...k", t, d.BB, t)
-        ab = jnp.einsum("p,pknm,...kn,...km->...k", theta, d.M_ab, U, t)
+        aa = jnp.einsum("p,r,prknm,...kn,...km->...k", theta, theta, M_aa, U, U)
+        bb = jnp.einsum("...kn,knm,...km->...k", t, BB_t, t)
+        ab = jnp.einsum("p,pknm,...kn,...km->...k", theta, M_ab, U, t)
         eta_df = aa + bb + 2.0 * ab
         return eta_nc, eta_r, eta_df
 

@@ -14,7 +14,7 @@ estimator is batched einsums), instead of a Python loop over parameters.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax

@@ -33,7 +33,7 @@ Topology/geometry queries mirror the dune grid API used by the reference:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Tuple
 
 import numpy as np

@@ -25,15 +25,12 @@ Solvers:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..ops.spaces import BlockDGSpace
-from ..ops.swipdg import SwipdgComponent, edge_lists, fold_diag
+from ..ops.swipdg import edge_lists, fold_diag
 
 
 @dataclass

@@ -13,7 +13,7 @@ estimator, the parameter space, and the enrichment machinery
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -317,6 +317,49 @@ class StationaryBlockModel:
     def visualize(self, U, filename: str):   # pragma: no cover
         from .utils.vtk import write_dg_vtu
         write_dg_vtu(self.space, np.asarray(U), filename)
+
+
+def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
+                     maxiter: int = 400, with_estimate: bool = True):
+    """Jitted online step ``(theta, theta_f, mu) -> (U[, indicators])``.
+
+    All large per-subdomain tensors are passed as jit *arguments* (donated
+    via a pytree dict), never captured — captured arrays become constants
+    embedded in the HLO, which breaks remote compilation and bloats caches.
+    """
+    from .la.block import AssembledBlockOp
+    st = d.op.static
+    arrays = {"A_diag": d.op.A_diag, "C_R_io": d.op.C_R_io,
+              "C_R_oi": d.op.C_R_oi, "C_U_io": d.op.C_U_io,
+              "C_U_oi": d.op.C_U_oi, "rhs_q": d.rhs_q}
+    est = d.estimator
+    if with_estimate and est is not None:
+        ed = est.data
+        arrays.update(E_bar=ed.E_bar, BB=ed.BB, M_aa=ed.M_aa, M_ab=ed.M_ab,
+                      d_vec=ed.d_vec, R_dd=ed.R_dd, L2=ed.L2)
+
+    @jax.jit
+    def _step(arrays, theta, theta_f, mu):
+        A = AssembledBlockOp(
+            st,
+            jnp.einsum("q,qkij->kij", theta, arrays["A_diag"]),
+            jnp.einsum("q,qefij->efij", theta, arrays["C_R_io"]),
+            jnp.einsum("q,qefij->efij", theta, arrays["C_R_oi"]),
+            jnp.einsum("q,qefij->efij", theta, arrays["C_U_io"]),
+            jnp.einsum("q,qefij->efij", theta, arrays["C_U_oi"]))
+        b = jnp.einsum("q,qkn->kn", theta_f, arrays["rhs_q"])
+        U = A.solve_pcg(b, tol=tol, maxiter=maxiter)
+        if not (with_estimate and est is not None):
+            return U
+        nc, r, df = est.local_quantities(U, mu, tensors=arrays)
+        return U, nc + r + df
+
+    def step(theta, theta_f, mu=None):
+        if mu is None:
+            mu = {}
+        return _step(arrays, theta, theta_f, mu)
+
+    return step
 
 
 @dataclass

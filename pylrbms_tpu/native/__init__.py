@@ -10,7 +10,6 @@ from __future__ import annotations
 import importlib.util
 import os
 import subprocess
-import sys
 import sysconfig
 from functools import lru_cache
 
@@ -51,7 +50,6 @@ def assemble_swipdg_p1_csr(space, lam_fn, ipdg=None):
     assembler.  Coefficients are tabulated at quadrature points in numpy and
     handed to C++ (mirrors dune's function-interface split)."""
     import scipy.sparse as sp
-    from ..ops import assembly as asm
     from ..ops.assembly import DEFAULT_IPDG, _EVAL_EPS
 
     ipdg = ipdg or DEFAULT_IPDG

@@ -27,7 +27,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .spaces import BlockDGSpace
-from . import assembly as asm
 from .assembly import IPDGParams, DEFAULT_IPDG, _EVAL_EPS
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .spaces import BlockDGSpace
 from . import assembly as asm
 from .assembly import IPDGParams, DEFAULT_IPDG
-from .swipdg import _interior_face_sets, edge_lists
+from .swipdg import _interior_face_sets
 
 
 @dataclass
@@ -76,9 +76,7 @@ def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
     Hq = faces("H", sets["H"][0], sets["H"][1], (s - 1, s)) if s > 1 else \
         tuple(jnp.zeros((K, 0, s, nb, nb), dtype) for _ in range(4))
 
-    # reuse the component machinery for interface / boundary strips
-    from .swipdg import assemble_swipdg_component
-    comp = None  # avoid re-assembling everything: build strips directly
+    # interface / boundary strips (same integrands, assembled directly)
     grid = space.grid
     org = origins.reshape(grid.ky, grid.kx, 2)
     r = np.arange(s)

@@ -73,7 +73,6 @@ def df_aa(space: BlockDGSpace, lam_u, lam_v, lam_hat, kappa_fn=None, dtype=jnp.f
     """[K, N, N]: int (lam_u lam_v / lam_hat) grad(phi_i) . kappa grad(phi_j)."""
     def weight(x):
         return lam_u(x) * lam_v(x) / lam_hat(x)
-    from ..functions import ScalarFunction
     return asm.volume_elliptic(space, weight, kappa_fn, dtype)
 
 

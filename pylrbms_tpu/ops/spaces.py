@@ -27,9 +27,9 @@ adjacent local spaces, matching dune-gdt's restricted RT spaces,
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -54,9 +54,7 @@ def parse_parameter(parameter_type: ParameterType, mu) -> Mu:
             shape = _normalize_shape(shape)
             if k not in mu:
                 raise ValueError(f"missing parameter component {k!r}")
-            out[k] = jnp.reshape(jnp.asarray(mu[k], dtype=jnp.float64
-                                             if jnp.zeros(()).dtype == jnp.float64 else None), shape) \
-                if False else jnp.reshape(jnp.asarray(mu[k]), shape)
+            out[k] = jnp.reshape(jnp.asarray(mu[k]), shape)
         # keep extra keys (e.g. '_t') around
         for k, v in mu.items():
             if k not in out:

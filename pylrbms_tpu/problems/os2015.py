@@ -5,7 +5,7 @@
   kappa = I, f = pi^2/2 * c   (``OS2015_academic_problem.py:35-50``)
 At mu = 1: lambda == 1 and u = c is the exact solution.
 """
-from ..grid import make_grid, make_boundary_info, grid_info
+from ..grid import make_grid, make_boundary_info
 from ..functions import (make_expression_function_1x1,
                          make_constant_function_2x2)
 from ..parameters import ExpressionParameterFunctional

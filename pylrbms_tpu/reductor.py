@@ -25,8 +25,8 @@ MPI operator summation but its reduction path is dead code (early return at
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
 import numpy as np
 import jax
@@ -295,8 +295,7 @@ class LRBMSReductor:
     R_BUCKET = 4
 
     @staticmethod
-    def _project(op_arrays, ed_arrays, rhs_q, V, mask, nbhd_rows, nbhd_valid,
-                 side_rows, edges):
+    def _project(op_arrays, ed_arrays, rhs_q, V, mask, side_rows, edges):
         """V [K, r_max, N] padded bases (rows masked), -> all reduced tensors."""
         A_diag, C_R_io, C_R_oi, C_U_io, C_U_oi = op_arrays
         E_bar, BB, M_aa, M_ab, d_vec, R_dd = ed_arrays
@@ -392,7 +391,7 @@ class LRBMSReductor:
             def _full(op_arrays, ed_arrays, rhs_q, V, mask, rows_safe, valid_f):
                 A_red, b_red, B_all = LRBMSReductor._project(
                     op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
-                    mask, None, None, side_rows, edges)
+                    mask, side_rows, edges)
                 E_bar, BB, M_aa, M_ab, d_vec, R_dd = ed_arrays
                 W_all = oswald.apply(B_all)                          # [R, K, N]
                 T_all = jnp.stack([flux.apply(lf, B_all) for lf in lam_funcs])

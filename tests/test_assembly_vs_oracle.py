@@ -76,3 +76,19 @@ def test_volume_mass_integrates_constants():
     ones = np.ones((space.K, space.N))
     total = np.einsum("kn,knm,km->", ones, M, ones)
     assert abs(total - 2.0) < 1e-13  # domain area
+
+
+def test_two_level_pcg_matches_dense():
+    import jax.numpy as jnp
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = init_grid_and_problem({'num_subdomains': [3, 3],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    A = d.op.assemble(jnp.asarray([1.0, 0.7]))
+    b = d.rhs_q[0]
+    x_dense = A.solve_dense(b)
+    x_tl = A.solve_pcg(b, tol=1e-13, maxiter=1000, two_level=True)
+    err = float(jnp.abs(x_tl - x_dense).max() / jnp.abs(x_dense).max())
+    assert err < 1e-9, err
