@@ -39,12 +39,15 @@ def _stack_mus(mus):
     return {k: jnp.stack([jnp.asarray(mu[k]) for mu in mus]) for k in keys}
 
 
-def batched_estimates(rd, mus_stacked, criterion: str = "estimator"):
+def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
     """Error surrogate for every training parameter in one jitted vmapped
     call.  criterion='residual' uses the algebraic-residual dual norm (goes
     to 0 as ROM -> FOM: the greedy driver); 'estimator' uses the LRBMS
     total-error estimator (floored by the discretization error: the
-    certification quantity)."""
+    certification quantity).
+
+    With ``mesh`` (a 1D jax.sharding.Mesh) the training batch is sharded over
+    the devices — the greedy's inner loop is embarrassingly parallel in mu."""
 
     def one(mu):
         c = rd.solve(mu)
@@ -52,6 +55,21 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator"):
             return rd.residual_norm(c, mu)
         return rd.estimate(c, mu)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n = mesh.devices.size
+        B = next(iter(mus_stacked.values())).shape[0]
+        pad = (-B) % n
+        if pad:
+            mus_stacked = {k: jnp.concatenate([v, v[:pad]]) for k, v in
+                           mus_stacked.items()}
+        sh = NamedSharding(mesh, P(axis))
+        mus_stacked = {k: jax.device_put(v, NamedSharding(
+            mesh, P(*( (axis,) + (None,) * (v.ndim - 1) ))))
+            for k, v in mus_stacked.items()}
+        out = jax.jit(jax.vmap(one), out_shardings=sh)(mus_stacked)
+        return out[:B]
     return jax.jit(jax.vmap(one))(mus_stacked)
 
 

@@ -198,6 +198,7 @@ class AssembledBlockOp:
                   factors=None, two_level: bool = False) -> jnp.ndarray:
         """Block-Jacobi preconditioned CG (symmetric SWIPDG); optionally with
         an additive coarse subdomain-constant level."""
+        b = b.astype(self.A_diag.dtype)   # keep the while_loop carry uniform
         Ainv = factors if factors is not None else self.block_jacobi_factors()
 
         if two_level:
@@ -242,6 +243,36 @@ class AssembledBlockOp:
             return (x, r, z, p, rz_new, it + 1)
 
         x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+        return x
+
+    def solve_refined(self, b: jnp.ndarray, tol: float = 1e-10,
+                      maxiter: int = 400, refinements: int = 3) -> jnp.ndarray:
+        """Mixed-precision iterative refinement (SURVEY.md §7 hard part 2):
+        inner block-Jacobi PCG in float32 (fast on TPU), residual
+        recomputation and solution accumulation in float64.  Each refinement
+        recovers ~7 digits, so 2-3 rounds reach ~1e-10 even though the
+        Krylov work never leaves f32."""
+        st = self.static
+        b64 = b.astype(jnp.float64)
+        A32 = AssembledBlockOp(st, self.A_diag.astype(jnp.float32),
+                               self.C_R_io.astype(jnp.float32),
+                               self.C_R_oi.astype(jnp.float32),
+                               self.C_U_io.astype(jnp.float32),
+                               self.C_U_oi.astype(jnp.float32))
+        factors32 = A32.block_jacobi_factors()
+        A64 = AssembledBlockOp(st, self.A_diag.astype(jnp.float64),
+                               self.C_R_io.astype(jnp.float64),
+                               self.C_R_oi.astype(jnp.float64),
+                               self.C_U_io.astype(jnp.float64),
+                               self.C_U_oi.astype(jnp.float64))
+        x = jnp.zeros_like(b64)
+        r = b64
+        for _ in range(refinements):
+            scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
+            dx32 = A32.solve_pcg((r / scale).astype(jnp.float32),
+                                 tol=1e-7, maxiter=maxiter, factors=factors32)
+            x = x + scale * dx32.astype(jnp.float64)
+            r = b64 - A64.apply(x)
         return x
 
     def solve(self, b: jnp.ndarray, options: dict | None = None) -> jnp.ndarray:

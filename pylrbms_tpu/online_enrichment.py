@@ -40,7 +40,8 @@ class AdaptiveEnrichment:
     def __init__(self, grid_and_problem_data, discretization, block_space,
                  reductor, rd, target_error: float,
                  marking_doerfler_theta: float = 0.33,
-                 marking_max_age: int = 4):
+                 marking_max_age: int = 4,
+                 batched_correctors: bool = True):
         self.grid_and_problem_data = grid_and_problem_data
         self.discretization = discretization
         self.block_space = block_space
@@ -49,6 +50,8 @@ class AdaptiveEnrichment:
         self.target_error = float(target_error)
         self.marking_doerfler_theta = float(marking_doerfler_theta)
         self.marking_max_age = int(marking_max_age)
+        self.batched_correctors = batched_correctors
+        self._corrector = None
         self.logger = getLogger("pylrbms.online_enrichment")
 
     def estimate(self, u, mu, decompose: bool = False):
@@ -64,8 +67,23 @@ class AdaptiveEnrichment:
             f"+ {len(marked) - n_doerfler} (age)")
         # reconstruct once, before the bases change mid-round
         u_full = self.rd.reconstruct(u)
-        for ii in sorted(marked):
-            self.reductor.enrich_local(ii, u, mu, current_solution=u_full)
+        if self.batched_correctors:
+            # all marked patches in ONE on-device masked-PCG solve
+            from .ops.corrector import BatchedCorrector
+            from .reductor import ExtensionError
+            if self._corrector is None:
+                self._corrector = BatchedCorrector(self.discretization)
+            marked_sorted = sorted(marked)
+            W = self._corrector.solve(marked_sorted, mu,
+                                      current_solution=u_full)
+            for i, ii in enumerate(marked_sorted):
+                try:
+                    self.reductor.extend_basis_local(ii, np.asarray(W[i]))
+                except ExtensionError:
+                    pass
+        else:
+            for ii in sorted(marked):
+                self.reductor.enrich_local(ii, u, mu, current_solution=u_full)
         self.rd = self.reductor.reduce()
         for ii in range(self.block_space.K):
             age_count[ii] = 1 if ii in marked else age_count[ii] + 1

@@ -88,11 +88,15 @@ def scatter_vec(b, vals, rows):
 # ---------------------------------------------------------------------------
 
 def _vol_points(space: BlockDGSpace):
-    """[K, s, s, T, nq, 2] physical volume quadrature points (numpy)."""
-    org = (space.subdomain_origins[:, None, None, :]
-           + space.cell_origins_local[None, :, :, :])          # [K, s, s, 2]
+    """[K, s, s, T, nq, 2] physical volume quadrature points.
+
+    Built with jnp broadcasting from small static tables so that, under jit,
+    only O(K + s^2 + nq) constants are embedded in the HLO (the expanded
+    array would be prohibitive for remote compilation at scale)."""
+    org = (jnp.asarray(space.subdomain_origins)[:, None, None, :]
+           + jnp.asarray(space.cell_origins_local)[None, :, :, :])  # [K, s, s, 2]
     scale = np.array([space.hx, space.hy])
-    qp = space.vol_qp * scale                                  # [T, nq, 2]
+    qp = jnp.asarray(space.vol_qp * scale)                     # [T, nq, 2]
     return org[:, :, :, None, None, :] + qp[None, None, None]
 
 
@@ -171,15 +175,17 @@ def _face_phys_points(space: BlockDGSpace, tab: FaceTab, cy, cx, origins):
     """Physical quad points & one-sided evaluation points for a batch of faces.
 
     cy, cx: [F] minus-side cell coords (within subdomain); origins [K, 2].
-    Returns (x_m_eval, x_p_eval) each [K, F, nqf, 2] (numpy).
+    Returns (x, x_m_eval, x_p_eval) each [K, F, nqf, 2], built with jnp
+    broadcasting from small tables (jit-constant-size O(K + F + nqf)).
     plus-side cell offset is inferred from the family tabs (pts_unit_p lives in
     the *plus* cell whose origin differs by one cell for V/H families).
     """
     scale = np.array([space.hx, space.hy])
     cell_org = np.stack([cx * space.hx, cy * space.hy], axis=-1)       # [F, 2]
-    base = origins[:, None, :] + cell_org[None, :, :]                  # [K, F, 2]
-    x = base[:, :, None, :] + (tab.pts_unit_m * scale)[None, None]     # [K,F,nqf,2]
-    cen_m = base[:, :, None, :] + (tab.centroid_m * scale)[None, None]
+    base = (jnp.asarray(origins)[:, None, :]
+            + jnp.asarray(cell_org)[None, :, :])                       # [K, F, 2]
+    x = base[:, :, None, :] + jnp.asarray(tab.pts_unit_m * scale)[None, None]
+    cen_m = base[:, :, None, :] + jnp.asarray(tab.centroid_m * scale)[None, None]
     x_m = x + _EVAL_EPS * (cen_m - x)
     if tab.phi_p is None:
         return x, x_m, None
@@ -190,8 +196,8 @@ def _face_phys_points(space: BlockDGSpace, tab: FaceTab, cy, cx, origins):
         shift = np.array([0.0, space.hy])
     else:
         shift = np.zeros(2)
-    base_p = base + shift
-    cen_p = base_p[:, :, None, :] + (tab.centroid_p * scale)[None, None]
+    cen_p = (base[:, :, None, :]
+             + jnp.asarray(shift + tab.centroid_p * scale)[None, None])
     x_p = x + _EVAL_EPS * (cen_p - x)
     return x, x_m, x_p
 

@@ -1,0 +1,194 @@
+"""Batched oversampled-patch corrector solves (online enrichment, on device).
+
+``model.solve_for_local_correction`` assembles and LU-solves one dense patch
+system per marked subdomain on host (faithful to the reference's per-subdomain
+neighborhood walks, ``discretize_elliptic_block_swipdg.py:227-316``).  This
+module is the TPU-shaped version: ALL marked subdomains are solved at once by
+masked PCG on the union space [B, K, N]:
+
+* the patch operator is the affine block operator with (i) couplings gated by
+  "both endpoints inside the patch" and (ii) the one-sided Dirichlet penalty
+  blocks added on every subdomain side whose neighbor is outside the patch
+  (or on the physical boundary) — exactly the fresh neighborhood SWIPDG
+  assembly, expressed as masks over precomputed pieces;
+* the masked system is SPD on the patch subspace; starting from 0 with a
+  masked preconditioner, PCG never leaves it;
+* the preconditioner is the (theta-assembled) inverse of the local
+  all-Dirichlet diagonal blocks — computed once per parameter, shared by all
+  patches.
+
+Correctness is pinned against the host dense patch solver in
+tests/test_corrector.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class BatchedCorrector:
+    SIDES = ("left", "right", "bottom", "top")
+
+    def __init__(self, d):
+        self.d = d
+        grid, sp = d.grid, d.space
+        K = sp.K
+        st = d.op.static
+        self.st = st
+        # neighbor table [K, 4] (-1 = physical boundary)
+        nbr = -np.ones((K, 4), dtype=np.int64)
+        step = {"left": (-1, 0), "right": (1, 0), "bottom": (0, -1), "top": (0, 1)}
+        for k in range(K):
+            sx, sy = grid.subdomain_coords(k)
+            for i, side in enumerate(self.SIDES):
+                dx, dy = step[side]
+                nx_, ny_ = sx + dx, sy + dy
+                if 0 <= nx_ < grid.kx and 0 <= ny_ < grid.ky:
+                    nbr[k, i] = grid.subdomain_index(nx_, ny_)
+        self.nbr = nbr
+        # patch membership [K, K]: patch_mask[k] = indicator of neighborhood_of(k)
+        pm = np.zeros((K, K))
+        for k in range(K):
+            pm[k, grid.neighborhood_of(k)] = 1.0
+        self.patch_mask_table = jnp.asarray(pm)
+        self.side_rows = {s: jnp.asarray(st.side_rows[s].reshape(-1))
+                          for s in self.SIDES}
+        # component arrays
+        comps = d.components
+        self.A_loc = jnp.stack([c.A_loc for c in comps])            # [Q,K,N,N]
+        self.D_side = {s: jnp.stack([c.D_side[s] for c in comps])   # [Q,K,s,nb,nb]
+                       for s in self.SIDES}
+        self.R = {nm: jnp.stack([getattr(c, "R_" + nm) for c in comps])
+                  for nm in ("in_in", "in_out", "out_in", "out_out")}
+        self.U = {nm: jnp.stack([getattr(c, "U_" + nm) for c in comps])
+                  for nm in ("in_in", "in_out", "out_in", "out_out")}
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    def _make_solver(self, B: int, tol: float, maxiter: int):
+        st = self.st
+        K, N, s, nb = st.K, st.N, st.s, st.nb
+        nbr = jnp.asarray(self.nbr)
+        side_rows = self.side_rows
+        pm_table = self.patch_mask_table
+        left_k = jnp.asarray(st.left_k)
+        right_k = jnp.asarray(st.right_k)
+        low_k = jnp.asarray(st.low_k)
+        up_k = jnp.asarray(st.up_k)
+
+        def solve(arrays, theta, marked, rhs_full):
+            A_loc = jnp.einsum("q,qknm->knm", theta, arrays["A_loc"])
+            D = {sd: jnp.einsum("q,qkfij->kfij", theta, arrays["D_" + sd])
+                 for sd in self.SIDES}
+            Rq = {nm: jnp.einsum("q,qefij->efij", theta, arrays["R_" + nm])
+                  for nm in ("in_in", "in_out", "out_in", "out_out")}
+            Uq = {nm: jnp.einsum("q,qefij->efij", theta, arrays["U_" + nm])
+                  for nm in ("in_in", "in_out", "out_in", "out_out")}
+
+            pmask = pm_table[marked]                      # [B, K]
+            # neighbor-inside-patch [B, K, 4]
+            nbr_safe = jnp.where(nbr >= 0, nbr, 0)
+            nbr_in = jnp.where(nbr[None] >= 0, pmask[:, nbr_safe], 0.0)
+            # Dirichlet on side i of member k iff k in patch and neighbor not
+            dir_mask = pmask[:, :, None] * (1.0 - nbr_in)               # [B, K, 4]
+
+            # preconditioner: all-Dirichlet local diag, inverted once
+            A_dir = A_loc
+            for i, sd in enumerate(self.SIDES):
+                rows = side_rows[sd].reshape(s, nb)
+                A_dir = A_dir.at[:, rows[:, :, None], rows[:, None, :]].add(D[sd])
+            Minv = jnp.linalg.inv(A_dir)
+
+            def emb(update, rows):
+                z = jnp.zeros(update.shape[:-1] + (N,), update.dtype)
+                return z.at[..., rows].add(update)
+
+            def apply(x):                                  # x [B, K, N]
+                y = jnp.einsum("knm,bkm->bkn", A_loc, x)
+                for i, sd in enumerate(self.SIDES):
+                    rows = side_rows[sd]
+                    xs = x[..., rows].reshape(B, K, s, nb)
+                    upd = jnp.einsum("kfij,bkfj->bkfi", D[sd], xs)
+                    y = y + dir_mask[:, :, i, None] * emb(
+                        upd.reshape(B, K, s * nb), rows)
+                # couplings gated by both-in-patch
+                def couple(y, Cii, Cio, Coi, Coo, kl, kr, rows_l, rows_r):
+                    if kl.size == 0:
+                        return y
+                    gate = (pmask[:, kl] * pmask[:, kr])[:, :, None]   # [B, E, 1]
+                    xl = x[:, kl][..., rows_l].reshape(B, -1, s, nb)
+                    xr = x[:, kr][..., rows_r].reshape(B, -1, s, nb)
+                    upd_l = (jnp.einsum("efij,befj->befi", Cii, xl)
+                             + jnp.einsum("efij,befj->befi", Cio, xr)).reshape(B, -1, s * nb)
+                    upd_r = (jnp.einsum("efij,befj->befi", Coi, xl)
+                             + jnp.einsum("efij,befj->befi", Coo, xr)).reshape(B, -1, s * nb)
+                    y = y.at[:, kl].add(gate * emb(upd_l, rows_l))
+                    y = y.at[:, kr].add(gate * emb(upd_r, rows_r))
+                    return y
+
+                y = couple(y, Rq["in_in"], Rq["in_out"], Rq["out_in"], Rq["out_out"],
+                           left_k, right_k, side_rows["right"], side_rows["left"])
+                y = couple(y, Uq["in_in"], Uq["in_out"], Uq["out_in"], Uq["out_out"],
+                           low_k, up_k, side_rows["top"], side_rows["bottom"])
+                return y * pmask[:, :, None]
+
+            def M(r):
+                return jnp.einsum("knm,bkm->bkn", Minv, r) * pmask[:, :, None]
+
+            b = rhs_full[None] * pmask[:, :, None]
+
+            def dot(u, v):
+                return jnp.sum(u * v, axis=(1, 2))         # per-batch [B]
+
+            x0 = jnp.zeros_like(b)
+            r0 = b - apply(x0)
+            z0 = M(r0)
+            rz0 = dot(r0, z0)
+            bnorm2 = dot(b, b)
+            atol2 = (tol ** 2) * jnp.maximum(bnorm2, 1e-300)
+
+            def cond(state):
+                x, r, z, p, rz, it = state
+                return jnp.logical_and(jnp.any(dot(r, r) > atol2), it < maxiter)
+
+            def body(state):
+                x, r, z, p, rz, it = state
+                Ap = apply(p)
+                pAp = dot(p, Ap)
+                alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+                x = x + alpha[:, None, None] * p
+                r = r - alpha[:, None, None] * Ap
+                z = M(r)
+                rzn = dot(r, z)
+                beta = jnp.where(rz > 0, rzn / jnp.where(rz > 0, rz, 1.0), 0.0)
+                p = z + beta[:, None, None] * p
+                return (x, r, z, p, rzn, it + 1)
+
+            x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, 0))
+            # slice each patch's own subdomain
+            return x[jnp.arange(B), marked, :]             # [B, N]
+
+        return jax.jit(solve)
+
+    # ------------------------------------------------------------------
+    def solve(self, marked, mu=None, current_solution=None, mode="residual",
+              tol: float = 1e-10, maxiter: int = 300):
+        """marked: list[int] -> corrections [B, N] (per marked subdomain)."""
+        d = self.d
+        mu = d.parse_parameter(mu)
+        theta = d.theta(mu)
+        if mode == "residual" and current_solution is not None:
+            rhs_full = d.rhs(mu) - d.assemble(mu).apply(current_solution)
+        else:
+            rhs_full = d.rhs(mu)
+        marked = np.asarray(sorted(marked), dtype=np.int64)
+        B = len(marked)
+        key = (B, tol, maxiter)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._make_solver(B, tol, maxiter)
+        arrays = {"A_loc": self.A_loc}
+        arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
+        arrays.update({"R_" + nm: v for nm, v in self.R.items()})
+        arrays.update({"U_" + nm: v for nm, v in self.U.items()})
+        return self._jit_cache[key](arrays, theta, jnp.asarray(marked), rhs_full)

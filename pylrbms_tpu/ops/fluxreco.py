@@ -135,21 +135,23 @@ class FluxReconstructor:
         scale = np.array([sp.hx, sp.hy])
 
         def phys(tab, orgs):
-            """orgs [F, 2] -> (x_m, x_p) [F, nqf, 2] one-sided eval points."""
-            x = orgs[:, None, :] + (tab.pts_unit_m * scale)[None]
-            cen_m = orgs[:, None, :] + (tab.centroid_m * scale)[None]
+            """orgs [F, 2] -> (x_m, x_p) [F, nqf, 2] one-sided eval points
+            (jnp broadcasting: only [F,2]+[nqf,2] constants under jit)."""
+            orgs_j = jnp.asarray(orgs, dt)[:, None, :]
+            x = orgs_j + jnp.asarray(tab.pts_unit_m * scale, dt)[None]
+            cen_m = orgs_j + jnp.asarray(tab.centroid_m * scale, dt)[None]
             x_m = x + _EVAL_EPS * (cen_m - x)
             if tab.centroid_p is None:
-                return jnp.asarray(x_m, dt), None
+                return x_m, None
             if np.allclose(tab.normal, [1.0, 0.0]):
                 shift = np.array([sp.hx, 0.0])
             elif np.allclose(tab.normal, [0.0, 1.0]):
                 shift = np.array([0.0, sp.hy])
             else:
                 shift = np.zeros(2)
-            cen_p = orgs[:, None, :] + shift + (tab.centroid_p * scale)[None]
+            cen_p = orgs_j + jnp.asarray(shift + tab.centroid_p * scale, dt)[None]
             x_p = x + _EVAL_EPS * (cen_p - x)
-            return jnp.asarray(x_m, dt), jnp.asarray(x_p, dt)
+            return x_m, x_p
 
         # ---- D faces: all cells, minus=A plus=B ----
         tab = sp.face_tabs["D"]

@@ -92,3 +92,26 @@ def test_two_level_pcg_matches_dense():
     x_tl = A.solve_pcg(b, tol=1e-13, maxiter=1000, two_level=True)
     err = float(jnp.abs(x_tl - x_dense).max() / jnp.abs(x_dense).max())
     assert err < 1e-9, err
+
+
+def test_mixed_precision_refinement_reaches_f64_accuracy():
+    import jax.numpy as jnp
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    A = d.op.assemble(jnp.asarray([1.0, 0.6]))
+    b = d.rhs_q[0]
+    from pylrbms_tpu.la.block import AssembledBlockOp
+    x_ref = A.solve_dense(b)
+    A32 = AssembledBlockOp(A.static, *(v.astype(jnp.float32) for v in
+                                       (A.A_diag, A.C_R_io, A.C_R_oi,
+                                        A.C_U_io, A.C_U_oi)))
+    x32 = A32.solve_pcg(b.astype(jnp.float32), tol=1e-7, maxiter=400)
+    x_mp = A.solve_refined(b, refinements=3)
+    rel32 = float(jnp.abs(x32.astype(jnp.float64) - x_ref).max() / jnp.abs(x_ref).max())
+    rel_mp = float(jnp.abs(x_mp - x_ref).max() / jnp.abs(x_ref).max())
+    assert rel_mp < 1e-10, rel_mp
+    assert rel_mp < rel32 * 1e-2   # refinement beats plain f32 by >=2 digits

@@ -1,0 +1,43 @@
+"""Batched on-device corrector == host dense patch solver."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+from pylrbms_tpu.ops.corrector import BatchedCorrector
+
+
+@pytest.fixture(scope="module")
+def fom():
+    gpd = init_grid_and_problem({'num_subdomains': [3, 3],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    return d
+
+
+def test_batched_corrector_matches_host_patch_solver(fom):
+    d = fom
+    mu = d.parse_parameter(0.4)
+    U = d.solve(mu)
+    bc = BatchedCorrector(d)
+    # mix of interior (4), edge (1, 3), corner (0) patches in one batch
+    marked = [0, 1, 3, 4]
+    W = np.asarray(bc.solve(marked, mu, current_solution=U, mode="residual",
+                            tol=1e-12, maxiter=500))
+    for i, k in enumerate(marked):
+        w_ref = np.asarray(d.solve_for_local_correction(
+            k, None, mu, current_solution=U, mode="residual"))
+        scale = max(np.abs(w_ref).max(), 1e-300)
+        err = np.abs(W[i] - w_ref).max() / scale
+        assert err < 1e-7, (k, err)
+
+
+def test_batched_corrector_f_mode(fom):
+    d = fom
+    mu = d.parse_parameter(1.0)
+    bc = BatchedCorrector(d)
+    W = np.asarray(bc.solve([4], mu, mode="reference", tol=1e-12, maxiter=500))
+    w_ref = np.asarray(d.solve_for_local_correction(4, None, mu, mode="reference"))
+    assert np.abs(W[0] - w_ref).max() / np.abs(w_ref).max() < 1e-7

@@ -58,3 +58,30 @@ def test_weak_greedy_converges(fom):
     U_fom = d.solve(mu)
     rel = float(jnp.abs(U_rom - U_fom).max() / jnp.abs(U_fom).max())
     assert rel < 1e-6, rel
+
+
+def test_batched_estimates_sharded_over_training_set(fom):
+    import jax
+    from jax.sharding import Mesh
+    d = fom
+    red = LRBMSReductor(d, order=0)
+    red.extend_basis(d.solve(d.parse_parameter(1.0)))
+    rd = red.reduce()
+    mus = [d.parse_parameter(m) for m in (0.1, 0.25, 0.4, 0.6, 0.8)]  # B=5, pad to 8
+    stacked = _stack_mus(mus)
+    ref = np.asarray(batched_estimates(rd, stacked, "residual"))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+    out = np.asarray(batched_estimates(rd, stacked, "residual", mesh=mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-10)
+
+
+def test_initial_rb_order_one(fom):
+    d = fom
+    red = LRBMSReductor(d, order=1)
+    assert all(s == 4 for s in red.basis_sizes())   # 1, x, y, xy per subdomain
+    rd = red.reduce()
+    mu = d.parse_parameter(0.5)
+    eta1 = float(rd.estimate(rd.solve(mu), mu))
+    red0 = LRBMSReductor(d, order=0)
+    eta0 = float(red0.reduce().estimate(red0.reduce().solve(mu), mu))
+    assert eta1 < eta0   # richer initial basis -> smaller estimate
