@@ -19,9 +19,15 @@ import time
 import numpy as np
 
 
-def main():
+def main(cfg=None):
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pylrbms")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     dtype = jnp.float32 if on_tpu else jnp.float64
@@ -29,9 +35,9 @@ def main():
     from pylrbms_tpu.problems.os2015 import init_grid_and_problem
     from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
 
-    cfg = {'num_subdomains': [8, 8],
-           'half_num_fine_elements_per_subdomain_and_dim': 2,
-           'num_refinements': 2}
+    cfg = cfg or {'num_subdomains': [8, 8],
+                  'half_num_fine_elements_per_subdomain_and_dim': 2,
+                  'num_refinements': 2}
     gpd = init_grid_and_problem(cfg)
     d, _ = discretize(gpd, dtype=dtype)
     K, N = d.space.K, d.space.N
@@ -57,38 +63,52 @@ def main():
         times.append(time.perf_counter() - t0)
     tpu_s = float(np.median(times))
 
-    # ---- CPU baseline: scipy sparse direct solve of the same system (f64),
-    # the stand-in for the reference's sequential ISTL pipeline.  The affine
-    # assembly is done once outside the timed region (generous to baseline).
-    from scipy.sparse.linalg import spsolve
-    from pylrbms_tpu.la.block import to_scipy_csr
-    A_csr = to_scipy_csr(d.op.assemble(theta)).astype(np.float64)
-    b_np = np.asarray(jnp.einsum("q,qkn->kn", theta_f, d.rhs_q),
-                      np.float64).reshape(-1)
-    spsolve(A_csr, b_np)   # warm
+    # ---- CPU baseline: the SAME online step on the host CPU — scipy
+    # pre-factorized sparse solve + numpy estimator (independent Oswald/flux
+    # oracles + quadratic forms).  Stand-in for the reference's sequential
+    # DUNE/ISTL pipeline; the LU factorization is done once OUTSIDE the timed
+    # region (generous to the baseline; ISTL would re-iterate per solve).
+    from pylrbms_tpu.reference_impl.estimator_np import make_cpu_online_step
+    mu_np = {"diffusion": np.asarray([0.5])}
+    cpu_step = make_cpu_online_step(d, np.asarray(theta, np.float64),
+                                    np.asarray(theta_f, np.float64), mu_np)
+    u_cpu, ind_cpu = cpu_step()   # warm
     cpu_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        spsolve(A_csr, b_np)
+        cpu_step()
         cpu_times.append(time.perf_counter() - t0)
     cpu_s = float(np.median(cpu_times))
 
-    # sanity: both solutions agree
-    u_cpu = spsolve(A_csr, b_np).reshape(K, N)
+    # sanity: solutions and indicators agree across the two paths
     rel = float(np.abs(np.asarray(U, np.float64) - u_cpu).max()
                 / max(np.abs(u_cpu).max(), 1e-300))
     assert rel < 1e-3, f"TPU/CPU solution mismatch: {rel}"
+    rel_i = float(np.abs(np.asarray(ind, np.float64) - ind_cpu).max()
+                  / max(np.abs(ind_cpu).max(), 1e-300))
+    assert rel_i < 1e-2, f"TPU/CPU indicator mismatch: {rel_i}"
 
+    kx, ky = cfg['num_subdomains']
     result = {
-        "metric": ("OS2015 8x8-subdomain online step "
-                   "(assemble + PCG detailed solve + localized estimate), "
-                   "24576 dofs; baseline = scipy CSR spsolve of the same system"),
+        "metric": (f"OS2015 {kx}x{ky}-subdomain online step "
+                   "(assemble + detailed solve + localized estimate), "
+                   f"{K * N} dofs; baseline = same step on host CPU "
+                   "(prefactorized scipy splu + numpy estimator)"),
         "value": round(tpu_s * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_s / tpu_s, 3),
     }
     print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:                       # noqa: BLE001
+        import sys, traceback
+        traceback.print_exc(file=sys.stderr)
+        print("bench: full config failed, falling back to 4x4", file=sys.stderr)
+        main({'num_subdomains': [4, 4],
+              'half_num_fine_elements_per_subdomain_and_dim': 2,
+              'num_refinements': 1})
