@@ -136,7 +136,8 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
         oswald=oswald, flux=flux, lambda_funcs=lambda_funcs,
         lambda_coeffs=[as_functional(c) for c in lambda_coeffs],
         f_coeffs=[as_functional(c) for c in f_coeffs],
-        mu_bar=mu_bar, mu_hat=mu_hat, parameter_type=parameter_type)
+        mu_bar=mu_bar, mu_hat=mu_hat, parameter_type=parameter_type,
+        f_funcs=f_funcs, lambda_hat=lambda_hat)
     estimator = EllipticEstimator(est_data)
 
     parameter_range = gpd.get("parameter_range")

@@ -68,6 +68,8 @@ class EstimatorData:
     mu_bar: dict
     mu_hat: dict
     parameter_type: Optional[dict]
+    f_funcs: list = None        # affine rhs component functions
+    lambda_hat: object = None   # the lambda_hat coefficient function
 
 
 class EllipticEstimator:
@@ -160,6 +162,65 @@ class EllipticEstimator:
         bb = jnp.einsum("...kn,knm,...km->...k", t, BB_t, t)
         ab = jnp.einsum("p,pknm,...kn,...km->...k", theta, M_ab, U, t)
         eta_df = aa + bb + 2.0 * ab
+        return eta_nc, eta_r, eta_df
+
+    def local_quantities_positive(self, U, mu, tensors: dict | None = None):
+        """Cancellation-free evaluation of the squared local quantities.
+
+        Mathematically identical to :meth:`local_quantities` (same quadrature)
+        but evaluated as manifestly non-negative integrals,
+
+          eta_r_sq  ~ int (f(mu) - div t)^2,
+          eta_df_sq = int (lam(mu) k grad u + t) . (lam_hat k)^{-1} (...),
+
+        instead of differences of near-equal quadratic forms — which are
+        catastrophically cancelled in float32 (the matrix form loses ALL
+        digits near convergence).  This is the float32/TPU-safe FOM path;
+        kappa = I supported (all reference problems).
+        """
+        from .ops import assembly as asm
+        from .ops.products import _chi_tab
+        d = self.data
+        sp = d.flux.space
+        theta = evaluate_coefficients(d.lambda_coeffs, mu)
+        theta_f = evaluate_coefficients(d.f_coeffs, mu)
+        dtype = U.dtype
+
+        E_bar = (tensors or {}).get("E_bar", d.E_bar)
+        t_loc = self.reconstruct_flux(U, mu)                   # [..., K, Nrt]
+        U_o = d.oswald.apply(U)
+        eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, E_bar, U_o)
+
+        xq = asm._vol_points(sp).astype(dtype)                 # [K,s,s,T,nq,2]
+        w = jnp.asarray(sp.vol_w, dtype)
+        area = sp.hx * sp.hy
+        lam_q = jnp.stack([lf(xq).astype(dtype) for lf in d.lambda_funcs])
+        lam_mu = jnp.einsum("q,q...->...", theta, lam_q)       # [K,s,s,T,nq]
+        lam_hat_v = d.lambda_hat(xq).astype(dtype)
+
+        # grad u at quad points
+        dphi = jnp.asarray(sp.vol_dphi, dtype)                 # [T,nq,nb,2]
+        Uc = U.reshape(U.shape[:-2] + (sp.K, sp.s, sp.s, sp.T, sp.nb))
+        gu = jnp.einsum("...kyxtj,tqja->...kyxtqa", Uc, dphi)
+        # t at quad points (RT0 basis, cell-invariant chi tab)
+        chi, idx, sign = _chi_tab(sp)
+        chi_j = jnp.asarray(chi, dtype)
+        sg = jnp.asarray(sign, dtype)
+        t_cell = t_loc[..., jnp.asarray(idx.reshape(-1))].reshape(
+            t_loc.shape[:-1] + (sp.s, sp.s, sp.T, 3))
+        t_q = jnp.einsum("...kyxte,tqea,te->...kyxtqa", t_cell, chi_j, sg)
+        z = lam_mu[..., None] * gu + t_q                       # kappa = I
+        df_int = jnp.einsum("...kyxtqa,...kyxtqa->...kyxtq", z, z) / lam_hat_v
+        eta_df = area * jnp.einsum("tq,...kyxtq->...k", w, df_int)
+
+        # f(mu) - div t, elementwise
+        f_q = jnp.stack([ff(xq).astype(dtype) for ff in d.f_funcs])
+        f_mu = jnp.einsum("q,q...->...", theta_f, f_q)
+        area_T = sp.hx * sp.hy / 2.0
+        div_t = jnp.einsum("...kyxte,te->...kyxt", t_cell, sg) / area_T
+        res = f_mu - div_t[..., None]
+        scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
+        eta_r = area * jnp.einsum("tq,...kyxtq->...k", w, res * res) * scale
         return eta_nc, eta_r, eta_df
 
     def estimate(self, U, mu, d=None, decompose: bool = False,

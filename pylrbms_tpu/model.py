@@ -320,12 +320,17 @@ class StationaryBlockModel:
 
 
 def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
-                     maxiter: int = 400, with_estimate: bool = True):
+                     maxiter: int = 400, with_estimate: bool = True,
+                     positive_form: bool = True):
     """Jitted online step ``(theta, theta_f, mu) -> (U[, indicators])``.
 
     All large per-subdomain tensors are passed as jit *arguments* (donated
     via a pytree dict), never captured — captured arrays become constants
     embedded in the HLO, which breaks remote compilation and bloats caches.
+
+    ``positive_form`` (default) evaluates the local quantities as manifestly
+    non-negative integrals (float32/TPU-safe; the matrix form suffers
+    catastrophic cancellation in eta_r/eta_df near convergence).
     """
     from .la.block import AssembledBlockOp
     st = d.op.static
@@ -335,8 +340,11 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
     est = d.estimator
     if with_estimate and est is not None:
         ed = est.data
-        arrays.update(E_bar=ed.E_bar, BB=ed.BB, M_aa=ed.M_aa, M_ab=ed.M_ab,
-                      d_vec=ed.d_vec, R_dd=ed.R_dd, L2=ed.L2)
+        if positive_form:
+            arrays.update(E_bar=ed.E_bar)
+        else:
+            arrays.update(E_bar=ed.E_bar, BB=ed.BB, M_aa=ed.M_aa, M_ab=ed.M_ab,
+                          d_vec=ed.d_vec, R_dd=ed.R_dd, L2=ed.L2)
 
     @jax.jit
     def _step(arrays, theta, theta_f, mu):
@@ -351,7 +359,11 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
         U = A.solve_pcg(b, tol=tol, maxiter=maxiter)
         if not (with_estimate and est is not None):
             return U
-        nc, r, df = est.local_quantities(U, mu, tensors=arrays)
+        if positive_form:
+            nc, r, df = est.local_quantities_positive(U[None], mu, tensors=arrays)
+            nc, r, df = nc[0], r[0], df[0]
+        else:
+            nc, r, df = est.local_quantities(U, mu, tensors=arrays)
         return U, nc + r + df
 
     def step(theta, theta_f, mu=None):

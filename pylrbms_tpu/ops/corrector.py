@@ -182,8 +182,13 @@ class BatchedCorrector:
             rhs_full = d.rhs(mu) - d.assemble(mu).apply(current_solution)
         else:
             rhs_full = d.rhs(mu)
-        marked = np.asarray(sorted(marked), dtype=np.int64)
-        B = len(marked)
+        marked = sorted(marked)
+        n_marked = len(marked)
+        # bucket the batch size (pad with duplicates) so enrichment rounds
+        # with varying mark counts reuse one compiled solver
+        B = max(1, 1 << (n_marked - 1).bit_length()) if n_marked else 1
+        marked = np.asarray(marked + [marked[0]] * (B - n_marked),
+                            dtype=np.int64)
         key = (B, tol, maxiter)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._make_solver(B, tol, maxiter)
@@ -191,4 +196,5 @@ class BatchedCorrector:
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
-        return self._jit_cache[key](arrays, theta, jnp.asarray(marked), rhs_full)
+        W = self._jit_cache[key](arrays, theta, jnp.asarray(marked), rhs_full)
+        return W[:n_marked]

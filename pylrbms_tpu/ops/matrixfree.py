@@ -151,10 +151,28 @@ class AssembledStencil:
         grow ~ with s) but the only preconditioner whose memory matches the
         stencil representation at SPE10 scale."""
         sp = self.space
-        nb = sp.nb
+        s, nb = sp.s, sp.nb
         Dmm, Dmp, Dpm, Dpp = self.D
-        top = jnp.concatenate([self.vol[..., 0, :, :] + Dmm, Dmp], axis=-1)
-        bot = jnp.concatenate([Dpm, self.vol[..., 1, :, :] + Dpp], axis=-1)
+        # each triangle's OWN (mm/pp) contributions from all its faces must be
+        # included, otherwise the cell block is singular (constants see no
+        # penalty energy)
+        dA = self.vol[..., 0, :, :] + Dmm
+        dB = self.vol[..., 1, :, :] + Dpp
+        if s > 1:
+            Vmm, _, _, Vpp = self.V
+            Hmm, _, _, Hpp = self.H
+            dA = dA.at[:, :, :-1].add(Vmm)     # A minus side of V at (cy, cx)
+            dB = dB.at[:, :, 1:].add(Vpp)      # B plus side of V at (cy, cx-1)
+            dB = dB.at[:, :-1, :].add(Hmm)     # B minus side of H at (cy, cx)
+            dA = dA.at[:, 1:, :].add(Hpp)      # A plus side of H below
+        # subdomain-side penalty (one-sided Dirichlet blocks; on interfaces the
+        # in_in strips differ slightly — fine for a preconditioner)
+        dB = dB.at[:, :, 0].add(self.D_side["left"])
+        dA = dA.at[:, :, s - 1].add(self.D_side["right"])
+        dA = dA.at[:, 0, :].add(self.D_side["bottom"])
+        dB = dB.at[:, s - 1, :].add(self.D_side["top"])
+        top = jnp.concatenate([dA, Dmp], axis=-1)
+        bot = jnp.concatenate([Dpm, dB], axis=-1)
         cell = jnp.concatenate([top, bot], axis=-2)        # [K, s, s, 2nb, 2nb]
         return jnp.linalg.inv(cell)
 

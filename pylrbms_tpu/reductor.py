@@ -90,6 +90,7 @@ class ReducedModel:
     min_ev: jnp.ndarray
     diam: jnp.ndarray
     # ---- algebraic-residual Gramians (greedy surrogate; N-independent) ----
+    parabolic: dict = None      # projected parabolic tensors (optional)
     G_bb: jnp.ndarray = None    # [Qf, Qf]
     G_Ab: jnp.ndarray = None    # [Q, Qf, R]
     G_AA: jnp.ndarray = None    # [Q, Q, R, R]
@@ -298,7 +299,6 @@ class LRBMSReductor:
     def _project(op_arrays, ed_arrays, rhs_q, V, mask, side_rows, edges):
         """V [K, r_max, N] padded bases (rows masked), -> all reduced tensors."""
         A_diag, C_R_io, C_R_oi, C_U_io, C_U_oi = op_arrays
-        E_bar, BB, M_aa, M_ab, d_vec, R_dd = ed_arrays
         left_k, right_k, low_k, up_k = edges
         K, r_max, N = V.shape
         Q = A_diag.shape[0]
@@ -374,7 +374,8 @@ class LRBMSReductor:
         rows_safe = np.where(valid, rows, 0)
 
         op_arrays = (d.op.A_diag, d.op.C_R_io, d.op.C_R_oi, d.op.C_U_io, d.op.C_U_oi)
-        ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec, ed.R_dd)
+        ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec,
+                     ed.R_dd, ed.L2, ed.A_div)
         side_rows = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
         edges = (st.left_k, st.right_k, st.low_k, st.up_k)
 
@@ -387,12 +388,14 @@ class LRBMSReductor:
         if fn is None:
             lam_funcs = ed.lambda_funcs
             oswald, flux = ed.oswald, ed.flux
+            parabolic = getattr(self, 'parabolic_tensors', False)
 
             def _full(op_arrays, ed_arrays, rhs_q, V, mask, rows_safe, valid_f):
                 A_red, b_red, B_all = LRBMSReductor._project(
                     op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
                     mask, side_rows, edges)
-                E_bar, BB, M_aa, M_ab, d_vec, R_dd = ed_arrays
+                (E_bar, BB, M_aa, M_ab, d_vec, R_dd,
+                 l2_blocks, A_div_c) = ed_arrays
                 W_all = oswald.apply(B_all)                          # [R, K, N]
                 T_all = jnp.stack([flux.apply(lf, B_all) for lf in lam_funcs])
                 A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
@@ -415,9 +418,31 @@ class LRBMSReductor:
                 AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
                 ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
                 DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
-                return dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
-                            ABT=ABT, BBT=BBT, DV=DV, RD=RD,
-                            G_bb=G_bb, G_Ab=G_Ab, G_AA=G_AA)
+                out = dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
+                           ABT=ABT, BBT=BBT, DV=DV, RD=RD,
+                           G_bb=G_bb, G_Ab=G_Ab, G_AA=G_AA)
+                if parabolic:
+                    # fully projected parabolic estimator tensors:
+                    # BU_R = M^-1 A(mu) V c; F_R = M^-1 F;  needed for the
+                    # time residual ||B dU||^2_{M^-1} and the elliptic-
+                    # reconstruction eta_r additions (estimators.py parabolic
+                    # branch), all N-independent online.
+                    L2 = l2_blocks
+                    Linv = jnp.linalg.inv(L2)
+                    MAV = jnp.einsum("knm,qrkm->qrkn", Linv, AV)   # [Q,R,K,N]
+                    FR = jnp.einsum("knm,fkm->fkn", Linv, rhs_q)   # [Qf,K,N]
+                    # time residual Gramian: (A_q V)^T M^-1 (A_q' V) [Q,Q,R,R]
+                    out["G_MAA"] = jnp.einsum("prkn,qskn->pqrs", MAV, AV)
+                    # neighborhood-padded per-subdomain tensors
+                    Bk = (MAV[:, rows_safe, kk[:, None], :]
+                          * valid_f[None, :, :, None])             # [Q,K,P,N]
+                    divTk = jnp.einsum("nr,qkur->qkun", A_div_c, Tk)  # [Q,K,P,N]
+                    out["G_BLB"] = jnp.einsum("pkun,knm,qkvm->pqkuv", Bk, L2, Bk)
+                    out["G_BLdiv"] = jnp.einsum("pkun,knm,qkvm->pqkuv", Bk, L2, divTk)
+                    out["G_FLF"] = jnp.einsum("fkn,knm,gkm->fgk", FR, L2, FR)
+                    out["G_BLF"] = jnp.einsum("pkun,knm,fkm->pfku", Bk, L2, FR)
+                    out["G_FLdiv"] = jnp.einsum("fkn,knm,qkum->fqku", FR, L2, divTk)
+                return out
 
             fn = jax.jit(_full)
             self._project_cache[key] = fn
@@ -430,7 +455,11 @@ class LRBMSReductor:
             sizes=sizes, r_max=r_max, nbhd_idx=nbhd_idx,
             G_nc=out["G_nc"], AA=out["AA"], ABT=out["ABT"], BBT=out["BBT"],
             DV=out["DV"], RD=out["RD"], rf_qq=ed.rf_qq, min_ev=ed.min_ev,
-            diam=ed.diam, G_bb=out["G_bb"], G_Ab=out["G_Ab"], G_AA=out["G_AA"])
+            diam=ed.diam, G_bb=out["G_bb"], G_Ab=out["G_Ab"],
+            G_AA=out["G_AA"],
+            parabolic={k: out[k] for k in
+                       ("G_MAA", "G_BLB", "G_BLdiv", "G_FLF",
+                        "G_BLF", "G_FLdiv") if k in out} or None)
 
 
 class ParallelLRBMSReductor(LRBMSReductor):
@@ -443,9 +472,10 @@ class ParallelLRBMSReductor(LRBMSReductor):
 
 class ParabolicLRBMSReductor(LRBMSReductor):
     """<-> ``reductor.ParabolicLRBMSReductor`` (``reductor.py:149-180``, a
-    ``pass`` stub in the reference).  The elliptic machinery suffices; the
-    reduced mass matrix is the blockwise projection of L2 (computed by
-    ``reduce_parabolic``)."""
+    ``pass`` stub in the reference).  Adds the reduced mass matrix and the
+    fully projected parabolic estimator tensors."""
+
+    parabolic_tensors = True
 
     def reduce(self) -> "ReducedParabolicModel":
         rd = super().reduce()
@@ -510,9 +540,68 @@ class ReducedParabolicModel:
         self._instationary = im
         return self
 
-    def estimate(self, c, mu, decompose: bool = False):
-        """Parabolic reduced estimate via reconstruction (exact; the fully
-        projected parabolic path is a later optimization)."""
+    def estimate(self, c, mu, decompose: bool = False, projected: bool = True):
+        """Parabolic reduced estimate.
+
+        projected=True (default): fully projected, N-independent — the same
+        formulas as ``ParabolicEstimator.estimate`` evaluated from the
+        neighborhood-padded parabolic tensors (time residual from G_MAA,
+        elliptic-reconstruction eta_r additions from G_BLB/G_FLF/G_*div).
+        projected=False: exact-via-reconstruction (the validation path)."""
         im = self._instationary
-        U = self.elliptic.reconstruct(c)
-        return im.estimate(U, mu, decompose=decompose)
+        if not projected or self.elliptic.parabolic is None:
+            U = self.elliptic.reconstruct(c)
+            return im.estimate(U, mu, decompose=decompose)
+
+        rd = self.elliptic
+        d = rd.d
+        est = d.estimator
+        pb = rd.parabolic
+        mu = dict(d.parse_parameter(mu))
+        mu.setdefault("_t", 0.0)
+        dt = im.T / im.nt
+        theta = d.theta(mu)
+        theta_f = d.theta_f(mu)
+
+        # elliptic local quantities + elliptic-reconstruction eta_r additions
+        eta_nc, eta_r, eta_df = rd.local_quantities(c, mu)      # [nt+1, K]
+        ch = rd._gather_neighborhood(c)                          # [nt+1, K, P]
+        blb = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta,
+                         pb["G_BLB"], ch, ch)
+        flf = jnp.einsum("f,g,fgk->k", theta_f, theta_f, pb["G_FLF"])
+        bld = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta,
+                         pb["G_BLdiv"], ch, ch)
+        fld = jnp.einsum("f,q,fqku,...ku->...k", theta_f, theta,
+                         pb["G_FLdiv"], ch)
+        scale = (1.0 / (jnp.pi ** 2) / rd.min_ev) * rd.diam ** 2
+        eta_r = eta_r + (blb - flf - 2.0 * (bld - fld)) * scale
+
+        # aggregation as in EllipticEstimator.estimate (estimators.py)
+        a_bar = est.alpha(mu, est.data.mu_bar)
+        g_bar = est.gamma(mu, est.data.mu_bar)
+        a_hat = est.alpha(mu, est.data.mu_hat)
+
+        def norm(v):
+            return jnp.sqrt(jnp.sum(v * v))
+
+        eta = (jnp.sqrt(g_bar) * norm(eta_nc)
+               + (1.0 / jnp.sqrt(a_hat)) * norm(eta_r + eta_df)) / jnp.sqrt(a_bar)
+
+        # time residual dt/3 ||B dU||^2_{M^-1} from the G_MAA Gramian
+        dc = (c[1:] - c[:-1]).reshape(c.shape[0] - 1, -1)        # [nt, R]
+        tr2 = jnp.einsum("p,r,prij,bi,bj->b", theta, theta, pb["G_MAA"], dc, dc)
+        time_res = jnp.sqrt(dt / 3.0 * jnp.maximum(tr2, 0.0))
+
+        cscale = 2.0 * jnp.sqrt(dt / 3.0)
+        eta = eta * cscale
+        nc, r, df = (jnp.moveaxis(v, 0, -1) * cscale
+                     for v in (eta_nc, eta_r, eta_df))
+
+        # time-derivative nonconformity from G_nc on dc
+        dch = rd._gather_neighborhood(c[1:] - c[:-1])
+        tdnc = jnp.einsum("bkp,kpr,bkr->kb", dch, rd.G_nc, dch) / dt
+        tdnc = jnp.sqrt(jnp.maximum(tdnc, 0.0))
+
+        out = (jnp.linalg.norm(jnp.atleast_1d(eta))
+               + jnp.linalg.norm(time_res) + jnp.linalg.norm(tdnc))
+        return out, (nc, r, df, time_res, tdnc)

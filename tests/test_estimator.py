@@ -90,3 +90,21 @@ def test_flux_reconstruction_divergence_identity():
     area_T = space.hx * space.hy / 2
     expected = np.einsum("yxte,te->yxt", t[idx], sign) / area_T
     assert np.max(np.abs(div_dg - expected[..., None])) < 1e-12
+
+
+def test_positive_form_quantities_match_matrix_form():
+    import jax.numpy as jnp
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(0.7)
+    U = d.solve(mu)[None]
+    est = d.estimator
+    nc_m, r_m, df_m = est.local_quantities(U, mu)
+    nc_p, r_p, df_p = est.local_quantities_positive(U, mu)
+    for a, b, name in ((nc_m, nc_p, "nc"), (r_m, r_p, "r"), (df_m, df_p, "df")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-300))
+        assert rel < 1e-9, (name, rel)
+    # all positive-form values are non-negative by construction
+    assert float(jnp.minimum(jnp.minimum(nc_p.min(), r_p.min()), df_p.min())) >= 0

@@ -30,3 +30,20 @@ def test_stencil_apply_matches_dense(kx, ky):
     X = jnp.asarray(rng.normal(size=(3, d.space.K, d.space.N)))
     np.testing.assert_allclose(np.asarray(A_mf.apply(X)),
                                np.asarray(A_dense.apply(X)), rtol=1e-10, atol=1e-12)
+
+
+def test_matrixfree_pcg_matches_dense_solve():
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    stencils = tuple(assemble_swipdg_stencil(d.space, lf, None)
+                     for lf in d.estimator.data.lambda_funcs)
+    sop = StencilOperator(d.space, stencils)
+    theta = jnp.asarray([1.0, 0.6])
+    A_mf = sop.assemble(theta)
+    b = d.rhs_q[0]
+    x_ref = d.op.assemble(theta).solve_dense(b)
+    x_mf = A_mf.solve_pcg(b, tol=1e-12, maxiter=3000)
+    err = float(jnp.abs(x_mf - x_ref).max() / jnp.abs(x_ref).max())
+    assert err < 1e-8, err

@@ -98,3 +98,23 @@ def test_stationary_eoc_study_smoke(capsys):
     n1 = data[1]["norm"]["elliptic_mu_bar"]
     rate = math.log(n1 / n0) / math.log(0.5)
     assert 0.7 < rate < 1.5, f"elliptic norm EOC {rate}"
+
+
+def test_projected_parabolic_rom_estimate_matches_reconstruction():
+    from pylrbms_tpu.reductor import ParabolicLRBMSReductor
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=1.0, nt=4)
+    mu = im.parse_parameter(0.5)
+    U = im.solve(mu)
+    red = ParabolicLRBMSReductor(im.stationary)
+    red.extend_basis(np.asarray(U))
+    rd = red.reduce().attach_instationary(im)
+    c = rd.solve(mu)
+    est_p, parts_p = rd.estimate(c, mu, projected=True)
+    est_r, parts_r = rd.estimate(c, mu, projected=False)
+    assert float(est_p) == pytest.approx(float(est_r), rel=1e-8)
+    for a, b in zip(parts_p, parts_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-12)
