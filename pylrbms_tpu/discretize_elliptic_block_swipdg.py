@@ -46,7 +46,13 @@ def _affine(obj):
 
 
 def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
-               ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64):
+               ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64,
+               lean: bool = False):
+    """``lean=True`` skips the O(Q^2 K N^2) matrix-form estimator tensors
+    (M_aa / M_ab / BB / R_dd); the positive-form estimator path
+    (``local_quantities_positive`` / ``make_online_step``) stays fully
+    functional.  Use for large-scale FOM runs; the MOR reduction path needs
+    the full tensors."""
     gpd = grid_and_problem_data
     grid: Grid = gpd["grid"]
     space = BlockDGSpace(grid, order=1)
@@ -81,15 +87,19 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
         for lf, c in zip(lambda_funcs, th_bar):
             energy = energy + c * (asm.volume_elliptic(space, lf, kappa, dtype)
                                    + prod.penalty_product(space, lf, kappa, ipdg, dtype))
-        M_aa = jnp.stack([
-            jnp.stack([prod.df_aa(space, lu, lv, lambda_hat, kappa, dtype)
-                       for lv in lambda_funcs])
-            for lu in lambda_funcs])                              # [Q, Q, K, N, N]
-        BB = prod.df_bb(space, lambda_hat, kappa, dtype)
-        M_ab = jnp.stack([prod.df_ab(space, lv, lambda_hat, kappa, dtype)
-                          for lv in lambda_funcs])
+        if lean:
+            M_aa = BB = M_ab = R_dd = None
+        else:
+            M_aa = jnp.stack([
+                jnp.stack([prod.df_aa(space, lu, lv, lambda_hat, kappa, dtype)
+                           for lv in lambda_funcs])
+                for lu in lambda_funcs])                          # [Q, Q, K, N, N]
+            BB = prod.df_bb(space, lambda_hat, kappa, dtype)
+            M_ab = jnp.stack([prod.df_ab(space, lv, lambda_hat, kappa, dtype)
+                              for lv in lambda_funcs])
         A_div = prod.divergence_matrix(space, dtype)
-        R_dd = jnp.einsum("nr,knm,ms->krs", A_div, L2, A_div)
+        if not lean:
+            R_dd = jnp.einsum("nr,knm,ms->krs", A_div, L2, A_div)
         d_vec = jnp.einsum("nr,qkn->qkr", A_div, rhs_q)
         rf_qq = jnp.stack([
             jnp.stack([asm.volume_scalar(space, lambda x, fu=fu, fv=fv: fu(x) * fv(x),

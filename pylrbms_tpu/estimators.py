@@ -72,6 +72,26 @@ class EstimatorData:
     lambda_hat: object = None   # the lambda_hat coefficient function
 
 
+def aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose: bool = False):
+    """The reference's aggregation of the squared local quantities into eta
+    (and optionally the [K, B] triples + marking indicators), shared by the
+    FOM, ROM and parabolic paths (``estimators.py:99-110`` as-executed)."""
+    a_bar = est.alpha(mu, est.data.mu_bar)
+    g_bar = est.gamma(mu, est.data.mu_bar)
+    a_hat = est.alpha(mu, est.data.mu_hat)
+
+    def norm(v):    # Frobenius over (B, K) <-> mpi_norm of [K, len(U)]
+        return jnp.sqrt(jnp.sum(v * v))
+
+    eta = (jnp.sqrt(g_bar) * norm(eta_nc)
+           + (1.0 / jnp.sqrt(a_hat)) * norm(eta_r + eta_df)) / jnp.sqrt(a_bar)
+    if not decompose:
+        return eta
+    nc, r, df = (jnp.moveaxis(v, 0, -1) for v in (eta_nc, eta_r, eta_df))
+    indicators = (2.0 / a_bar) * (g_bar * nc ** 2 + (1.0 / a_hat) * (r + df) ** 2)
+    return eta, (nc, r, df), indicators
+
+
 class EllipticEstimator:
     """<-> ``estimators.EllipticEstimator`` (``estimators.py:133-136``)."""
 
@@ -229,30 +249,12 @@ class EllipticEstimator:
         ``decompose``, the local squared triples [K, B] and indicators [K, B]
         (reference array convention ``(num_subdomains, len(U))``,
         ``estimators.py:50-53``)."""
-        data = self.data
         single = U.ndim == 2
         Ub = U[None] if single else U
         eta_nc, eta_r, eta_df = self.local_quantities(
             Ub, mu, elliptic_reconstruction=elliptic_reconstruction,
             d_model=d)                                           # [B, K]
-
-        a_bar = self.alpha(mu, data.mu_bar)
-        g_bar = self.gamma(mu, data.mu_bar)
-        a_hat = self.alpha(mu, data.mu_hat)
-
-        def norm(v):    # Frobenius over (B, K) <-> mpi_norm of [K, len(U)]
-            return jnp.sqrt(jnp.sum(v * v))
-
-        eta = (jnp.sqrt(g_bar) * norm(eta_nc)
-               + (1.0 / jnp.sqrt(a_hat)) * norm(eta_r + eta_df))
-        eta = eta / jnp.sqrt(a_bar)
-
-        if not decompose:
-            return eta
-        # [K, B] layout like the reference's (vec_size, len(U)) arrays
-        nc, r, df = (jnp.moveaxis(v, 0, -1) for v in (eta_nc, eta_r, eta_df))
-        indicators = (2.0 / a_bar) * (g_bar * nc ** 2 + (1.0 / a_hat) * (r + df) ** 2)
-        return eta, (nc, r, df), indicators
+        return aggregate_eta(self, mu, eta_nc, eta_r, eta_df, decompose)
 
 
 class ParabolicEstimator(EllipticEstimator):

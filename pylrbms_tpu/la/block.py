@@ -33,7 +33,7 @@ from ..ops.spaces import BlockDGSpace
 from ..ops.swipdg import edge_lists, fold_diag
 
 
-@dataclass
+@dataclass(eq=False)   # identity hash/eq: usable as static jit metadata
 class BlockOpStatic:
     """Static index metadata shared by all affine components."""
     K: int
@@ -169,8 +169,18 @@ class AssembledBlockOp:
 
         On TPU a batched dense inverse applied as a matmul keeps the
         preconditioner on the MXU; sequential triangular solves would
-        serialize (SURVEY.md §7 hard part 5)."""
-        return jnp.linalg.inv(self.A_diag)
+        serialize (SURVEY.md §7 hard part 5).
+
+        The blocks are symmetrically Jacobi-scaled before inversion:
+        M^-1 = S inv(S A S) S with S = diag(A)^{-1/2}.  Algebraically the
+        same matrix, but the scaled inverse survives float32 at high
+        coefficient contrast (SPE10: plain f32 inv of cond ~ 1e6 blocks is
+        garbage and makes CG diverge)."""
+        dvec = jnp.abs(jnp.diagonal(self.A_diag, axis1=-2, axis2=-1))
+        s = 1.0 / jnp.sqrt(jnp.maximum(dvec, 1e-300))          # [K, N]
+        As = self.A_diag * s[:, :, None] * s[:, None, :]
+        inv_s = jnp.linalg.inv(As)
+        return inv_s * s[:, :, None] * s[:, None, :]
 
     def coarse_matrix(self) -> jnp.ndarray:
         """Galerkin coarse matrix on the subdomain-constant space:
@@ -285,6 +295,16 @@ class AssembledBlockOp:
             return self.solve_dense(b)
         return self.solve_pcg(b, tol=options.get("precision", 1e-12),
                               maxiter=options.get("max_iter", 2000))
+
+
+# pytree registration: operators can be passed straight into jitted
+# functions (arrays as leaves, the static metadata as aux), so their tensors
+# never end up as HLO constants.
+for _cls in (AffineBlockOp, AssembledBlockOp):
+    jax.tree_util.register_dataclass(
+        _cls,
+        data_fields=["A_diag", "C_R_io", "C_R_oi", "C_U_io", "C_U_oi"],
+        meta_fields=["static"])
 
 
 def to_scipy_csr(op: AssembledBlockOp):

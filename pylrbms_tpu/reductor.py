@@ -171,25 +171,13 @@ class ReducedModel:
     def estimate(self, c, mu, decompose: bool = False):
         """Reduced estimate (same aggregation as the FOM estimator,
         estimators.py docstring)."""
+        from .estimators import aggregate_eta
         mu = self.parse_parameter(mu)
         est = self.d.estimator
         single = c.ndim == 2
         cb = c[None] if single else c
         eta_nc, eta_r, eta_df = self.local_quantities(cb, mu)
-        a_bar = est.alpha(mu, est.data.mu_bar)
-        g_bar = est.gamma(mu, est.data.mu_bar)
-        a_hat = est.alpha(mu, est.data.mu_hat)
-
-        def norm(v):
-            return jnp.sqrt(jnp.sum(v * v))
-
-        eta = (jnp.sqrt(g_bar) * norm(eta_nc)
-               + (1.0 / jnp.sqrt(a_hat)) * norm(eta_r + eta_df)) / jnp.sqrt(a_bar)
-        if not decompose:
-            return eta
-        nc, r, df = (jnp.moveaxis(v, 0, -1) for v in (eta_nc, eta_r, eta_df))
-        indicators = (2.0 / a_bar) * (g_bar * nc ** 2 + (1.0 / a_hat) * (r + df) ** 2)
-        return eta, (nc, r, df), indicators
+        return aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose)
 
 
 class LRBMSReductor:
@@ -576,16 +564,8 @@ class ReducedParabolicModel:
         scale = (1.0 / (jnp.pi ** 2) / rd.min_ev) * rd.diam ** 2
         eta_r = eta_r + (blb - flf - 2.0 * (bld - fld)) * scale
 
-        # aggregation as in EllipticEstimator.estimate (estimators.py)
-        a_bar = est.alpha(mu, est.data.mu_bar)
-        g_bar = est.gamma(mu, est.data.mu_bar)
-        a_hat = est.alpha(mu, est.data.mu_hat)
-
-        def norm(v):
-            return jnp.sqrt(jnp.sum(v * v))
-
-        eta = (jnp.sqrt(g_bar) * norm(eta_nc)
-               + (1.0 / jnp.sqrt(a_hat)) * norm(eta_r + eta_df)) / jnp.sqrt(a_bar)
+        from .estimators import aggregate_eta
+        eta = aggregate_eta(est, mu, eta_nc, eta_r, eta_df)
 
         # time residual dt/3 ||B dU||^2_{M^-1} from the G_MAA Gramian
         dc = (c[1:] - c[:-1]).reshape(c.shape[0] - 1, -1)        # [nt, R]

@@ -108,3 +108,42 @@ def test_operators_dict_view_and_caching():
     # determinism: identical results across repeated solves (XLA is
     # deterministic on a fixed platform - the race-detection analog)
     np.testing.assert_array_equal(np.asarray(U3), np.asarray(d.solve(mu)))
+
+
+def test_lean_discretize_positive_estimator():
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    from pylrbms_tpu.model import make_online_step
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d_full, _ = discretize(gpd)
+    d_lean, _ = discretize(gpd, lean=True)
+    assert d_lean.estimator.data.M_aa is None
+    mu = d_full.parse_parameter(0.5)
+    theta = jnp.asarray([1.0, 0.5])
+    theta_f = jnp.asarray([1.0])
+    U_l, ind_l = make_online_step(d_lean, tol=1e-11)(theta, theta_f, mu)
+    nc, r, df = d_full.estimator.local_quantities(d_full.solve(mu)[None], mu)
+    ref = np.asarray((nc + r + df)[0])
+    np.testing.assert_allclose(np.asarray(ind_l), ref, rtol=1e-8)
+
+
+def test_block_ops_are_pytrees():
+    import jax
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+
+    @jax.jit
+    def solve_with(op, theta, b):
+        return op.assemble(theta).apply(b)
+
+    theta = jnp.asarray([1.0, 0.5])
+    b = d.rhs_q[0]
+    y = solve_with(d.op, theta, b)        # op passed as a jit ARGUMENT
+    y_ref = d.op.assemble(theta).apply(b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-12)
