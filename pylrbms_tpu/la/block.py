@@ -175,11 +175,18 @@ class AssembledBlockOp:
         M^-1 = S inv(S A S) S with S = diag(A)^{-1/2}.  Algebraically the
         same matrix, but the scaled inverse survives float32 at high
         coefficient contrast (SPE10: plain f32 inv of cond ~ 1e6 blocks is
-        garbage and makes CG diverge)."""
+        garbage and makes CG diverge).
+
+        On non-CPU backends float64 LU is unavailable, so f64 operators get
+        their preconditioner inverted in f32 and cast back — an approximate
+        preconditioner changes the iteration count, not the limit."""
         dvec = jnp.abs(jnp.diagonal(self.A_diag, axis1=-2, axis2=-1))
         s = 1.0 / jnp.sqrt(jnp.maximum(dvec, 1e-300))          # [K, N]
         As = self.A_diag * s[:, :, None] * s[:, None, :]
-        inv_s = jnp.linalg.inv(As)
+        inv_dtype = As.dtype
+        if As.dtype == jnp.float64 and jax.default_backend() != "cpu":
+            inv_dtype = jnp.float32
+        inv_s = jnp.linalg.inv(As.astype(inv_dtype)).astype(As.dtype)
         return inv_s * s[:, :, None] * s[:, None, :]
 
     def coarse_matrix(self) -> jnp.ndarray:

@@ -108,3 +108,21 @@ def test_positive_form_quantities_match_matrix_form():
         assert rel < 1e-9, (name, rel)
     # all positive-form values are non-negative by construction
     assert float(jnp.minimum(jnp.minimum(nc_p.min(), r_p.min()), df_p.min())) >= 0
+
+
+def test_alpha_gamma_quirk_flag():
+    """alpha: reference early-return quirk (first component only,
+    estimators.py:121) vs the corrected min-over-components variant."""
+    from pylrbms_tpu.estimators import EllipticEstimator
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 0}, mu_bar=0.5, mu_hat=0.5)
+    d, _ = discretize(gpd)
+    est = d.estimator
+    mu = d.parse_parameter(0.25)
+    # OS2015 coefficients: theta = (1, mu); mu_bar = 0.5
+    # ratios = (1/1, 0.25/0.5) = (1.0, 0.5)
+    assert float(est.alpha(mu, est.data.mu_bar)) == pytest.approx(1.0)   # quirk
+    est_fixed = EllipticEstimator(est.data, alpha_first_component_only=False)
+    assert float(est_fixed.alpha(mu, est.data.mu_bar)) == pytest.approx(0.5)
+    assert float(est.gamma(mu, est.data.mu_bar)) == pytest.approx(1.0)
