@@ -184,9 +184,12 @@ class BatchedCorrector:
             rhs_full = d.rhs(mu)
         marked = sorted(marked)
         n_marked = len(marked)
+        if n_marked == 0:
+            import jax.numpy as _jnp
+            return _jnp.zeros((0, self.d.space.N))
         # bucket the batch size (pad with duplicates) so enrichment rounds
         # with varying mark counts reuse one compiled solver
-        B = max(1, 1 << (n_marked - 1).bit_length()) if n_marked else 1
+        B = 1 << (n_marked - 1).bit_length()
         marked = np.asarray(marked + [marked[0]] * (B - n_marked),
                             dtype=np.int64)
         key = (B, tol, maxiter)

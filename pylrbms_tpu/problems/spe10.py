@@ -57,9 +57,13 @@ def _synthetic_spe10_layer(seed: int, nx: int, ny: int) -> np.ndarray:
     return 10.0 ** (logk - 1.5)
 
 
-def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,)):
+def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,),
+                          max_contrast: float = None):
     """config needs num_subdomains / half_num...; the permeability raster is
-    resampled (nearest) onto the fine grid."""
+    resampled (nearest) onto the fine grid.  ``max_contrast`` optionally
+    clips the normalized field to [1/max_contrast, 1] (the raw SPE10-like
+    contrast of ~1e6-1e7 makes the linear systems brutal — useful for
+    conditioning studies, configurable for solver benchmarking)."""
     grid = make_grid(((0, 0), (1, 1)),
                      config["num_subdomains"],
                      config["half_num_fine_elements_per_subdomain_and_dim"],
@@ -72,6 +76,8 @@ def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,)):
     cells = perm[np.clip(iy.astype(int), 0, ny - 1)[:, None],
                  np.clip(ix.astype(int), 0, nx - 1)[None, :]]
     cells = cells / cells.max()
+    if max_contrast is not None:
+        cells = np.maximum(cells, 1.0 / max_contrast)
     lam_hi = make_cellwise_function_1x1(grid, cells, name="spe10_perm")
     floor = float(cells.min()) * 0.5
     lam_low = make_constant_function_1x1(floor, name="perm_floor")

@@ -18,13 +18,14 @@ from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
 from pylrbms_tpu.model import make_online_step
 
 
-def main(kx=16, ky=16, half=2, nref=2, dtype="float32"):
+def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
+         matrix_free=False, maxiter=600):
     dt = getattr(jnp, dtype)
     cfg = {'num_subdomains': [kx, ky],
            'half_num_fine_elements_per_subdomain_and_dim': half,
            'num_refinements': nref}
     t0 = time.perf_counter()
-    gpd = init_grid_and_problem(cfg)
+    gpd = init_grid_and_problem(cfg, max_contrast=max_contrast)
     d, _ = discretize(gpd, dtype=dt, lean=True)
     jax.block_until_ready(d.op.A_diag)
     t_disc = time.perf_counter() - t0
@@ -32,10 +33,32 @@ def main(kx=16, ky=16, half=2, nref=2, dtype="float32"):
     print(f"grid: {gpd['grid'].num_elements} elements, {d.space.K} subdomains, "
           f"{ndof} dofs; discretize {t_disc:.1f}s")
 
-    fn = make_online_step(d, tol=1e-6, maxiter=600)
     theta = jnp.asarray([1.0, 0.5], dt)
     theta_f = jnp.asarray([1.0], dt)
     mu = {"switch": jnp.asarray([0.5], dt)}
+
+    if matrix_free:
+        # stencil operator: ~8x fewer flops / ~75x less HBM traffic per
+        # matvec than the dense blocks — the path that makes f64-emulated
+        # Krylov affordable at SPE10 contrast
+        from pylrbms_tpu.ops.matrixfree import (assemble_swipdg_stencil,
+                                                StencilOperator)
+        t0 = time.perf_counter()
+        stencils = tuple(assemble_swipdg_stencil(d.space, lf, None, dtype=dt)
+                         for lf in d.estimator.data.lambda_funcs)
+        sop = StencilOperator(d.space, stencils)
+        print(f"stencil assembly {time.perf_counter() - t0:.1f}s")
+
+        @jax.jit
+        def fn_mf(theta, theta_f):
+            A = sop.assemble(theta)
+            b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
+            return A.solve_pcg(b, tol=1e-6, maxiter=maxiter)
+
+        fn = lambda th, tf, mu_: (fn_mf(th, tf), jnp.zeros(d.space.K))
+    else:
+        fn = make_online_step(d, tol=1e-6, maxiter=maxiter)
+
     t0 = time.perf_counter()
     U, ind = fn(theta, theta_f, mu)
     U.block_until_ready()
@@ -63,5 +86,9 @@ if __name__ == "__main__":
     p.add_argument("--half", type=int, default=2)
     p.add_argument("--nref", type=int, default=2)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--max-contrast", type=float, default=None)
+    p.add_argument("--matrix-free", action="store_true")
+    p.add_argument("--maxiter", type=int, default=600)
     a = p.parse_args()
-    main(a.subdomains[0], a.subdomains[1], a.half, a.nref, a.dtype)
+    main(a.subdomains[0], a.subdomains[1], a.half, a.nref, a.dtype,
+         a.max_contrast, a.matrix_free, a.maxiter)
