@@ -174,7 +174,16 @@ class AssembledStencil:
         top = jnp.concatenate([dA, Dmp], axis=-1)
         bot = jnp.concatenate([Dpm, dB], axis=-1)
         cell = jnp.concatenate([top, bot], axis=-2)        # [K, s, s, 2nb, 2nb]
-        return jnp.linalg.inv(cell)
+        # symmetric Jacobi scaling + f32 inversion gate (f64 LU is
+        # unavailable on TPU; see la/block.block_jacobi_factors)
+        dvec = jnp.abs(jnp.diagonal(cell, axis1=-2, axis2=-1))
+        sca = 1.0 / jnp.sqrt(jnp.maximum(dvec, 1e-300))
+        cs = cell * sca[..., :, None] * sca[..., None, :]
+        inv_dtype = cs.dtype
+        if cs.dtype == jnp.float64 and jax.default_backend() != "cpu":
+            inv_dtype = jnp.float32
+        inv_s = jnp.linalg.inv(cs.astype(inv_dtype)).astype(cs.dtype)
+        return inv_s * sca[..., :, None] * sca[..., None, :]
 
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-10, maxiter: int = 3000,
                   factors=None) -> jnp.ndarray:
