@@ -30,7 +30,7 @@ from .assembly import IPDGParams, DEFAULT_IPDG
 from .swipdg import _interior_face_sets
 
 
-@dataclass
+@dataclass(eq=False)
 class SwipdgStencil:
     """One affine component in stencil form."""
     vol: jnp.ndarray                      # [K, s, s, T, nb, nb]
@@ -106,7 +106,7 @@ def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
     return SwipdgStencil(vol=vol, D=Dq, V=Vq, H=Hq, R=Rq, U=Uq, D_side=D_side)
 
 
-@dataclass
+@dataclass(eq=False)
 class StencilOperator:
     """Affine family of stencils with a fused matrix-free apply."""
     space: BlockDGSpace
@@ -132,7 +132,7 @@ class StencilOperator:
         )
 
 
-@dataclass
+@dataclass(eq=False)
 class AssembledStencil:
     space: BlockDGSpace
     vol: jnp.ndarray
@@ -186,16 +186,30 @@ class AssembledStencil:
         return inv_s * sca[..., :, None] * sca[..., None, :]
 
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-10, maxiter: int = 3000,
-                  factors=None) -> jnp.ndarray:
-        """Matrix-free PCG with cell-block-Jacobi preconditioning."""
+                  factors=None, block_factors=None) -> jnp.ndarray:
+        """Matrix-free PCG.
+
+        Preconditioner: cell-block Jacobi by default; pass ``block_factors``
+        (the dense subdomain-block inverses [K, N, N], e.g. from
+        ``AssembledBlockOp.block_jacobi_factors()``) to get the
+        contrast-robust subdomain-level preconditioner — it is applied in
+        float32 (preconditioner precision only affects iteration counts), so
+        a f64-emulated Krylov iteration stays matvec-cheap."""
         sp = self.space
         K, s, nb = sp.K, sp.s, sp.nb
-        Minv = factors if factors is not None else self.cell_jacobi_factors()
+        if block_factors is not None:
+            Binv32 = block_factors.astype(jnp.float32)
 
-        def M(r):
-            rc = r.reshape(K, s, s, 2 * nb)
-            z = jnp.einsum("kyxij,kyxj->kyxi", Minv, rc)
-            return z.reshape(r.shape)
+            def M(r):
+                z32 = jnp.einsum("knm,km->kn", Binv32, r.astype(jnp.float32))
+                return z32.astype(r.dtype)
+        else:
+            Minv = factors if factors is not None else self.cell_jacobi_factors()
+
+            def M(r):
+                rc = r.reshape(K, s, s, 2 * nb)
+                z = jnp.einsum("kyxij,kyxj->kyxi", Minv, rc)
+                return z.reshape(r.shape)
 
         def dot(u, v):
             return jnp.vdot(u, v)
@@ -304,3 +318,16 @@ class AssembledStencil:
                        xg[..., ky - 1, :, s - 1, :, 1, :]))
 
         return yg.reshape(lead + (K, sp.N))
+
+
+# pytree registrations: stencil operators are jit-arg-able (arrays as leaves,
+# the space as static aux) so their tensors never become HLO constants.
+jax.tree_util.register_dataclass(
+    SwipdgStencil,
+    data_fields=["vol", "D", "V", "H", "R", "U", "D_side"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    StencilOperator, data_fields=["stencils"], meta_fields=["space"])
+jax.tree_util.register_dataclass(
+    AssembledStencil,
+    data_fields=["vol", "D", "V", "H", "R", "U", "D_side"],
+    meta_fields=["space"])

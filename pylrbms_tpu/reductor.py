@@ -36,9 +36,6 @@ from .model import StationaryBlockModel
 from .la.block import AssembledBlockOp
 from .parameters import evaluate_coefficients
 
-# jitted projection functions keyed by (K, N, r_max, Q, Qf)
-_PROJECT_CACHE: dict = {}
-
 
 class ExtensionError(Exception):
     """Basis extension added nothing new (<-> pymor.core.exceptions.ExtensionError)."""

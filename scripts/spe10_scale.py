@@ -50,12 +50,16 @@ def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
         print(f"stencil assembly {time.perf_counter() - t0:.1f}s")
 
         @jax.jit
-        def fn_mf(theta, theta_f):
-            A = sop.assemble(theta)
-            b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
-            return A.solve_pcg(b, tol=1e-6, maxiter=maxiter)
+        def fn_mf(sop_, op_, rhs_q, theta, theta_f):
+            A = sop_.assemble(theta)
+            b = jnp.einsum("q,qkn->kn", theta_f, rhs_q)
+            # contrast-robust subdomain-block preconditioner applied in f32
+            block_factors = op_.assemble(theta).block_jacobi_factors()
+            return A.solve_pcg(b, tol=1e-6, maxiter=maxiter,
+                               block_factors=block_factors)
 
-        fn = lambda th, tf, mu_: (fn_mf(th, tf), jnp.zeros(d.space.K))
+        fn = lambda th, tf, mu_: (fn_mf(sop, d.op, d.rhs_q, th, tf),
+                                  jnp.zeros(d.space.K))
     else:
         fn = make_online_step(d, tol=1e-6, maxiter=maxiter)
 

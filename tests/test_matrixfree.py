@@ -47,3 +47,22 @@ def test_matrixfree_pcg_matches_dense_solve():
     x_mf = A_mf.solve_pcg(b, tol=1e-12, maxiter=3000)
     err = float(jnp.abs(x_mf - x_ref).max() / jnp.abs(x_ref).max())
     assert err < 1e-8, err
+
+
+def test_matrixfree_pcg_block_preconditioner():
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    stencils = tuple(assemble_swipdg_stencil(d.space, lf, None)
+                     for lf in d.estimator.data.lambda_funcs)
+    sop = StencilOperator(d.space, stencils)
+    theta = jnp.asarray([1.0, 0.6])
+    A_dense = d.op.assemble(theta)
+    b = d.rhs_q[0]
+    x_ref = A_dense.solve_dense(b)
+    x = sop.assemble(theta).solve_pcg(
+        b, tol=1e-12, maxiter=2000,
+        block_factors=A_dense.block_jacobi_factors())
+    err = float(jnp.abs(x - x_ref).max() / jnp.abs(x_ref).max())
+    assert err < 1e-8, err
