@@ -134,12 +134,19 @@ class ReducedModel:
         assembled from the projected Gramians — the greedy error surrogate
         (goes to 0 as the ROM approaches the FOM, unlike the LRBMS total-error
         estimator which is floored by the discretization error)."""
-        theta = self.d.theta(mu)
-        theta_f = self.d.theta_f(mu)
-        cf = c.reshape(c.shape[:-2] + (-1,))
-        bb = jnp.einsum("p,r,pr->", theta_f, theta_f, self.G_bb)
-        Ab = jnp.einsum("q,f,qfi,...i->...", theta, theta_f, self.G_Ab, cf)
-        AA = jnp.einsum("p,r,prij,...i,...j->...", theta, theta, self.G_AA, cf, cf)
+        # the three terms nearly cancel as the ROM converges: compute in the
+        # widest available precision (f64 when x64 is enabled; the reduced
+        # Gramians are small, so emulated f64 on TPU is cheap).  In plain
+        # f32 the surrogate collapses to 0 and the greedy never selects.
+        wide = jax.dtypes.canonicalize_dtype(jnp.float64)
+        theta = self.d.theta(mu).astype(wide)
+        theta_f = self.d.theta_f(mu).astype(wide)
+        cf = c.reshape(c.shape[:-2] + (-1,)).astype(wide)
+        bb = jnp.einsum("p,r,pr->", theta_f, theta_f, self.G_bb.astype(wide))
+        Ab = jnp.einsum("q,f,qfi,...i->...", theta, theta_f,
+                        self.G_Ab.astype(wide), cf)
+        AA = jnp.einsum("p,r,prij,...i,...j->...", theta, theta,
+                        self.G_AA.astype(wide), cf, cf)
         return jnp.sqrt(jnp.maximum(bb - 2.0 * Ab + AA, 0.0))
 
     def local_quantities(self, c, mu):
