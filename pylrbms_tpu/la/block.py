@@ -156,13 +156,14 @@ class AssembledBlockOp:
 
     # ------------------------------------------------------------------
     def solve_dense(self, b: jnp.ndarray) -> jnp.ndarray:
-        """Direct global solve; b [K, N] or [..., K, N]."""
+        """Direct global solve; b [K, N] or [..., K, N] (backend-safe:
+        f32 LU + f64 iterative refinement where f64 LU is unavailable)."""
         st = self.static
         G = self.to_dense()
         single = b.ndim == 2
-        bb = b.reshape(-1, st.K * st.N).T
-        x = jnp.linalg.solve(G, bb).T.reshape(b.shape if not single else (st.K, st.N))
-        return x
+        bb = b.reshape(-1, st.K * st.N)                 # [B, n]
+        x = jax.vmap(lambda v: dense_solve_mixed(G, v))(bb)
+        return x.reshape((st.K, st.N) if single else b.shape)
 
     def block_jacobi_factors(self):
         """Explicit inverses of the diagonal blocks [K, N, N].
@@ -220,12 +221,18 @@ class AssembledBlockOp:
 
         if two_level:
             A0 = self.coarse_matrix()
-            lu0 = jax.scipy.linalg.lu_factor(A0)
+            # coarse level is a preconditioner component: f32 LU where f64
+            # LU is unavailable (TPU) changes iterations, not the limit
+            lu_dtype = A0.dtype
+            if A0.dtype == jnp.float64 and jax.default_backend() != "cpu":
+                lu_dtype = jnp.float32
+            lu0 = jax.scipy.linalg.lu_factor(A0.astype(lu_dtype))
 
             def M(r):
                 fine = jnp.einsum("knm,km->kn", Ainv, r)
                 rc = jnp.sum(r, axis=1)
-                xc = jax.scipy.linalg.lu_solve(lu0, rc)
+                xc = jax.scipy.linalg.lu_solve(
+                    lu0, rc.astype(lu_dtype)).astype(r.dtype)
                 return fine + xc[:, None]
         else:
             def M(r):
@@ -302,6 +309,37 @@ class AssembledBlockOp:
             return self.solve_dense(b)
         return self.solve_pcg(b, tol=options.get("precision", 1e-12),
                               maxiter=options.get("max_iter", 2000))
+
+
+def dense_inv_mixed(A: jnp.ndarray, newton: int = 2) -> jnp.ndarray:
+    """Backend-safe dense inverse (batched): plain inv where f64 LU exists;
+    on accelerators without it (TPU) f32 inv + Newton-Schulz refinement
+    X <- X (2I - A X), which converges quadratically back to ~f64 accuracy
+    for well-conditioned blocks (mass matrices)."""
+    if A.dtype != jnp.float64 or jax.default_backend() == "cpu":
+        return jnp.linalg.inv(A)
+    X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
+    I = jnp.eye(A.shape[-1], dtype=A.dtype)
+    for _ in range(newton):
+        X = X @ (2.0 * I - A @ X)
+    return X
+
+
+def dense_solve_mixed(A: jnp.ndarray, b: jnp.ndarray, refinements: int = 2):
+    """Backend-safe dense solve: plain LU where available; on accelerators
+    without f64 LU (TPU), f32 LU + iterative refinement with f64 residuals —
+    ~f64 accuracy for well-scaled systems.  Batched/broadcast over leading
+    dims of A [..., n, n] and b [..., n] — b is ALWAYS a stack of vectors
+    (jnp.linalg.solve would treat any b.ndim > 1 as matrices)."""
+    sv = jnp.vectorize(jnp.linalg.solve, signature="(m,m),(m)->(m)")
+    if A.dtype != jnp.float64 or jax.default_backend() == "cpu":
+        return sv(A, b)
+    A32 = A.astype(jnp.float32)
+    x = sv(A32, b.astype(jnp.float32)).astype(jnp.float64)
+    for _ in range(refinements):
+        r = b - jnp.einsum("...ij,...j->...i", A, x)
+        x = x + sv(A32, r.astype(jnp.float32)).astype(jnp.float64)
+    return x
 
 
 # pytree registration: operators can be passed straight into jitted

@@ -172,12 +172,11 @@ class StationaryBlockModel:
 
     # ------------------------------------------------------------------
     def l2_solve(self, V):
-        """Apply the inverse of the (block-diagonal) L2 product."""
-        L = jnp.linalg.cholesky(self.products["l2"])
-        Lb = jnp.broadcast_to(L, V.shape[:-2] + L.shape)
-        y = jax.scipy.linalg.solve_triangular(Lb, V[..., None], lower=True)
-        z = jax.scipy.linalg.solve_triangular(jnp.swapaxes(Lb, -1, -2), y, lower=False)
-        return z[..., 0]
+        """Apply the inverse of the (block-diagonal) L2 product
+        (backend-safe: mixed-precision refinement where f64 factorizations
+        are unavailable, e.g. TPU)."""
+        from .la.block import dense_solve_mixed
+        return dense_solve_mixed(self.products["l2"], V)
 
     @property
     def l2_product(self):
@@ -308,7 +307,8 @@ class StationaryBlockModel:
             b = r[np.asarray(members)].reshape(-1)
         theta = self.theta(mu)
         A = sum(t * M for t, M in zip(theta, mats))
-        w = jnp.linalg.solve(A, b)
+        from .la.block import dense_solve_mixed
+        w = dense_solve_mixed(A, b)
         i = members.index(subdomain)
         N = self.space.N
         return w[i * N:(i + 1) * N]
@@ -424,10 +424,22 @@ class InstationaryBlockModel:
                                 dt * A.C_U_io, dt * A.C_U_oi)
         use_dense = K * N <= 6144
         if use_dense:
-            lu, piv = jax.scipy.linalg.lu_factor(G_op.to_dense())
+            G_dense = G_op.to_dense()
+            lu_dtype = G_dense.dtype
+            if lu_dtype == jnp.float64 and jax.default_backend() != "cpu":
+                # f64 LU unavailable (TPU): f32 LU + one f64 refinement step
+                lu_dtype = jnp.float32
+            lu, piv = jax.scipy.linalg.lu_factor(G_dense.astype(lu_dtype))
 
             def solve_step(rhs):
-                return jax.scipy.linalg.lu_solve((lu, piv), rhs.reshape(-1)).reshape(K, N)
+                r = rhs.reshape(-1)
+                x = jax.scipy.linalg.lu_solve(
+                    (lu, piv), r.astype(lu_dtype)).astype(r.dtype)
+                if lu_dtype != G_dense.dtype:
+                    res = r - G_dense @ x
+                    x = x + jax.scipy.linalg.lu_solve(
+                        (lu, piv), res.astype(lu_dtype)).astype(r.dtype)
+                return x.reshape(K, N)
         else:
             factors = G_op.block_jacobi_factors()
 

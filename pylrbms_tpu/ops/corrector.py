@@ -98,7 +98,18 @@ class BatchedCorrector:
             for i, sd in enumerate(self.SIDES):
                 rows = side_rows[sd].reshape(s, nb)
                 A_dir = A_dir.at[:, rows[:, :, None], rows[:, None, :]].add(D[sd])
-            Minv = jnp.linalg.inv(A_dir)
+            # symmetric Jacobi scaling before inversion (f32-robust at high
+            # contrast) and f32 inversion gate where f64 LU is unavailable
+            # (TPU) — preconditioner accuracy changes iterations, not limits
+            dg = jnp.diagonal(A_dir, axis1=-2, axis2=-1)
+            sc = jnp.where(dg > 0, 1.0 / jnp.sqrt(jnp.where(dg > 0, dg, 1.0)),
+                           1.0)
+            A_sc = A_dir * sc[:, :, None] * sc[:, None, :]
+            inv_dtype = A_sc.dtype
+            if A_sc.dtype == jnp.float64 and jax.default_backend() != "cpu":
+                inv_dtype = jnp.float32
+            Minv = (jnp.linalg.inv(A_sc.astype(inv_dtype)).astype(A_sc.dtype)
+                    * sc[:, :, None] * sc[:, None, :])
 
             def emb(update, rows):
                 z = jnp.zeros(update.shape[:-1] + (N,), update.dtype)

@@ -145,7 +145,13 @@ class SpmdOnlineSolver:
             op_local = (mix(A_diag), mix(C_R_io), mix(C_R_oi),
                         mix(C_U_io), mix(C_U_oi))
             b = jnp.einsum("q,q...->...", theta_f, rhs_q)     # [kyl, kx, N]
-            Ainv = jnp.linalg.inv(op_local[0])
+            # preconditioner blocks: f32 inversion where f64 LU is
+            # unavailable (TPU) — changes iterations, not the limit
+            inv_dtype = op_local[0].dtype
+            if inv_dtype == jnp.float64 and jax.default_backend() != "cpu":
+                inv_dtype = jnp.float32
+            Ainv = jnp.linalg.inv(
+                op_local[0].astype(inv_dtype)).astype(op_local[0].dtype)
             # the boundary edge's out_in strip lives on the shard below;
             # ship it once (constant across CG iterations)
             C_from_below = jax.lax.ppermute(op_local[4][-1], axis, up_perm)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .model import StationaryBlockModel
-from .la.block import AssembledBlockOp
+from .la.block import AssembledBlockOp, dense_inv_mixed
 from .parameters import evaluate_coefficients
 
 
@@ -114,7 +114,8 @@ class ReducedModel:
         theta = self.d.theta(mu)
         A = jnp.einsum("q,qij->ij", theta, self.A_red)
         b = jnp.einsum("q,qi->i", self.d.theta_f(mu), self.b_red)
-        c = jnp.linalg.solve(A, b)
+        from .la.block import dense_solve_mixed
+        c = dense_solve_mixed(A, b)
         return c.reshape(len(self.sizes), self.r_max)
 
     def reconstruct(self, c):
@@ -420,7 +421,7 @@ class LRBMSReductor:
                     # reconstruction eta_r additions (estimators.py parabolic
                     # branch), all N-independent online.
                     L2 = l2_blocks
-                    Linv = jnp.linalg.inv(L2)
+                    Linv = dense_inv_mixed(L2)
                     MAV = jnp.einsum("knm,qrkm->qrkn", Linv, AV)   # [Q,R,K,N]
                     FR = jnp.einsum("knm,fkm->fkn", Linv, rhs_q)   # [Qf,K,N]
                     # time residual Gramian: (A_q V)^T M^-1 (A_q' V) [Q,Q,R,R]
@@ -505,8 +506,14 @@ class ReducedParabolicModel:
         A = jnp.einsum("q,qij->ij", theta, rd.A_red)
         G = self.M_red + dt * A
         # keep padding rows solvable
-        lu, piv = jax.scipy.linalg.lu_factor(G + jnp.diag(
-            jnp.where(jnp.diag(G) == 0, 1.0, 0.0)))
+        G = G + jnp.diag(jnp.where(jnp.diag(G) == 0, 1.0, 0.0))
+        if G.dtype == jnp.float64 and jax.default_backend() != "cpu":
+            G32 = G.astype(jnp.float32)
+            lu, piv = jax.scipy.linalg.lu_factor(G32)
+            lu_dtype = jnp.float32
+        else:
+            lu, piv = jax.scipy.linalg.lu_factor(G)
+            lu_dtype = G.dtype
         b_red = rd.b_red
         f_coeffs = d.f_coeffs
 
@@ -520,7 +527,8 @@ class ReducedParabolicModel:
         def step(c, n):
             f = jnp.einsum("q,qi->i", theta_f_at((n + 1.0) * dt), b_red)
             rhs = self.M_red @ c + dt * f
-            c_next = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            c_next = jax.scipy.linalg.lu_solve(
+                (lu, piv), rhs.astype(lu_dtype)).astype(rhs.dtype)
             return c_next, c_next
 
         c0 = jnp.zeros((K * r_max,))
