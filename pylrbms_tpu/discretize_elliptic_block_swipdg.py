@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .grid import Grid
+from .utils.precision import hp
 from .ops.spaces import BlockDGSpace
 from .ops import assembly as asm
 from .ops import products as prod
@@ -125,7 +126,7 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
                     A_div=A_div, R_dd=R_dd, d_vec=d_vec, rf_qq=rf_qq,
                     min_ev=min_ev)
 
-    built = jax.jit(_build)()
+    built = jax.jit(hp(_build))()
     from .ops.swipdg import SwipdgComponent
     from .la.block import BlockOpStatic
     comps = [SwipdgComponent(**cd) for cd in built["comps"]]

@@ -25,12 +25,15 @@ from .parameters import CubicParameterSpace, parse_parameter, as_functional, \
 from .ops.assembly import IPDGParams, DEFAULT_IPDG
 
 
+from .utils.precision import hp
+
 def monolithic_grid(grid: Grid) -> Grid:
     assert grid.global_nx == grid.global_ny, "monolithic view needs a square mesh"
     return Grid(lower_left=grid.lower_left, upper_right=grid.upper_right,
                 kx=1, ky=1, s=grid.global_nx, grid_type=grid.grid_type)
 
 
+@hp
 def discretize(grid_and_problem_data: dict, polorder: int = 1, solver_options=None,
                ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64):
     gpd = grid_and_problem_data

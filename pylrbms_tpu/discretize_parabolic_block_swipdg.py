@@ -12,6 +12,9 @@ from .discretize_elliptic_block_swipdg import discretize as discretize_ell
 from .model import InstationaryBlockModel
 
 
+from .utils.precision import hp
+
+@hp
 def discretize(grid_and_problem_data, T: float, nt: int, **kw):
     d, data = discretize_ell(grid_and_problem_data, **kw)
     im = InstationaryBlockModel(stationary=d, T=float(T), nt=int(nt))

@@ -10,6 +10,9 @@ from .discretize_elliptic_swipdg import discretize as discretize_stationary
 from .model import InstationaryBlockModel
 
 
+from .utils.precision import hp
+
+@hp
 def discretize(grid_and_problem_data, T: float, nt: int, polorder: int = 1, **kw):
     d, data = discretize_stationary(grid_and_problem_data, polorder, **kw)
     im = InstationaryBlockModel(stationary=d, T=float(T), nt=int(nt))

@@ -41,6 +41,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .utils.precision import hp
+
 from .parameters import evaluate_coefficients
 from .ops.oswald import OswaldOperator
 from .ops.fluxreco import FluxReconstructor
@@ -126,6 +128,7 @@ class EllipticEstimator:
         theta = evaluate_coefficients(d.lambda_coeffs, mu)
         return jnp.einsum("q,q...->...", theta, t_q)
 
+    @hp
     def local_quantities(self, U, mu, elliptic_reconstruction: bool = False,
                          d_model=None, tensors: dict | None = None):
         """Per-subdomain squared quantities; U [..., K, N] -> each [..., K].
@@ -184,6 +187,7 @@ class EllipticEstimator:
         eta_df = aa + bb + 2.0 * ab
         return eta_nc, eta_r, eta_df
 
+    @hp
     def local_quantities_positive(self, U, mu, tensors: dict | None = None):
         """Cancellation-free evaluation of the squared local quantities.
 
@@ -243,6 +247,7 @@ class EllipticEstimator:
         eta_r = area * jnp.einsum("tq,...kyxtq->...k", w, res * res) * scale
         return eta_nc, eta_r, eta_df
 
+    @hp
     def estimate(self, U, mu, d=None, decompose: bool = False,
                  elliptic_reconstruction: bool = False):
         """U [K, N] or [B, K, N].  Returns eta (scalar) and, with
@@ -263,6 +268,7 @@ class ParabolicEstimator(EllipticEstimator):
     Operates on a trajectory U [nt+1, K, N].  Needs the model for
     ``operator.apply`` / ``l2_product`` (time residual, ``:147-151``)."""
 
+    @hp
     def estimate(self, U, mu, d=None, decompose: bool = False):
         assert d is not None, "parabolic estimate needs the model (operator/mass)"
         data = self.data

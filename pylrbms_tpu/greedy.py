@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .utils.precision import hp
 from .reductor import LRBMSReductor, ExtensionError
 from .utils.logging import getLogger
 
@@ -68,9 +69,9 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
         mus_stacked = {k: jax.device_put(v, NamedSharding(
             mesh, P(*( (axis,) + (None,) * (v.ndim - 1) ))))
             for k, v in mus_stacked.items()}
-        out = jax.jit(jax.vmap(one), out_shardings=sh)(mus_stacked)
+        out = jax.jit(hp(jax.vmap(one)), out_shardings=sh)(mus_stacked)
         return out[:B]
-    return jax.jit(jax.vmap(one))(mus_stacked)
+    return jax.jit(hp(jax.vmap(one)))(mus_stacked)
 
 
 def weak_greedy(d, training_set, target_error: float = 1e-4,

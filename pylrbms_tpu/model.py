@@ -24,6 +24,7 @@ from .grid import Grid
 from .ops.spaces import BlockDGSpace
 from .ops.swipdg import SwipdgComponent, edge_lists
 from .la.block import AffineBlockOp, unblock, reblock
+from .utils.precision import hp
 from .parameters import (CubicParameterSpace, evaluate_coefficients,
                          parse_parameter)
 from .estimators import EllipticEstimator, ParabolicEstimator
@@ -129,6 +130,7 @@ class StationaryBlockModel:
     def assemble(self, mu):
         return self.op.assemble(self.theta(mu))
 
+    @hp
     def solve(self, mu, inverse_options=None):
         """Detailed (FOM) solve (<-> ``DuneDiscretization._solve``,
         ``discretize_elliptic_block_swipdg.py:219-225``).
@@ -166,6 +168,7 @@ class StationaryBlockModel:
     def operator_apply(self, U, mu):
         return self.assemble(mu).apply(U)
 
+    @hp
     def estimate(self, U, mu, decompose: bool = False):
         mu = self.parse_parameter(mu)
         return self.estimator.estimate(U, mu, d=self, decompose=decompose)
@@ -321,7 +324,9 @@ class StationaryBlockModel:
 
 def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                      maxiter: int = 400, with_estimate: bool = True,
-                     positive_form: bool = True):
+                     positive_form: bool = True,
+                     fixed_preconditioner: bool = True,
+                     matrix_free=None):
     """Jitted online step ``(theta, theta_f, mu) -> (U[, indicators])``.
 
     All large per-subdomain tensors are passed as jit *arguments* (donated
@@ -331,12 +336,57 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
     ``positive_form`` (default) evaluates the local quantities as manifestly
     non-negative integrals (float32/TPU-safe; the matrix form suffers
     catastrophic cancellation in eta_r/eta_df near convergence).
+
+    ``fixed_preconditioner`` (default) builds the block-Jacobi factors ONCE
+    at the reference parameter mu_bar and reuses them for every mu: A(mu) and
+    A(mu_bar) are spectrally equivalent with constants given by the theta
+    ratios, so CG iteration counts grow only mildly while the dominant
+    per-step cost — a batched dense inversion of all subdomain blocks —
+    moves offline entirely (measured ~15 ms/step on v5e at K=64, N=384,
+    where one CG iteration costs ~16 us).
+
+    ``matrix_free`` (None = auto above 16 384 dofs) replaces the dense-block
+    matvec inside CG by the fused stencil apply (ops/matrixfree.py): each CG
+    iteration then reads ~N*nb coefficients per subdomain instead of the
+    full N*N block — the HBM-bandwidth-optimal inner loop.  The operator is
+    algebraically identical; only float association differs.
     """
     from .la.block import AssembledBlockOp
     st = d.op.static
     arrays = {"A_diag": d.op.A_diag, "C_R_io": d.op.C_R_io,
               "C_R_oi": d.op.C_R_oi, "C_U_io": d.op.C_U_io,
               "C_U_oi": d.op.C_U_oi, "rhs_q": d.rhs_q}
+    if matrix_free is None:
+        matrix_free = (d.space.K * d.space.N >= 16384
+                       and d.estimator is not None
+                       and getattr(d.estimator.data, "lambda_funcs", None)
+                       is not None)
+    if matrix_free:
+        from .ops.matrixfree import assemble_swipdg_stencil, StencilOperator
+        dtype = d.op.A_diag.dtype
+        # jitted: the stencil assembly is dozens of small einsums per affine
+        # component — run as one compiled graph, not eager op-by-op (the
+        # captured quadrature/tabulation tables are tiny)
+        arrays["stencils"] = jax.jit(hp(lambda: tuple(
+            assemble_swipdg_stencil(d.space, lf, None, dtype=dtype)
+            for lf in d.estimator.data.lambda_funcs)))()
+    if fixed_preconditioner:
+        mu_bar = getattr(d, "mu_bar", None)
+        if mu_bar is None and d.estimator is not None:
+            mu_bar = getattr(d.estimator.data, "mu_bar", None)
+        try:
+            theta_bar = d.theta(mu_bar or {})
+        except KeyError:
+            # no usable mu_bar: all-ones thetas (the component sum) is still
+            # spectrally equivalent to every A(mu) over a compact mu range
+            theta_bar = jnp.ones((d.op.A_diag.shape[0],),
+                                 d.op.A_diag.dtype)
+        # one jitted call (eager op-by-op execution costs ~0.4 s *per op* on
+        # the remote-TPU path); the operator rides in as a pytree argument so
+        # its tensors never become HLO constants
+        arrays["Minv_bar"] = jax.jit(hp(
+            lambda op, th: op.assemble(th).block_jacobi_factors()))(
+                d.op, theta_bar)
     est = d.estimator
     if with_estimate and est is not None:
         ed = est.data
@@ -347,16 +397,24 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                           d_vec=ed.d_vec, R_dd=ed.R_dd, L2=ed.L2)
 
     @jax.jit
+    @hp
     def _step(arrays, theta, theta_f, mu):
-        A = AssembledBlockOp(
-            st,
-            jnp.einsum("q,qkij->kij", theta, arrays["A_diag"]),
-            jnp.einsum("q,qefij->efij", theta, arrays["C_R_io"]),
-            jnp.einsum("q,qefij->efij", theta, arrays["C_R_oi"]),
-            jnp.einsum("q,qefij->efij", theta, arrays["C_U_io"]),
-            jnp.einsum("q,qefij->efij", theta, arrays["C_U_oi"]))
         b = jnp.einsum("q,qkn->kn", theta_f, arrays["rhs_q"])
-        U = A.solve_pcg(b, tol=tol, maxiter=maxiter)
+        if matrix_free:
+            from .ops.matrixfree import StencilOperator
+            A_mf = StencilOperator(d.space, arrays["stencils"]).assemble(theta)
+            U = A_mf.solve_pcg(b, tol=tol, maxiter=maxiter,
+                               block_factors=arrays.get("Minv_bar"))
+        else:
+            A = AssembledBlockOp(
+                st,
+                jnp.einsum("q,qkij->kij", theta, arrays["A_diag"]),
+                jnp.einsum("q,qefij->efij", theta, arrays["C_R_io"]),
+                jnp.einsum("q,qefij->efij", theta, arrays["C_R_oi"]),
+                jnp.einsum("q,qefij->efij", theta, arrays["C_U_io"]),
+                jnp.einsum("q,qefij->efij", theta, arrays["C_U_oi"]))
+            U = A.solve_pcg(b, tol=tol, maxiter=maxiter,
+                            factors=arrays.get("Minv_bar"))
         if not (with_estimate and est is not None):
             return U
         if positive_form:
@@ -404,6 +462,7 @@ class InstationaryBlockModel:
     def estimator(self):
         return self._estimator
 
+    @hp
     def solve(self, mu):
         """Trajectory [nt+1, K, N] via lax.scan over implicit Euler steps.
 

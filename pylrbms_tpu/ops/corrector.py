@@ -26,6 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import hp
+
 
 class BatchedCorrector:
     SIDES = ("left", "right", "bottom", "top")
@@ -180,7 +182,7 @@ class BatchedCorrector:
             # slice each patch's own subdomain
             return x[jnp.arange(B), marked, :]             # [B, N]
 
-        return jax.jit(solve)
+        return jax.jit(hp(solve))
 
     # ------------------------------------------------------------------
     def solve(self, marked, mu=None, current_solution=None, mode="residual",

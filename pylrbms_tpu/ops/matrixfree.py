@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import hp
+
 from .spaces import BlockDGSpace
 from . import assembly as asm
 from .assembly import IPDGParams, DEFAULT_IPDG
@@ -43,6 +45,7 @@ class SwipdgStencil:
     D_side: Dict[str, jnp.ndarray]        # side -> [K, s, nb, nb]
 
 
+@hp
 def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
                             ipdg: IPDGParams = DEFAULT_IPDG,
                             dtype=jnp.float64) -> SwipdgStencil:

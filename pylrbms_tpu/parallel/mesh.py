@@ -82,6 +82,8 @@ class SubdomainMesh:
         estimate; outputs sharded over K."""
         import jax.numpy as jnp
 
+        from ..utils.precision import hp
+
         def step(theta, theta_f, mu):
             A = d.op.assemble(theta)
             b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
@@ -90,7 +92,7 @@ class SubdomainMesh:
             return U, nc + r + df
 
         with self.mesh:
-            return jax.jit(step, out_shardings=(self.shard_k(0), self.shard_k(0)))
+            return jax.jit(hp(step), out_shardings=(self.shard_k(0), self.shard_k(0)))
 
 
 def psum_norm(local_sq, axis_name: str):

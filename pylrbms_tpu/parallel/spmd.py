@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..utils.precision import hp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -202,4 +204,4 @@ class SpmdOnlineSolver:
                         C_U_io, C_U_oi, rhs_q)
             return x.reshape(ky * kx, st.N)
 
-        return jax.jit(run)
+        return jax.jit(hp(run))

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from .model import StationaryBlockModel
 from .la.block import AssembledBlockOp, dense_inv_mixed
+from .utils.precision import hp
 from .parameters import evaluate_coefficients
 
 
@@ -437,7 +438,7 @@ class LRBMSReductor:
                     out["G_FLdiv"] = jnp.einsum("fkn,knm,qkum->fqku", FR, L2, divTk)
                 return out
 
-            fn = jax.jit(_full)
+            fn = jax.jit(hp(_full))
             self._project_cache[key] = fn
 
         out = fn(op_arrays, ed_arrays, d.rhs_q, V, mask,
