@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import hp
+
 from ..ops.spaces import BlockDGSpace
 from ..ops.swipdg import edge_lists, fold_diag
 
@@ -106,6 +108,7 @@ class AssembledBlockOp:
     C_U_io: jnp.ndarray
     C_U_oi: jnp.ndarray
 
+    @hp
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         """x [K, N] (or [..., K, N]) -> A x."""
         from ..ops.pallas_kernels import block_matvec, use_pallas_matvec
@@ -155,6 +158,7 @@ class AssembledBlockOp:
         return G.transpose(0, 2, 1, 3).reshape(K * N, K * N)
 
     # ------------------------------------------------------------------
+    @hp
     def solve_dense(self, b: jnp.ndarray) -> jnp.ndarray:
         """Direct global solve; b [K, N] or [..., K, N] (backend-safe:
         f32 LU + f64 iterative refinement where f64 LU is unavailable)."""
@@ -165,6 +169,7 @@ class AssembledBlockOp:
         x = jax.vmap(lambda v: dense_solve_mixed(G, v))(bb)
         return x.reshape((st.K, st.N) if single else b.shape)
 
+    @hp
     def block_jacobi_factors(self):
         """Explicit inverses of the diagonal blocks [K, N, N].
 
@@ -212,6 +217,7 @@ class AssembledBlockOp:
         A0 = add(A0, self.C_U_oi, st.up_k, st.low_k)
         return A0
 
+    @hp
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
                   factors=None, two_level: bool = False) -> jnp.ndarray:
         """Block-Jacobi preconditioned CG (symmetric SWIPDG); optionally with
@@ -269,6 +275,7 @@ class AssembledBlockOp:
         x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
         return x
 
+    @hp
     def solve_refined(self, b: jnp.ndarray, tol: float = 1e-10,
                       maxiter: int = 400, refinements: int = 3) -> jnp.ndarray:
         """Mixed-precision iterative refinement (SURVEY.md §7 hard part 2):

@@ -147,6 +147,7 @@ class AssembledStencil:
     D_side: dict
 
     # ------------------------------------------------------------------
+    @hp
     def cell_jacobi_factors(self) -> jnp.ndarray:
         """Per-quad-cell 2nb x 2nb block inverses (vol + in-cell D face):
         the matrix-free preconditioner — O(K s^2 nb^2) memory, no dense
@@ -188,8 +189,10 @@ class AssembledStencil:
         inv_s = jnp.linalg.inv(cs.astype(inv_dtype)).astype(cs.dtype)
         return inv_s * sca[..., :, None] * sca[..., None, :]
 
+    @hp
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-10, maxiter: int = 3000,
-                  factors=None, block_factors=None) -> jnp.ndarray:
+                  factors=None, block_factors=None,
+                  coarse_inv=None) -> jnp.ndarray:
         """Matrix-free PCG.
 
         Preconditioner: cell-block Jacobi by default; pass ``block_factors``
@@ -197,7 +200,12 @@ class AssembledStencil:
         ``AssembledBlockOp.block_jacobi_factors()``) to get the
         contrast-robust subdomain-level preconditioner — it is applied in
         float32 (preconditioner precision only affects iteration counts), so
-        a f64-emulated Krylov iteration stays matvec-cheap."""
+        a f64-emulated Krylov iteration stays matvec-cheap.
+
+        ``coarse_inv`` ([K, K], e.g. inverse of
+        ``AssembledBlockOp.coarse_matrix()``) adds the subdomain-constant
+        coarse level additively — the global-information channel block
+        methods lack; cuts iteration counts at large K / high contrast."""
         sp = self.space
         K, s, nb = sp.K, sp.s, sp.nb
         if block_factors is not None:
@@ -213,6 +221,15 @@ class AssembledStencil:
                 rc = r.reshape(K, s, s, 2 * nb)
                 z = jnp.einsum("kyxij,kyxj->kyxi", Minv, rc)
                 return z.reshape(r.shape)
+
+        if coarse_inv is not None:
+            M_fine = M
+            C32 = coarse_inv.astype(jnp.float32)
+
+            def M(r):
+                rc = jnp.sum(r, axis=1).astype(jnp.float32)     # [K]
+                xc = (C32 @ rc).astype(r.dtype)
+                return M_fine(r) + xc[:, None]
 
         def dot(u, v):
             return jnp.vdot(u, v)
@@ -242,6 +259,7 @@ class AssembledStencil:
         x, *_ = jax.lax.while_loop(cond, body, state)
         return x
 
+    @hp
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         """x [..., K, N] -> A x, matrix-free."""
         sp = self.space

@@ -19,7 +19,7 @@ from pylrbms_tpu.model import make_online_step
 
 
 def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
-         matrix_free=False, maxiter=600):
+         matrix_free=False, maxiter=600, two_level=False):
     dt = getattr(jnp, dtype)
     cfg = {'num_subdomains': [kx, ky],
            'half_num_fine_elements_per_subdomain_and_dim': half,
@@ -44,8 +44,12 @@ def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
         from pylrbms_tpu.ops.matrixfree import (assemble_swipdg_stencil,
                                                 StencilOperator)
         t0 = time.perf_counter()
-        stencils = tuple(assemble_swipdg_stencil(d.space, lf, None, dtype=dt)
-                         for lf in d.estimator.data.lambda_funcs)
+        # one jitted graph — eager op-by-op assembly costs ~0.4 s per op on
+        # the remote-TPU path (measured 131 s eager vs seconds jitted here)
+        stencils = jax.jit(lambda: tuple(
+            assemble_swipdg_stencil(d.space, lf, None, dtype=dt)
+            for lf in d.estimator.data.lambda_funcs))()
+        jax.block_until_ready(stencils)
         sop = StencilOperator(d.space, stencils)
         print(f"stencil assembly {time.perf_counter() - t0:.1f}s")
 
@@ -54,9 +58,15 @@ def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
             A = sop_.assemble(theta)
             b = jnp.einsum("q,qkn->kn", theta_f, rhs_q)
             # contrast-robust subdomain-block preconditioner applied in f32
-            block_factors = op_.assemble(theta).block_jacobi_factors()
+            Aass = op_.assemble(theta)
+            block_factors = Aass.block_jacobi_factors()
+            coarse_inv = None
+            if two_level:
+                from pylrbms_tpu.la.block import dense_inv_mixed
+                coarse_inv = dense_inv_mixed(Aass.coarse_matrix())
             return A.solve_pcg(b, tol=1e-6, maxiter=maxiter,
-                               block_factors=block_factors)
+                               block_factors=block_factors,
+                               coarse_inv=coarse_inv)
 
         fn = lambda th, tf, mu_: (fn_mf(sop, d.op, d.rhs_q, th, tf),
                                   jnp.zeros(d.space.K))
@@ -93,6 +103,7 @@ if __name__ == "__main__":
     p.add_argument("--max-contrast", type=float, default=None)
     p.add_argument("--matrix-free", action="store_true")
     p.add_argument("--maxiter", type=int, default=600)
+    p.add_argument("--two-level", action="store_true")
     a = p.parse_args()
     main(a.subdomains[0], a.subdomains[1], a.half, a.nref, a.dtype,
-         a.max_contrast, a.matrix_free, a.maxiter)
+         a.max_contrast, a.matrix_free, a.maxiter, a.two_level)

@@ -66,3 +66,26 @@ def test_matrixfree_pcg_block_preconditioner():
         block_factors=A_dense.block_jacobi_factors())
     err = float(jnp.abs(x - x_ref).max() / jnp.abs(x_ref).max())
     assert err < 1e-8, err
+
+
+def test_matrixfree_pcg_two_level_coarse():
+    """Additive subdomain-constant coarse level: same limit, fewer
+    iterations (two-level preconditioner stays symmetric positive)."""
+    from pylrbms_tpu.la.block import dense_inv_mixed
+    gpd = init_grid_and_problem({'num_subdomains': [4, 4],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    stencils = tuple(assemble_swipdg_stencil(d.space, lf, None)
+                     for lf in d.estimator.data.lambda_funcs)
+    sop = StencilOperator(d.space, stencils)
+    theta = jnp.asarray([1.0, 0.6])
+    A_dense = d.op.assemble(theta)
+    b = d.rhs_q[0]
+    x_ref = A_dense.solve_dense(b)
+    x = sop.assemble(theta).solve_pcg(
+        b, tol=1e-12, maxiter=2000,
+        block_factors=A_dense.block_jacobi_factors(),
+        coarse_inv=dense_inv_mixed(A_dense.coarse_matrix()))
+    err = float(jnp.abs(x - x_ref).max() / jnp.abs(x_ref).max())
+    assert err < 1e-8, err
