@@ -226,19 +226,15 @@ class AssembledBlockOp:
         Ainv = factors if factors is not None else self.block_jacobi_factors()
 
         if two_level:
-            A0 = self.coarse_matrix()
-            # coarse level is a preconditioner component: f32 LU where f64
-            # LU is unavailable (TPU) changes iterations, not the limit
-            lu_dtype = A0.dtype
-            if A0.dtype == jnp.float64 and jax.default_backend() != "cpu":
-                lu_dtype = jnp.float32
-            lu0 = jax.scipy.linalg.lu_factor(A0.astype(lu_dtype))
+            # coarse level applied as a dense [K, K] matmul in f32 (a
+            # triangular lu_solve per iteration is slow on TPU; the
+            # preconditioner's precision only affects iteration counts)
+            C32 = dense_inv_mixed(self.coarse_matrix()).astype(jnp.float32)
 
             def M(r):
                 fine = jnp.einsum("knm,km->kn", Ainv, r)
-                rc = jnp.sum(r, axis=1)
-                xc = jax.scipy.linalg.lu_solve(
-                    lu0, rc.astype(lu_dtype)).astype(r.dtype)
+                rc = jnp.sum(r, axis=1).astype(jnp.float32)
+                xc = (C32 @ rc).astype(r.dtype)
                 return fine + xc[:, None]
         else:
             def M(r):
