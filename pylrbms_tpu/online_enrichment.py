@@ -96,8 +96,13 @@ class AdaptiveEnrichment:
         local_problem_solves = 0
         rb_size = self.rd.solution_dim
         while True:
-            u = self.rd.solve(mu)
-            eta, _, indicators = self.estimate(u, mu, decompose=True)
+            if hasattr(self.rd, "online_step"):
+                # one jitted dispatch per round (solve + localized estimate);
+                # compiled code reused across rounds within an r_max bucket
+                u, eta, indicators = self.rd.online_step(mu)
+            else:
+                u = self.rd.solve(mu)
+                eta, _, indicators = self.estimate(u, mu, decompose=True)
             eta = float(eta)
             if callback:
                 callback(self.rd, u, mu, {

@@ -185,6 +185,44 @@ class ReducedModel:
         eta_nc, eta_r, eta_df = self.local_quantities(cb, mu)
         return aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose)
 
+    # ------------------------------------------------------------------
+    _ARRAY_FIELDS = ("A_red", "b_red", "G_nc", "AA", "ABT", "BBT", "DV",
+                     "RD", "rf_qq", "min_ev", "diam", "G_bb", "G_Ab", "G_AA")
+
+    def online_step(self, mu):
+        """One jitted ROM online step ``mu -> (c, eta, indicators)``.
+
+        Collapses the adaptive loop's per-round cost from ~30 eager device
+        round-trips (solve + estimate op-by-op) to ONE dispatch.  The
+        compiled program is keyed on tensor shapes only, so it is reused
+        across enrichment rounds within the same r_max bucket (reduce()
+        buckets r_max by R_BUCKET) — the tensors ride in as arguments, the
+        cached skeleton contributes nothing but static metadata (K and the
+        neighborhood table, which never change for a given model)."""
+        import dataclasses
+        mu = self.parse_parameter(mu)
+        arrays = {n: getattr(self, n) for n in self._ARRAY_FIELDS
+                  if getattr(self, n) is not None}
+        key = tuple((n, tuple(map(int, a.shape)), str(a.dtype))
+                    for n, a in sorted(arrays.items()))
+        fn = _ONLINE_JIT_CACHE.get(key)
+        if fn is None:
+            skeleton = self
+
+            @jax.jit
+            @hp
+            def fn(arrays, mu):
+                rdt = dataclasses.replace(skeleton, **arrays)
+                c = rdt.solve(mu)
+                eta, _, indicators = rdt.estimate(c, mu, decompose=True)
+                return c, eta, indicators
+
+            _ONLINE_JIT_CACHE[key] = fn
+        return fn(arrays, mu)
+
+
+_ONLINE_JIT_CACHE: dict = {}
+
 
 class LRBMSReductor:
     """<-> ``reductor.LRBMSReductor`` (``reductor.py:17-78``)."""
@@ -390,16 +428,43 @@ class LRBMSReductor:
                     mask, side_rows, edges)
                 (E_bar, BB, M_aa, M_ab, d_vec, R_dd,
                  l2_blocks, A_div_c) = ed_arrays
+
+                # R = K*r_max global basis columns: applying the flux
+                # reconstruction / operator to ALL of them at once
+                # materializes [R, faces, nq] temporaries (~4 GB at K=256) —
+                # chunk the R axis with lax.map (serialized, memory-bounded;
+                # a no-op chunking for small K)
+                R_all = B_all.shape[0]
+                ch = max(1, min(R_all, 4096 // K))
+
+                def _map_rows(f, B):
+                    pad = (-B.shape[0]) % ch
+                    Bp = jnp.pad(B, ((0, pad),) + ((0, 0),) * (B.ndim - 1))
+                    out = jax.lax.map(f, Bp.reshape((-1, ch) + B.shape[1:]))
+                    return out.reshape((-1,) + out.shape[2:])[:B.shape[0]]
+
                 W_all = oswald.apply(B_all)                          # [R, K, N]
-                T_all = jnp.stack([flux.apply(lf, B_all) for lf in lam_funcs])
+                T_all = jnp.stack([
+                    _map_rows(lambda blk, lf=lf: flux.apply(lf, blk), B_all)
+                    for lf in lam_funcs])
                 A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
-                AV = jnp.stack([
-                    AssembledBlockOp(st, A_diag_q[q], CRio[q], CRoi[q],
-                                     CUio[q], CUoi[q]).apply(B_all)
-                    for q in range(len(lam_funcs))])                 # [Q, R, K, N]
+                # keep the Q operator applies as a LIST (a stacked [Q, R, K, N]
+                # copy is gigabytes at SPE10 scale, doubled again by the
+                # f64-on-TPU split representation)
+                AVs = [
+                    _map_rows(AssembledBlockOp(st, A_diag_q[q], CRio[q],
+                                               CRoi[q], CUio[q],
+                                               CUoi[q]).apply, B_all)
+                    for q in range(len(lam_funcs))]                  # Q x [R, K, N]
                 G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
-                G_Ab = jnp.einsum("qrkn,fkn->qfr", AV, rhs_q)
-                G_AA = jnp.einsum("prkn,qskn->pqrs", AV, AV)
+                G_Ab = jnp.stack([jnp.einsum("rkn,fkn->fr", AVq, rhs_q)
+                                  for AVq in AVs])                   # [Q, Qf, R]
+                # Gramians chunked over the row axis: one monolithic
+                # "prkn,qskn->pqrs" dot materializes multi-GB temporaries
+                G_AA = jnp.stack([jnp.stack([
+                    _map_rows(lambda c, Aq=Aq: jnp.einsum("ckn,skn->cs", c, Aq),
+                              Ap)
+                    for Aq in AVs]) for Ap in AVs])                  # [Q, Q, R, R]
 
                 kk = jnp.arange(K)
                 Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
@@ -423,6 +488,7 @@ class LRBMSReductor:
                     # branch), all N-independent online.
                     L2 = l2_blocks
                     Linv = dense_inv_mixed(L2)
+                    AV = jnp.stack(AVs)                            # [Q,R,K,N]
                     MAV = jnp.einsum("knm,qrkm->qrkn", Linv, AV)   # [Q,R,K,N]
                     FR = jnp.einsum("knm,fkm->fkn", Linv, rhs_q)   # [Qf,K,N]
                     # time residual Gramian: (A_q V)^T M^-1 (A_q' V) [Q,Q,R,R]
