@@ -107,3 +107,21 @@ def test_corrector_patch_matches_global_matrix_interiorwise(fom):
     order = np.argsort(members)
     assert members == sorted(members)
     assert np.max(np.abs(A_patch - A_global)) < 1e-12 * np.abs(A_global).max()
+
+
+def test_online_step_matches_eager_solve_estimate():
+    """rd.online_step (one jitted dispatch) == eager solve + estimate."""
+    import numpy as np
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    red = LRBMSReductor(d)
+    rd = red.reduce()
+    mu = 0.7
+    c, eta, ind = rd.online_step(mu)
+    c2 = rd.solve(mu)
+    eta2, _, ind2 = rd.estimate(c2, mu, decompose=True)
+    assert np.allclose(np.asarray(c), np.asarray(c2), atol=1e-12)
+    assert abs(float(eta) - float(eta2)) < 1e-12 * max(1.0, abs(float(eta2)))
+    assert np.allclose(np.asarray(ind), np.asarray(ind2), atol=1e-12)
