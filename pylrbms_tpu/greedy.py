@@ -77,20 +77,41 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
 def weak_greedy(d, training_set, target_error: float = 1e-4,
                 max_extensions: int = 50, products=None,
                 reductor: Optional[LRBMSReductor] = None,
-                order: int = 0, criterion: str = "residual") -> GreedyResult:
+                order: int = 0, criterion: str = "residual",
+                checkpoint_path: Optional[str] = None,
+                resume: bool = False) -> GreedyResult:
     """Weak greedy: until the worst surrogate error over the training set
     drops below target_error, pick the worst parameter, FOM-solve it, extend
     the local bases blockwise, re-project.  Parameters whose snapshot adds
-    nothing are retired from the selection."""
+    nothing are retired from the selection.
+
+    With ``checkpoint_path`` the bases + selection state are written
+    atomically after every extension; ``resume=True`` continues from that
+    file (skipping the already-performed FOM snapshot solves)."""
     logger = getLogger("pylrbms.greedy")
-    red = reductor or LRBMSReductor(d, products=products, order=order)
-    rd = red.reduce()
     mus = [d.parse_parameter(mu) for mu in training_set]
-    stacked = _stack_mus(mus)
-    max_etas, chosen = [], []
+    max_etas, chosen_idx = [], []
     retired = np.zeros(len(mus), dtype=bool)
+    it0 = 0
+    red = None
+    if resume and checkpoint_path is not None:
+        import os
+        from .utils.checkpoint import load_greedy_state
+        p = checkpoint_path if checkpoint_path.endswith(".npz") \
+            else checkpoint_path + ".npz"
+        if os.path.exists(p):
+            red, it0, retired, max_etas, chosen_idx = load_greedy_state(
+                d, p, products=products)
+            retired = retired.copy()
+            logger.info(f"greedy: resumed from {p} at iteration {it0} "
+                        f"(RB size {sum(b.shape[0] for b in red.bases)})")
+    if red is None:
+        red = reductor or LRBMSReductor(d, products=products, order=order)
+    rd = red.reduce()
+    stacked = _stack_mus(mus)
+    chosen = [mus[i] for i in chosen_idx]
     solves = 0
-    for it in range(max_extensions):
+    for it in range(it0, max_extensions):
         etas = np.asarray(batched_estimates(rd, stacked, criterion))
         sel = np.where(retired, -np.inf, etas)
         worst = int(np.argmax(sel))
@@ -103,6 +124,7 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
         U = d.solve(mus[worst])
         solves += 1
         chosen.append(mus[worst])
+        chosen_idx.append(worst)
         try:
             red.extend_basis(U)
         except ExtensionError:
@@ -110,5 +132,10 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
             retired[worst] = True
             continue
         rd = red.reduce()
+        if checkpoint_path is not None:
+            from .utils.checkpoint import save_greedy_state
+            save_greedy_state(red, checkpoint_path, it=it + 1,
+                              retired=retired, max_etas=max_etas,
+                              chosen_idx=chosen_idx)
     return GreedyResult(reductor=red, rd=rd, max_etas=max_etas,
                         chosen_mus=chosen, fom_solves=solves)

@@ -33,3 +33,45 @@ def load_reductor(d, path: str, products=None, solver_options=None):
     assert meta["N"] == d.space.N, "checkpoint does not match the discretization"
     return LRBMSReductor(d, bases=bases, products=products,
                          solver_options=solver_options, order=None)
+
+
+def save_greedy_state(reductor, path: str, *, it: int, retired, max_etas,
+                      chosen_idx):
+    """Greedy resume point: local bases + selection state, one atomic .npz
+    per iteration (overwrites).  Lets an interrupted SPE10-scale offline run
+    continue without redoing FOM snapshot solves."""
+    import os
+    import tempfile
+    if not path.endswith(".npz"):
+        path += ".npz"
+    arrays = {f"basis_{ii}": b for ii, b in enumerate(reductor.bases)}
+    meta = {"K": len(reductor.bases),
+            "sizes": [int(b.shape[0]) for b in reductor.bases],
+            "N": int(reductor.d.space.N), "it": int(it)}
+    fd, tmp = tempfile.mkstemp(suffix=".npz",
+                               dir=os.path.dirname(path) or ".")
+    os.close(fd)
+    np.savez_compressed(tmp, __meta__=json.dumps(meta),
+                        __retired__=np.asarray(retired, dtype=bool),
+                        __max_etas__=np.asarray(max_etas, dtype=np.float64),
+                        __chosen_idx__=np.asarray(chosen_idx, dtype=np.int64),
+                        **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def load_greedy_state(d, path: str, products=None, solver_options=None):
+    """-> (reductor, it, retired, max_etas, chosen_idx)."""
+    from ..reductor import LRBMSReductor
+    if not path.endswith(".npz"):
+        path += ".npz"
+    with np.load(path, allow_pickle=False) as zz:
+        meta = json.loads(str(zz["__meta__"]))
+        bases = [zz[f"basis_{ii}"] for ii in range(meta["K"])]
+        retired = np.asarray(zz["__retired__"], dtype=bool)
+        max_etas = list(np.asarray(zz["__max_etas__"], dtype=float))
+        chosen_idx = list(np.asarray(zz["__chosen_idx__"], dtype=int))
+    assert meta["N"] == d.space.N, "checkpoint does not match the discretization"
+    red = LRBMSReductor(d, bases=bases, products=products,
+                        solver_options=solver_options, order=None)
+    return red, int(meta["it"]), retired, max_etas, chosen_idx

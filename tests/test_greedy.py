@@ -85,3 +85,26 @@ def test_initial_rb_order_one(fom):
     red0 = LRBMSReductor(d, order=0)
     eta0 = float(red0.reduce().estimate(red0.reduce().solve(mu), mu))
     assert eta1 < eta0   # richer initial basis -> smaller estimate
+
+
+def test_greedy_checkpoint_resume(tmp_path):
+    """Interrupt-and-resume reproduces the uninterrupted run exactly."""
+    import numpy as np
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    training = d.parameter_space.sample_uniformly(4)
+    ref = weak_greedy(d, training, target_error=1e-10, max_extensions=4)
+    ckpt = str(tmp_path / "greedy_ckpt")
+    # "interrupted" run: stop after 2 extensions, checkpointing each
+    part = weak_greedy(d, training, target_error=1e-10, max_extensions=2,
+                       checkpoint_path=ckpt)
+    # resume to the full budget
+    res = weak_greedy(d, training, target_error=1e-10, max_extensions=4,
+                      checkpoint_path=ckpt, resume=True)
+    assert res.rd.solution_dim == ref.rd.solution_dim
+    assert np.allclose(res.max_etas[-1], ref.max_etas[-1], rtol=1e-8)
+    for b1, b2 in zip(res.reductor.bases, ref.reductor.bases):
+        assert b1.shape == b2.shape
+        assert np.allclose(b1, b2, atol=1e-10)
