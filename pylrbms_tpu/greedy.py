@@ -42,13 +42,34 @@ def _stack_mus(mus):
 
 def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
     """Error surrogate for every training parameter in one jitted vmapped
-    call.  criterion='residual' uses the algebraic-residual dual norm (goes
-    to 0 as ROM -> FOM: the greedy driver); 'estimator' uses the LRBMS
-    total-error estimator (floored by the discretization error: the
-    certification quantity).
+    call.  criterion='residual' uses the algebraic-residual dual norm via
+    the projected Gramians (N-independent; goes to 0 as ROM -> FOM);
+    'residual_fom' evaluates ||b - A(mu) V c||_2 DIRECTLY through the
+    matrix-free stencil operator — numerically exact where the expanded
+    quadratic form cancels below floating-point noise (high-contrast
+    problems at scale); 'estimator' uses the LRBMS total-error estimator
+    (floored by the discretization error: the certification quantity).
 
     With ``mesh`` (a 1D jax.sharding.Mesh) the training batch is sharded over
     the devices — the greedy's inner loop is embarrassingly parallel in mu."""
+
+    if criterion == "residual_fom":
+        d = rd.d
+        V = jnp.asarray(rd.reductor._padded_bases(rd.r_max))   # [K, r_max, N]
+        sop = d.mf_operator()
+        from .utils.precision import hp as _hp
+        from .ops.matrixfree import StencilOperator
+
+        def one_direct(mu, V, stencils, rhs_q):
+            c = rd.solve(mu)
+            U = jnp.einsum("kr,krn->kn", c.astype(V.dtype), V)
+            theta = d.theta(mu)
+            b = jnp.einsum("q,qkn->kn", d.theta_f(mu), rhs_q)
+            r = b - StencilOperator(d.space, stencils).assemble(theta).apply(U)
+            return jnp.linalg.norm(r.reshape(-1))
+
+        fn = jax.jit(_hp(jax.vmap(one_direct, in_axes=(0, None, None, None))))
+        return fn(mus_stacked, V, sop.stencils, d.rhs_q)
 
     def one(mu):
         c = rd.solve(mu)
@@ -89,6 +110,13 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
     atomically after every extension; ``resume=True`` continues from that
     file (skipping the already-performed FOM snapshot solves)."""
     logger = getLogger("pylrbms.greedy")
+    if (criterion == "residual" and d.space.K * d.space.N > 32768
+            and d.estimator is not None
+            and getattr(d.estimator.data, "lambda_funcs", None)):
+        # at scale (and high contrast) the Gramian form of the residual
+        # cancels below floating-point noise; evaluate it directly
+        criterion = "residual_fom"
+        logger.info("greedy: using direct FOM-residual criterion at scale")
     mus = [d.parse_parameter(mu) for mu in training_set]
     max_etas, chosen_idx = [], []
     retired = np.zeros(len(mus), dtype=bool)

@@ -179,14 +179,10 @@ class StationaryBlockModel:
         return self.assemble(mu).apply(U)
 
     # ------------------------------------------------------------------
-    def _mf_solve(self, theta, b, options):
-        """Matrix-free two-level PCG FOM solve: fused stencil matvec +
-        f32-applied subdomain-block-Jacobi + subdomain-constant coarse
-        level.  The stencil family is assembled once per model (one jitted
-        graph) and the solve itself is one jitted call with all tensors as
-        pytree arguments (remote-compile safe)."""
+    def mf_operator(self):
+        """The affine matrix-free stencil operator for this model (assembled
+        once, as one jitted graph, and cached)."""
         from .ops.matrixfree import assemble_swipdg_stencil, StencilOperator
-        from .la.block import dense_inv_mixed
         sop = getattr(self, "_mf_sop", None)
         if sop is None:
             dtype = self.op.A_diag.dtype
@@ -196,6 +192,16 @@ class StationaryBlockModel:
             sop = StencilOperator(self.space, sten)
             object.__setattr__(self, "_mf_sop", sop)
             object.__setattr__(self, "_mf_jit_cache", {})
+        return sop
+
+    def _mf_solve(self, theta, b, options):
+        """Matrix-free two-level PCG FOM solve: fused stencil matvec +
+        f32-applied subdomain-block-Jacobi + subdomain-constant coarse
+        level.  The stencil family is assembled once per model (one jitted
+        graph) and the solve itself is one jitted call with all tensors as
+        pytree arguments (remote-compile safe)."""
+        from .la.block import dense_inv_mixed
+        sop = self.mf_operator()
         tol = options.get("precision", 1e-10)
         maxiter = options.get("max_iter", 2000)
         two_level = options.get("two_level", True)

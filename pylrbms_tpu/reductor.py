@@ -443,26 +443,52 @@ class LRBMSReductor:
                     out = jax.lax.map(f, Bp.reshape((-1, ch) + B.shape[1:]))
                     return out.reshape((-1,) + out.shape[2:])[:B.shape[0]]
 
-                W_all = oswald.apply(B_all)                          # [R, K, N]
+                # on accelerators the f64 [R, K, N] intermediates are
+                # software-emulated (2x storage, ~4x dot temporaries): store
+                # them in f32 and ACCUMULATE the Gramians in f64
+                # (preferred_element_type) — entry error ~1e-7 relative, far
+                # below what the residual surrogate or the estimator tensors
+                # resolve.  On CPU this is the identity.
+                # NOTE the f32 storage is only engaged at scale (R > 1024),
+                # where the greedy uses the DIRECT residual criterion
+                # ('residual_fom', greedy.py) — the quadratic-form Gramian
+                # surrogate cancels below f32 entry noise at high contrast
+                # (SPE10: ||A_q v||^2 entries ~1e12 vs residual^2 ~1e-4).
+                wide = V.dtype
+                store = wide
+                if (wide == jnp.float64 and jax.default_backend() != "cpu"
+                        and R_all > 1024):
+                    store = jnp.float32
+
+                W_all = oswald.apply(B_all).astype(store)            # [R, K, N]
                 T_all = jnp.stack([
-                    _map_rows(lambda blk, lf=lf: flux.apply(lf, blk), B_all)
+                    _map_rows(lambda blk, lf=lf: flux.apply(lf, blk)
+                              .astype(store), B_all)
                     for lf in lam_funcs])
                 A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
                 # keep the Q operator applies as a LIST (a stacked [Q, R, K, N]
                 # copy is gigabytes at SPE10 scale, doubled again by the
                 # f64-on-TPU split representation)
                 AVs = [
-                    _map_rows(AssembledBlockOp(st, A_diag_q[q], CRio[q],
-                                               CRoi[q], CUio[q],
-                                               CUoi[q]).apply, B_all)
+                    _map_rows(lambda blk, q=q: AssembledBlockOp(
+                        st, A_diag_q[q], CRio[q], CRoi[q], CUio[q],
+                        CUoi[q]).apply(blk).astype(store), B_all)
                     for q in range(len(lam_funcs))]                  # Q x [R, K, N]
                 G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
-                G_Ab = jnp.stack([jnp.einsum("rkn,fkn->fr", AVq, rhs_q)
-                                  for AVq in AVs])                   # [Q, Qf, R]
-                # Gramians chunked over the row axis: one monolithic
-                # "prkn,qskn->pqrs" dot materializes multi-GB temporaries
+                rhs_s = rhs_q.astype(store)
+                # Gramians: per-subdomain partial dots in the storage dtype,
+                # reduced over K in the wide dtype.  A direct f64-accumulate
+                # dot of f32 operands would push the WHOLE contraction into
+                # the x64-emulation path (multi-GB temporaries, the OOM at
+                # SPE10 scale); block-dot + wide tree-sum keeps temporaries
+                # at chunk size with ~sqrt(N)*eps_f32 entry error.
+                G_Ab = jnp.stack([
+                    _map_rows(lambda c: jnp.einsum("ckn,fkn->ckf", c, rhs_s)
+                              .astype(wide).sum(axis=1), AVq).T
+                    for AVq in AVs])                                 # [Q, Qf, R]
                 G_AA = jnp.stack([jnp.stack([
-                    _map_rows(lambda c, Aq=Aq: jnp.einsum("ckn,skn->cs", c, Aq),
+                    _map_rows(lambda c, Aq=Aq: jnp.einsum(
+                        "ckn,skn->cks", c, Aq).astype(wide).sum(axis=1),
                               Ap)
                     for Aq in AVs]) for Ap in AVs])                  # [Q, Q, R, R]
 

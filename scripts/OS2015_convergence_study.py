@@ -13,6 +13,8 @@ from functools import partial
 
 from pylrbms_tpu.problems.os2015 import init_grid_and_problem
 from pylrbms_tpu.EOC import StationaryEocStudy, default_refine
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 def discretize(grid_and_problem_data):

@@ -6,6 +6,8 @@ missing ``ExtensionError`` import — which of course we do not reproduce)."""
 from pylrbms_tpu.problems.os2015 import init_grid_and_problem
 from pylrbms_tpu.EOC import StationaryEocStudy, default_refine
 from pylrbms_tpu.reductor import LRBMSReductor, ExtensionError
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 def discretize_reduced(grid_and_problem_data):

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from pylrbms_tpu.problems.os2015 import init_grid_and_problem
 from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 def main(N=8, S=2, M=1, W=1):

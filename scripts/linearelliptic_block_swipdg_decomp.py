@@ -18,6 +18,8 @@ import numpy as np
 from pylrbms_tpu.problems.os2015 import init_grid_and_problem
 from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
 from pylrbms_tpu.reductor import LRBMSReductor, ExtensionError
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 config = {'num_subdomains': [4, 4],

@@ -5,6 +5,8 @@ happens by sharding the subdomain axis (see pylrbms_tpu.parallel) rather
 than MPI ranks."""
 from pylrbms_tpu.problems.os2015 import init_grid_and_problem
 from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 config = {'num_subdomains': [4, 4],
           'half_num_fine_elements_per_subdomain_and_dim': 2,

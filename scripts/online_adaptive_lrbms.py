@@ -13,6 +13,8 @@ from pylrbms_tpu.problems.os2015 import init_grid_and_problem
 from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
 from pylrbms_tpu.reductor import ParallelLRBMSReductor, ExtensionError
 from pylrbms_tpu.online_enrichment import AdaptiveEnrichment
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 set_log_levels({'pylrbms': 'INFO'})
 logger = getLogger('online_adaptive_lrbms')

@@ -7,6 +7,8 @@ import numpy as np
 from pylrbms_tpu.problems.artificial_channels import init_grid_and_problem
 from pylrbms_tpu.discretize_parabolic_block_swipdg import discretize
 from pylrbms_tpu.reductor import ParabolicLRBMSReductor
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 config = {'num_subdomains': [4, 4],
           'half_num_fine_elements_per_subdomain_and_dim': 1,

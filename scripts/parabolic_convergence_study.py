@@ -3,6 +3,8 @@
 (<-> ``python/scripts/parabolic_convergence_study.py``)."""
 from pylrbms_tpu.problems.thermalblock import init_grid_and_problem
 from pylrbms_tpu.EOC import InstationaryEocStudy
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 def refine(cfg):

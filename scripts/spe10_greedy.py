@@ -19,13 +19,15 @@ from pylrbms_tpu.greedy import weak_greedy
 from pylrbms_tpu.online_enrichment import AdaptiveEnrichment
 from pylrbms_tpu.utils.logging import getLogger, set_log_levels
 from pylrbms_tpu.utils.timers import GLOBAL_TIMINGS as T
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 set_log_levels({'pylrbms': 'INFO'})
 logger = getLogger('spe10_greedy')
 
 
 def main(num_subdomains=(8, 8), half=2, nref=1, training=8, target=1e-3,
-         online_mus=3, dtype="float64"):
+         online_mus=3, dtype="float64", checkpoint=None, resume=False):
     cfg = {'num_subdomains': list(num_subdomains),
            'half_num_fine_elements_per_subdomain_and_dim': half,
            'num_refinements': nref}
@@ -39,7 +41,8 @@ def main(num_subdomains=(8, 8), half=2, nref=1, training=8, target=1e-3,
     training_set = d.parameter_space.sample_uniformly(training)
     with T.span('offline greedy'):
         res = weak_greedy(d, training_set, target_error=target,
-                          max_extensions=20)
+                          max_extensions=20, checkpoint_path=checkpoint,
+                          resume=resume)
     logger.info(f'greedy: {len(res.max_etas)} iterations, '
                 f'{res.fom_solves} FOM solves, final surrogate '
                 f'{res.max_etas[-1]:.3e}, RB size {res.rd.solution_dim}')
@@ -63,5 +66,9 @@ if __name__ == '__main__':
     p.add_argument('--nref', type=int, default=1)
     p.add_argument('--training', type=int, default=8)
     p.add_argument('--target', type=float, default=1e-3)
+    p.add_argument('--checkpoint', default=None,
+                   help='path for per-iteration offline state (.npz)')
+    p.add_argument('--resume', action='store_true')
     a = p.parse_args()
-    main(tuple(a.subdomains), a.half, a.nref, a.training, a.target)
+    main(tuple(a.subdomains), a.half, a.nref, a.training, a.target,
+         checkpoint=a.checkpoint, resume=a.resume)

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from pylrbms_tpu.problems.spe10 import init_grid_and_problem
 from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
 from pylrbms_tpu.model import make_online_step
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
