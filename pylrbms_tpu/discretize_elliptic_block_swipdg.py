@@ -136,13 +136,26 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     M_aa, BB, M_ab = built["M_aa"], built["BB"], built["M_ab"]
     A_div, R_dd, d_vec = built["A_div"], built["R_dd"], built["d_vec"]
     rf_qq, min_ev = built["rf_qq"], built["min_ev"]
+    # at scale on accelerators, keep the estimator MATRIX tensors (the
+    # O(Q^2 K Nrt^2) eta_df/eta_r forms) in f32: they only enter estimator
+    # quadratic forms / ROM projections where 1e-7 relative is ample, and
+    # in f64 they cost multiple GB of HBM as x64 split pairs (the solve
+    # path — op, rhs, products — stays f64)
+    if (dtype == jnp.float64 and jax.default_backend() != "cpu"
+            and space.K * space.N > 32768 and M_aa is not None):
+        f32 = jnp.float32
+        E_bar_est = E_bar.astype(f32)
+        M_aa, BB, M_ab = M_aa.astype(f32), BB.astype(f32), M_ab.astype(f32)
+        R_dd, d_vec = R_dd.astype(f32), d_vec.astype(f32)
+    else:
+        E_bar_est = E_bar
     diam = jnp.full((space.K,), grid.subdomain_diameter(), dtype)
 
     oswald = OswaldOperator(space)
     flux = FluxReconstructor(space, kappa, ipdg, dtype)
 
     est_data = EstimatorData(
-        E_bar=E_bar, L2=L2, M_aa=M_aa, BB=BB, M_ab=M_ab, A_div=A_div,
+        E_bar=E_bar_est, L2=L2, M_aa=M_aa, BB=BB, M_ab=M_ab, A_div=A_div,
         R_dd=R_dd, d_vec=d_vec, rf_qq=rf_qq, min_ev=min_ev, diam=diam,
         oswald=oswald, flux=flux, lambda_funcs=lambda_funcs,
         lambda_coeffs=[as_functional(c) for c in lambda_coeffs],

@@ -53,6 +53,9 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
     With ``mesh`` (a 1D jax.sharding.Mesh) the training batch is sharded over
     the devices — the greedy's inner loop is embarrassingly parallel in mu."""
 
+    if criterion == "residual" and rd.G_AA is None:
+        # the reductor skipped the algebraic-residual Gramians at scale
+        criterion = "residual_fom"
     if criterion == "residual_fom":
         d = rd.d
         V = jnp.asarray(rd.reductor._padded_bases(rd.r_max))   # [K, r_max, N]

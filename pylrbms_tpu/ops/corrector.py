@@ -56,14 +56,24 @@ class BatchedCorrector:
         self.patch_mask_table = jnp.asarray(pm)
         self.side_rows = {s: jnp.asarray(st.side_rows[s].reshape(-1))
                           for s in self.SIDES}
-        # component arrays
+        # component arrays.  At scale on accelerators the patch systems are
+        # held and solved in f32: corrections are BASIS CANDIDATES (Gram-
+        # Schmidt re-orthonormalizes them in f64 on host), and the f64 copy
+        # costs gigabytes of HBM as x64 split pairs.
         comps = d.components
-        self.A_loc = jnp.stack([c.A_loc for c in comps])            # [Q,K,N,N]
-        self.D_side = {s: jnp.stack([c.D_side[s] for c in comps])   # [Q,K,s,nb,nb]
+        cdt = d.op.A_diag.dtype
+        if (cdt == jnp.float64 and jax.default_backend() != "cpu"
+                and d.space.K * d.space.N > 32768):
+            cdt = jnp.float32
+        self.dtype = cdt
+        self.A_loc = jnp.stack([c.A_loc for c in comps]).astype(cdt)
+        self.D_side = {s: jnp.stack([c.D_side[s] for c in comps]).astype(cdt)
                        for s in self.SIDES}
-        self.R = {nm: jnp.stack([getattr(c, "R_" + nm) for c in comps])
+        self.R = {nm: jnp.stack([getattr(c, "R_" + nm)
+                                 for c in comps]).astype(cdt)
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
-        self.U = {nm: jnp.stack([getattr(c, "U_" + nm) for c in comps])
+        self.U = {nm: jnp.stack([getattr(c, "U_" + nm)
+                                 for c in comps]).astype(cdt)
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
         self._jit_cache = {}
 
@@ -212,5 +222,7 @@ class BatchedCorrector:
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
-        W = self._jit_cache[key](arrays, theta, jnp.asarray(marked), rhs_full)
+        W = self._jit_cache[key](arrays, theta.astype(self.dtype),
+                                 jnp.asarray(marked),
+                                 rhs_full.astype(self.dtype))
         return W[:n_marked]

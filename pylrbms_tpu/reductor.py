@@ -201,10 +201,28 @@ class ReducedModel:
         neighborhood table, which never change for a given model)."""
         import dataclasses
         mu = self.parse_parameter(mu)
-        arrays = {n: getattr(self, n) for n in self._ARRAY_FIELDS
-                  if getattr(self, n) is not None}
-        key = tuple((n, tuple(map(int, a.shape)), str(a.dtype))
-                    for n, a in sorted(arrays.items()))
+        # the reduced system is N-independent and SMALL — at scale run it on
+        # the host CPU so the chip's HBM stays reserved for FOM-scale work
+        # (assembly, snapshots, correctors, projections); the reduced
+        # tensors are copied to host once per reduce()
+        use_cpu = (jax.default_backend() != "cpu"
+                   and len(self.sizes) * self.r_max >= 2048)
+        if use_cpu:
+            arrays = getattr(self, "_host_arrays", None)
+            if arrays is None:
+                cpu = jax.devices("cpu")[0]
+                arrays = {n: jax.device_put(getattr(self, n), cpu)
+                          for n in self._ARRAY_FIELDS
+                          if getattr(self, n) is not None}
+                object.__setattr__(self, "_host_arrays", arrays)
+            cpu = jax.devices("cpu")[0]
+            mu = {k: jax.device_put(jnp.asarray(v), cpu)
+                  for k, v in mu.items()}
+        else:
+            arrays = {n: getattr(self, n) for n in self._ARRAY_FIELDS
+                      if getattr(self, n) is not None}
+        key = (use_cpu,) + tuple((n, tuple(map(int, a.shape)), str(a.dtype))
+                                 for n, a in sorted(arrays.items()))
         fn = _ONLINE_JIT_CACHE.get(key)
         if fn is None:
             skeleton = self
@@ -218,6 +236,9 @@ class ReducedModel:
                 return c, eta, indicators
 
             _ONLINE_JIT_CACHE[key] = fn
+        if use_cpu:
+            with jax.default_device(jax.devices("cpu")[0]):
+                return fn(arrays, mu)
         return fn(arrays, mu)
 
 
@@ -415,7 +436,13 @@ class LRBMSReductor:
         # coefficient functions); keyed by the bucketed padded width
         if not hasattr(self, "_project_cache"):
             self._project_cache = {}
-        key = (K, N, r_max, Q, Qf)
+        # at scale the greedy uses the direct FOM-residual criterion
+        # (residual_fom, greedy.py), so the algebraic-residual Gramians —
+        # the most memory-hungry projections (Q applies of A to ALL R
+        # global basis columns + [R, R] chunk loops) — are skipped entirely
+        with_gramians = not (K * r_max > 1024
+                             and jax.default_backend() != "cpu")
+        key = (K, N, r_max, Q, Qf, with_gramians)
         fn = self._project_cache.get(key)
         if fn is None:
             lam_funcs = ed.lambda_funcs
@@ -466,31 +493,37 @@ class LRBMSReductor:
                               .astype(store), B_all)
                     for lf in lam_funcs])
                 A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
-                # keep the Q operator applies as a LIST (a stacked [Q, R, K, N]
-                # copy is gigabytes at SPE10 scale, doubled again by the
-                # f64-on-TPU split representation)
-                AVs = [
-                    _map_rows(lambda blk, q=q: AssembledBlockOp(
-                        st, A_diag_q[q], CRio[q], CRoi[q], CUio[q],
-                        CUoi[q]).apply(blk).astype(store), B_all)
-                    for q in range(len(lam_funcs))]                  # Q x [R, K, N]
-                G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
-                rhs_s = rhs_q.astype(store)
-                # Gramians: per-subdomain partial dots in the storage dtype,
-                # reduced over K in the wide dtype.  A direct f64-accumulate
-                # dot of f32 operands would push the WHOLE contraction into
-                # the x64-emulation path (multi-GB temporaries, the OOM at
-                # SPE10 scale); block-dot + wide tree-sum keeps temporaries
-                # at chunk size with ~sqrt(N)*eps_f32 entry error.
-                G_Ab = jnp.stack([
-                    _map_rows(lambda c: jnp.einsum("ckn,fkn->ckf", c, rhs_s)
-                              .astype(wide).sum(axis=1), AVq).T
-                    for AVq in AVs])                                 # [Q, Qf, R]
-                G_AA = jnp.stack([jnp.stack([
-                    _map_rows(lambda c, Aq=Aq: jnp.einsum(
-                        "ckn,skn->cks", c, Aq).astype(wide).sum(axis=1),
-                              Ap)
-                    for Aq in AVs]) for Ap in AVs])                  # [Q, Q, R, R]
+                if with_gramians or parabolic:
+                    # keep the Q operator applies as a LIST (a stacked
+                    # [Q, R, K, N] copy is gigabytes at SPE10 scale, doubled
+                    # again by the f64-on-TPU split representation)
+                    AVs = [
+                        _map_rows(lambda blk, q=q: AssembledBlockOp(
+                            st, A_diag_q[q], CRio[q], CRoi[q], CUio[q],
+                            CUoi[q]).apply(blk).astype(store), B_all)
+                        for q in range(len(lam_funcs))]              # Q x [R, K, N]
+                if with_gramians:
+                    G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
+                    rhs_s = rhs_q.astype(store)
+                    # Gramians: per-subdomain partial dots in the storage
+                    # dtype, reduced over K in the wide dtype.  A direct
+                    # f64-accumulate dot of f32 operands would push the WHOLE
+                    # contraction into the x64-emulation path (multi-GB
+                    # temporaries, the OOM at SPE10 scale); block-dot + wide
+                    # tree-sum keeps temporaries at chunk size with
+                    # ~sqrt(N)*eps_f32 entry error.
+                    G_Ab = jnp.stack([
+                        _map_rows(lambda c: jnp.einsum("ckn,fkn->ckf", c,
+                                                       rhs_s)
+                                  .astype(wide).sum(axis=1), AVq).T
+                        for AVq in AVs])                             # [Q, Qf, R]
+                    G_AA = jnp.stack([jnp.stack([
+                        _map_rows(lambda c, Aq=Aq: jnp.einsum(
+                            "ckn,skn->cks", c, Aq).astype(wide).sum(axis=1),
+                                  Ap)
+                        for Aq in AVs]) for Ap in AVs])              # [Q, Q, R, R]
+                else:
+                    G_bb = G_Ab = G_AA = None
 
                 kk = jnp.arange(K)
                 Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
