@@ -1,12 +1,16 @@
-"""Nodal DG bases on the structured triangulation (P1 / P2).
+"""Nodal DG bases on the structured grids: P1/P2 triangles and Q1/Q2 quads.
 
 Replaces dune-gdt's DG space shape-function machinery
-(``make_block_dg_space`` / ``make_dg_space``, SURVEY.md §2.3 "DG spaces").
-We use *nodal* Lagrange bases (values at element nodes) — basis choice is an
-internal detail; all model outputs (solutions as functions, estimator values,
-reduced quantities) are basis-independent.  Nodal bases make Oswald
-interpolation (vertex averaging), prolongation (point evaluation) and
-visualization trivial array programs.
+(``make_block_dg_space`` / ``make_dg_space``, SURVEY.md §2.3 "DG spaces") for
+both grid families the reference supports (simplex 'alu' and cube 'yasp'
+grids, ``grid.py:17-42``).  We use *nodal* Lagrange bases (values at element
+nodes) — basis choice is an internal detail; all model outputs (solutions as
+functions, estimator values, reduced quantities) are basis-independent.
+Nodal bases make Oswald interpolation (vertex averaging), prolongation
+(point evaluation) and visualization trivial array programs.
+
+Element keys: "A"/"B" = the two triangles of a cell; "Q" = the whole cell as
+a single bilinear/biquadratic quad element.
 
 Unit-cell triangle vertices (see grid.py):
   A: a0=(0,0), a1=(1,0), a2=(1,1)      (below the (0,0)-(1,1) diagonal)
@@ -49,15 +53,54 @@ def barycentric(tri: str, pts: np.ndarray) -> np.ndarray:
     raise ValueError(tri)
 
 
-def num_basis(order: int) -> int:
+def num_basis(order: int, elem: str = "A") -> int:
+    if elem == "Q":
+        return {1: 4, 2: 9}[order]
     return {1: 3, 2: 6}[order]
+
+
+# Q1/Q2 node 1d coordinates per order (tensor-product Lagrange)
+_Q_NODES_1D = {1: np.array([0.0, 1.0]), 2: np.array([0.0, 0.5, 1.0])}
+
+
+def _lagrange_1d(nodes: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """1d Lagrange basis values at x: [..., len(nodes)]."""
+    x = np.asarray(x)
+    nn = len(nodes)
+    out = np.ones(x.shape + (nn,))
+    for j in range(nn):
+        for m in range(nn):
+            if m != j:
+                out[..., j] *= (x - nodes[m]) / (nodes[j] - nodes[m])
+    return out
+
+
+def _lagrange_1d_deriv(nodes: np.ndarray, x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x)
+    nn = len(nodes)
+    out = np.zeros(x.shape + (nn,))
+    for j in range(nn):
+        for k in range(nn):
+            if k == j:
+                continue
+            term = np.ones_like(x) / (nodes[j] - nodes[k])
+            for m in range(nn):
+                if m != j and m != k:
+                    term *= (x - nodes[m]) / (nodes[j] - nodes[m])
+            out[..., j] += term
+    return out
 
 
 def node_coords_unit(tri: str, order: int) -> np.ndarray:
     """Nodal points in unit-cell coords: [nb, 2].
 
     P1: the 3 vertices.  P2: vertices + edge midpoints (node 3+k on edge k).
+    Q1/Q2: tensor Lagrange nodes, x fastest (node j = iy*n1d + ix).
     """
+    if tri == "Q":
+        n1 = _Q_NODES_1D[order]
+        X, Y = np.meshgrid(n1, n1, indexing="xy")   # [iy, ix]
+        return np.stack([X.ravel(), Y.ravel()], axis=-1)
     v = TRI_VERTS_UNIT[tri]
     if order == 1:
         return v.copy()
@@ -69,6 +112,11 @@ def node_coords_unit(tri: str, order: int) -> np.ndarray:
 
 def eval_basis(tri: str, order: int, pts: np.ndarray) -> np.ndarray:
     """Nodal basis values at unit-cell points: [..., nb]."""
+    if tri == "Q":
+        n1 = _Q_NODES_1D[order]
+        lx = _lagrange_1d(n1, pts[..., 0])          # [..., n1d]
+        ly = _lagrange_1d(n1, pts[..., 1])
+        return (ly[..., :, None] * lx[..., None, :]).reshape(pts.shape[:-1] + (-1,))
     lam = barycentric(tri, pts)
     if order == 1:
         return lam
@@ -86,6 +134,16 @@ def eval_basis_grad_unit(tri: str, order: int, pts: np.ndarray) -> np.ndarray:
 
     Physical gradients are obtained by dividing component-wise by (hx, hy).
     """
+    if tri == "Q":
+        n1 = _Q_NODES_1D[order]
+        lx = _lagrange_1d(n1, pts[..., 0])
+        ly = _lagrange_1d(n1, pts[..., 1])
+        dlx = _lagrange_1d_deriv(n1, pts[..., 0])
+        dly = _lagrange_1d_deriv(n1, pts[..., 1])
+        nb = len(n1) ** 2
+        gx = (ly[..., :, None] * dlx[..., None, :]).reshape(pts.shape[:-1] + (nb,))
+        gy = (dly[..., :, None] * lx[..., None, :]).reshape(pts.shape[:-1] + (nb,))
+        return np.stack([gx, gy], axis=-1)
     g = TRI_BARY_GRAD_UNIT[tri]          # [3, 2]
     lam = barycentric(tri, pts)          # [..., 3]
     if order == 1:
@@ -143,3 +201,19 @@ FACE_LOCAL_EDGE = {
     "H": (1, 0),       # minus: B top = e1; plus: A bottom = e0
 }
 BOUNDARY_LOCAL_EDGE = {"left": 0, "right": 1, "bottom": 0, "top": 1}
+
+# quad ('yasp'/cube) grid: one "Q" element per cell, face families V/H only
+QUAD_EDGES_UNIT = {
+    # V: between cell (cx,.) right edge and cell (cx+1,.) left edge
+    "V": (("Q", EdgeGeom((1.0, 0.0), (0.0, 1.0))),
+          ("Q", EdgeGeom((0.0, 0.0), (0.0, 1.0)))),
+    # H: between cell (.,cy) top edge and cell (.,cy+1) bottom edge
+    "H": (("Q", EdgeGeom((0.0, 1.0), (1.0, 0.0))),
+          ("Q", EdgeGeom((0.0, 0.0), (1.0, 0.0)))),
+}
+QUAD_BOUNDARY_EDGES_UNIT = {
+    "left":   ("Q", EdgeGeom((0.0, 0.0), (0.0, 1.0))),
+    "right":  ("Q", EdgeGeom((1.0, 0.0), (0.0, 1.0))),
+    "bottom": ("Q", EdgeGeom((0.0, 0.0), (1.0, 0.0))),
+    "top":    ("Q", EdgeGeom((0.0, 1.0), (1.0, 0.0))),
+}

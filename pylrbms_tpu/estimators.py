@@ -226,13 +226,13 @@ class EllipticEstimator:
         dphi = jnp.asarray(sp.vol_dphi, dtype)                 # [T,nq,nb,2]
         Uc = U.reshape(U.shape[:-2] + (sp.K, sp.s, sp.s, sp.T, sp.nb))
         gu = jnp.einsum("...kyxtj,tqja->...kyxtqa", Uc, dphi)
-        # t at quad points (RT0 basis, cell-invariant chi tab)
-        chi, idx, sign = _chi_tab(sp)
+        # t at quad points (RT0 basis, cell-invariant signed chi tab)
+        chi, idx, div = _chi_tab(sp)
+        nf = idx.shape[-1]
         chi_j = jnp.asarray(chi, dtype)
-        sg = jnp.asarray(sign, dtype)
         t_cell = t_loc[..., jnp.asarray(idx.reshape(-1))].reshape(
-            t_loc.shape[:-1] + (sp.s, sp.s, sp.T, 3))
-        t_q = jnp.einsum("...kyxte,tqea,te->...kyxtqa", t_cell, chi_j, sg)
+            t_loc.shape[:-1] + (sp.s, sp.s, sp.T, nf))
+        t_q = jnp.einsum("...kyxte,tqea->...kyxtqa", t_cell, chi_j)
         z = lam_mu[..., None] * gu + t_q                       # kappa = I
         df_int = jnp.einsum("...kyxtqa,...kyxtqa->...kyxtq", z, z) / lam_hat_v
         eta_df = area * jnp.einsum("tq,...kyxtq->...k", w, df_int)
@@ -240,8 +240,7 @@ class EllipticEstimator:
         # f(mu) - div t, elementwise
         f_q = jnp.stack([ff(xq).astype(dtype) for ff in d.f_funcs])
         f_mu = jnp.einsum("q,q...->...", theta_f, f_q)
-        area_T = sp.hx * sp.hy / 2.0
-        div_t = jnp.einsum("...kyxte,te->...kyxt", t_cell, sg) / area_T
+        div_t = jnp.einsum("...kyxte,te->...kyxt", t_cell, jnp.asarray(div, dtype))
         res = f_mu - div_t[..., None]
         scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
         eta_r = area * jnp.einsum("tq,...kyxtq->...k", w, res * res) * scale

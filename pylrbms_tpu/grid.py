@@ -191,6 +191,11 @@ def make_grid(domain=((0.0, 0.0), (1.0, 1.0)),
     distribution is handled by jax.sharding rather than MPI.
     """
     ll, ur = tuple(map(float, domain[0])), tuple(map(float, domain[1]))
+    # accept the reference's grid-type tokens: ALU = simplex, Yasp = cube
+    grid_type = {"alu": "tri", "alu_grid": "tri", "simplex": "tri",
+                 "yasp": "quad", "yasp_grid": "quad", "cube": "quad"}.get(
+        grid_type, grid_type)
+    assert grid_type in ("tri", "quad"), grid_type
     s = int(half_num_fine_elements_per_subdomain_and_dim) * (2 ** num_refinements)
     if num_subdomains is None:
         kx = ky = 1

@@ -153,56 +153,59 @@ class FluxReconstructor:
             x_p = x + _EVAL_EPS * (cen_p - x)
             return x_m, x_p
 
-        # ---- D faces: all cells, minus=A plus=B ----
-        tab = sp.face_tabs["D"]
-        x_m, x_p = phys(tab, org.reshape(-1, 2))
-        dofD = self._face_moment_inner(
-            "D", lam_fn,
-            uc[..., 0, :].reshape(lead + (Sy * Sx, sp.nb)),
-            uc[..., 1, :].reshape(lead + (Sy * Sx, sp.nb)),
-            x_m, x_p)                                        # [..., Sy*Sx]
+        # ---- D faces (tri grids): all cells, minus=A plus=B ----
+        parts = []
+        if "D" in sp.face_tabs:
+            tab = sp.face_tabs["D"]
+            x_m, x_p = phys(tab, org.reshape(-1, 2))
+            dofD = self._face_moment_inner(
+                "D", lam_fn,
+                uc[..., tab.tri_m, :].reshape(lead + (Sy * Sx, sp.nb)),
+                uc[..., tab.tri_p, :].reshape(lead + (Sy * Sx, sp.nb)),
+                x_m, x_p)                                    # [..., Sy*Sx]
+            parts.append(dofD.reshape(lead + (-1,)))
 
         # ---- V faces ----
         tab = sp.face_tabs["V"]
+        tVm, tVp = tab.tri_m, tab.tri_p
         dofV = jnp.zeros(lead + (Sy, Sx + 1), dt)
         if Sx > 1:
             x_m, x_p = phys(tab, org[:, :-1].reshape(-1, 2))
-            um = uc[..., :, :-1, 0, :].reshape(lead + (Sy * (Sx - 1), sp.nb))
-            up = uc[..., :, 1:, 1, :].reshape(lead + (Sy * (Sx - 1), sp.nb))
+            um = uc[..., :, :-1, tVm, :].reshape(lead + (Sy * (Sx - 1), sp.nb))
+            up = uc[..., :, 1:, tVp, :].reshape(lead + (Sy * (Sx - 1), sp.nb))
             inner = self._face_moment_inner("V", lam_fn, um, up, x_m, x_p)
             dofV = dofV.at[..., :, 1:Sx].set(inner.reshape(lead + (Sy, Sx - 1)))
         tabL = sp.face_tabs["bnd_left"]
         xL, _ = phys(tabL, org[:, 0].reshape(-1, 2))
-        uL = uc[..., :, 0, 1, :].reshape(lead + (Sy, sp.nb))
+        uL = uc[..., :, 0, tabL.tri_m, :].reshape(lead + (Sy, sp.nb))
         dofV = dofV.at[..., :, 0].set(self._face_moment_boundary("left", lam_fn, uL, xL))
         tabR = sp.face_tabs["bnd_right"]
         xR, _ = phys(tabR, org[:, Sx - 1].reshape(-1, 2))
-        uR = uc[..., :, Sx - 1, 0, :].reshape(lead + (Sy, sp.nb))
+        uR = uc[..., :, Sx - 1, tabR.tri_m, :].reshape(lead + (Sy, sp.nb))
         dofV = dofV.at[..., :, Sx].set(self._face_moment_boundary("right", lam_fn, uR, xR))
+        parts.append(dofV.reshape(lead + (-1,)))
 
         # ---- H faces ----
         tab = sp.face_tabs["H"]
+        tHm, tHp = tab.tri_m, tab.tri_p
         dofH = jnp.zeros(lead + (Sy + 1, Sx), dt)
         if Sy > 1:
             x_m, x_p = phys(tab, org[:-1, :].reshape(-1, 2))
-            um = uc[..., :-1, :, 1, :].reshape(lead + ((Sy - 1) * Sx, sp.nb))
-            up = uc[..., 1:, :, 0, :].reshape(lead + ((Sy - 1) * Sx, sp.nb))
+            um = uc[..., :-1, :, tHm, :].reshape(lead + ((Sy - 1) * Sx, sp.nb))
+            up = uc[..., 1:, :, tHp, :].reshape(lead + ((Sy - 1) * Sx, sp.nb))
             inner = self._face_moment_inner("H", lam_fn, um, up, x_m, x_p)
             dofH = dofH.at[..., 1:Sy, :].set(inner.reshape(lead + (Sy - 1, Sx)))
         tabB = sp.face_tabs["bnd_bottom"]
         xB, _ = phys(tabB, org[0, :].reshape(-1, 2))
-        uB = uc[..., 0, :, 0, :].reshape(lead + (Sx, sp.nb))
+        uB = uc[..., 0, :, tabB.tri_m, :].reshape(lead + (Sx, sp.nb))
         dofH = dofH.at[..., 0, :].set(self._face_moment_boundary("bottom", lam_fn, uB, xB))
         tabT = sp.face_tabs["bnd_top"]
         xT, _ = phys(tabT, org[Sy - 1, :].reshape(-1, 2))
-        uT = uc[..., Sy - 1, :, 1, :].reshape(lead + (Sx, sp.nb))
+        uT = uc[..., Sy - 1, :, tabT.tri_m, :].reshape(lead + (Sx, sp.nb))
         dofH = dofH.at[..., Sy, :].set(self._face_moment_boundary("top", lam_fn, uT, xT))
+        parts.append(dofH.reshape(lead + (-1,)))
 
-        return jnp.concatenate([
-            dofD.reshape(lead + (-1,)),
-            dofV.reshape(lead + (-1,)),
-            dofH.reshape(lead + (-1,)),
-        ], axis=-1)
+        return jnp.concatenate(parts, axis=-1)
 
     def restrict(self, t_global):
         """[..., N_rt_global] -> [..., K, N_rt] local RT vectors

@@ -34,19 +34,27 @@ class OswaldOperator:
         g = space.grid
         Sy, Sx = g.global_ny, g.global_nx
         self.Sy, self.Sx = Sy, Sx
-        # vertex ids per (global cell, tri, node): [Sy, Sx, T, nb]
+        # vertex ids per (global cell, element, node): [Sy, Sx, T, nb]
         gy, gx = np.meshgrid(np.arange(Sy), np.arange(Sx), indexing="ij")
-        vid = np.zeros((Sy, Sx, 2, 3), dtype=np.int64)
 
         def v(iy, ix):
             return iy * (Sx + 1) + ix
-        # A: (0,0), (1,0), (1,1);  B: (0,0), (0,1), (1,1)   (unit-cell coords)
-        vid[:, :, 0, 0] = v(gy, gx)
-        vid[:, :, 0, 1] = v(gy, gx + 1)
-        vid[:, :, 0, 2] = v(gy + 1, gx + 1)
-        vid[:, :, 1, 0] = v(gy, gx)
-        vid[:, :, 1, 1] = v(gy + 1, gx)
-        vid[:, :, 1, 2] = v(gy + 1, gx + 1)
+        if g.grid_type == "quad":
+            # Q1 node order (0,0), (1,0), (0,1), (1,1)  (x fastest)
+            vid = np.zeros((Sy, Sx, 1, 4), dtype=np.int64)
+            vid[:, :, 0, 0] = v(gy, gx)
+            vid[:, :, 0, 1] = v(gy, gx + 1)
+            vid[:, :, 0, 2] = v(gy + 1, gx)
+            vid[:, :, 0, 3] = v(gy + 1, gx + 1)
+        else:
+            # A: (0,0), (1,0), (1,1);  B: (0,0), (0,1), (1,1)  (unit-cell coords)
+            vid = np.zeros((Sy, Sx, 2, 3), dtype=np.int64)
+            vid[:, :, 0, 0] = v(gy, gx)
+            vid[:, :, 0, 1] = v(gy, gx + 1)
+            vid[:, :, 0, 2] = v(gy + 1, gx + 1)
+            vid[:, :, 1, 0] = v(gy, gx)
+            vid[:, :, 1, 1] = v(gy + 1, gx)
+            vid[:, :, 1, 2] = v(gy + 1, gx + 1)
         self.vertex_ids = vid.reshape(-1)                       # [Sy*Sx*T*nb]
         self.n_vertices = (Sy + 1) * (Sx + 1)
         counts = np.zeros(self.n_vertices)

@@ -40,14 +40,12 @@ from .assembly import IPDGParams, DEFAULT_IPDG
 
 
 def _chi_tab(space: BlockDGSpace):
-    """chi values at volume quad points: [T, nq, 3(edges), 2] (cell-invariant)."""
-    idx, sign, opp = space.tri_face_dofs()
-    scale = np.array([space.hx, space.hy])
-    area2 = space.hx * space.hy            # 2|T|
-    qp = space.vol_qp * scale              # [T, nq, 2] physical, cell-relative
-    p = opp * scale                        # [T, 3, 2]
-    chi = (qp[:, :, None, :] - p[:, None, :, :]) / area2
-    return chi, idx, sign
+    """Signed RT0 basis values at volume quad points: [T, nq, nf, 2]
+    (cell-invariant; orientation folded in), plus incidence idx [s,s,T,nf]
+    and per-face divergence constants div [T,nf].  Element-family aware
+    (simplex RT0 on 'tri', tensor RT0 on 'quad'); see
+    :meth:`BlockDGSpace.rt_cell_tab`."""
+    return space.rt_cell_tab()
 
 
 def _kinv_fn(lam_hat, kappa_fn):
@@ -78,20 +76,20 @@ def df_aa(space: BlockDGSpace, lam_u, lam_v, lam_hat, kappa_fn=None, dtype=jnp.f
 
 def df_bb(space: BlockDGSpace, lam_hat, kappa_fn=None, dtype=jnp.float64):
     """[K, N_rt, N_rt]: int t . (lam_hat kappa)^{-1} s  over the subdomain."""
-    chi, idx, sign = _chi_tab(space)
+    chi, idx, _div = _chi_tab(space)
+    nf = idx.shape[-1]
     kinv = _kinv_fn(lam_hat, kappa_fn)
     xq = jnp.asarray(asm._vol_points(space), dtype)            # [K,s,s,T,nq,2]
     Ki = kinv(xq).astype(dtype)                                # [K,s,s,T,nq,2,2]
     w = jnp.asarray(space.vol_w, dtype)
     area = space.hx * space.hy
     chi_j = jnp.asarray(chi, dtype)
-    sg = jnp.asarray(sign, dtype)
-    blocks = area * jnp.einsum("tq,tqea,kyxtqab,tqfb,te,tf->kyxtef",
-                               w, chi_j, Ki, chi_j, sg, sg)
+    blocks = area * jnp.einsum("tq,tqea,kyxtqab,tqfb->kyxtef",
+                               w, chi_j, Ki, chi_j)
     K = space.K
     F = space.s * space.s * space.T
-    blocks = blocks.reshape(K, F, 3, 3)
-    rows = idx.reshape(F, 3)
+    blocks = blocks.reshape(K, F, nf, nf)
+    rows = idx.reshape(F, nf)
     A = jnp.zeros((K, space.N_rt, space.N_rt), dtype)
     return asm.scatter_blocks(A, blocks, rows, rows)
 
@@ -99,21 +97,21 @@ def df_bb(space: BlockDGSpace, lam_hat, kappa_fn=None, dtype=jnp.float64):
 def df_ab(space: BlockDGSpace, lam_v, lam_hat, kappa_fn=None, dtype=jnp.float64):
     """[K, N, N_rt]: int (lam_v / lam_hat) grad(phi_i) . chi_e
     (kappa^T kappa^{-1} = I for spd kappa)."""
-    chi, idx, sign = _chi_tab(space)
+    chi, idx, _div = _chi_tab(space)
+    nf = idx.shape[-1]
     xq = jnp.asarray(asm._vol_points(space), dtype)
     wgt = (lam_v(xq) / lam_hat(xq)).astype(dtype)              # [K,s,s,T,nq]
     w = jnp.asarray(space.vol_w, dtype)
     dphi = jnp.asarray(space.vol_dphi, dtype)                  # [T,nq,nb,2]
     area = space.hx * space.hy
     chi_j = jnp.asarray(chi, dtype)
-    sg = jnp.asarray(sign, dtype)
-    blocks = area * jnp.einsum("tq,kyxtq,tqia,tqea,te->kyxtie",
-                               w, wgt, dphi, chi_j, sg)
+    blocks = area * jnp.einsum("tq,kyxtq,tqia,tqea->kyxtie",
+                               w, wgt, dphi, chi_j)
     K = space.K
     F = space.s * space.s * space.T
-    blocks = blocks.reshape(K, F, space.nb, 3)
+    blocks = blocks.reshape(K, F, space.nb, nf)
     rows = np.arange(space.N, dtype=np.int64).reshape(F, space.nb)
-    cols = idx.reshape(F, 3)
+    cols = idx.reshape(F, nf)
     A = jnp.zeros((K, space.N, space.N_rt), dtype)
     return asm.scatter_blocks(A, blocks, rows, cols)
 
@@ -121,18 +119,18 @@ def df_ab(space: BlockDGSpace, lam_v, lam_hat, kappa_fn=None, dtype=jnp.float64)
 def divergence_matrix(space: BlockDGSpace, dtype=jnp.float64):
     """[N, N_rt] (same for every subdomain): RT0 coeffs -> DG coeffs of div t.
 
-    div chi_e = 1/|T| (constant), so the DG nodal coefficients on T are all
-    sigma_e / |T|.
+    div chi_e is elementwise constant (both element families), so the DG
+    nodal coefficients on an element are all equal to the div constant.
     """
-    idx, sign, _ = space.tri_face_dofs()
-    area_T = space.hx * space.hy / 2.0
+    _chi, idx, div = _chi_tab(space)
+    nf = idx.shape[-1]
     F = space.s * space.s * space.T
     blocks = jnp.broadcast_to(
-        jnp.asarray(sign / area_T, dtype)[None, :, None, :],   # [1, T, 1, 3]
-        (space.s * space.s, space.T, space.nb, 3),
-    ).reshape(F, space.nb, 3)
+        jnp.asarray(div, dtype)[None, :, None, :],             # [1, T, 1, nf]
+        (space.s * space.s, space.T, space.nb, nf),
+    ).reshape(F, space.nb, nf)
     rows = np.arange(space.N, dtype=np.int64).reshape(F, space.nb)
-    cols = idx.reshape(F, 3)
+    cols = idx.reshape(F, nf)
     A = jnp.zeros((space.N, space.N_rt), dtype)
     return A.at[rows[:, :, None], cols[:, None, :]].add(blocks)
 
@@ -145,13 +143,12 @@ def penalty_product(space: BlockDGSpace, lam_fn, kappa_fn=None,
     order = space.order
     origins = space.subdomain_origins
     A = jnp.zeros((space.K, space.N, space.N), dtype)
-    tri_of = {"D": (0, 1), "V": (0, 1), "H": (1, 0)}
     for fam, (cy_m, cx_m, cy_p, cx_p) in _interior_face_sets(space).items():
         tab = space.face_tabs[fam]
         _, x_m, x_p = asm._face_phys_points(space, tab, cy_m, cx_m, origins)
         Mmm, Mmp, Mpm, Mpp = asm.penalty_face_blocks_inner(
             space, tab, lam_fn, kappa_fn, x_m, x_p, order, ipdg, dtype)
-        tm, tp = tri_of[fam]
+        tm, tp = tab.tri_m, tab.tri_p
         rows_m = space.cell_dofs(cy_m, cx_m, np.full_like(cy_m, tm))
         rows_p = space.cell_dofs(cy_p, cx_p, np.full_like(cy_p, tp))
         A = asm.scatter_blocks(A, Mmm, rows_m, rows_m)

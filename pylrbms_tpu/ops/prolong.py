@@ -45,14 +45,18 @@ def prolongation_gather(coarse: BlockDGSpace, fine: BlockDGSpace):
     # local unit coords within the coarse cell
     xi = (cen[:, 0] - gc.lower_left[0]) / gc.hx - cgx
     eta = (cen[:, 1] - gc.lower_left[1]) / gc.hy - cgy
-    tri = (eta > xi).astype(np.int64)            # 0 = A (below diag), 1 = B
     # unit coords of the fine NODE within the coarse cell
     nxi = (xn[:, 0] - gc.lower_left[0]) / gc.hx - cgx
     neta = (xn[:, 1] - gc.lower_left[1]) / gc.hy - cgy
     pts = np.stack([nxi, neta], axis=-1)
-    wA = B.eval_basis("A", coarse.order, pts)    # [Mf, nb_c]
-    wB = B.eval_basis("B", coarse.order, pts)
-    weights = np.where(tri[:, None] == 0, wA, wB)
+    if gc.grid_type == "quad":
+        tri = np.zeros(Mf, dtype=np.int64)
+        weights = B.eval_basis("Q", coarse.order, pts)
+    else:
+        tri = (eta > xi).astype(np.int64)        # 0 = A (below diag), 1 = B
+        wA = B.eval_basis("A", coarse.order, pts)  # [Mf, nb_c]
+        wB = B.eval_basis("B", coarse.order, pts)
+        weights = np.where(tri[:, None] == 0, wA, wB)
     # flat coarse triangle index consistent with the block dof layout
     csx, ccx = cgx // gc.s, cgx % gc.s
     csy, ccy = cgy // gc.s, cgy % gc.s

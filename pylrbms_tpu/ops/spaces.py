@@ -56,17 +56,24 @@ class FaceTab:
     centroid_p: np.ndarray | None
 
 
-TRI_ID = {"A": 0, "B": 1}
+TRI_ID = {"A": 0, "B": 1, "Q": 0}
 
 
 class BlockDGSpace:
-    """All static metadata for assembly on the block DG space."""
+    """All static metadata for assembly on the block DG space.
+
+    Supports both structured grid families of the reference ('tri' = the ALU
+    simplex grids, 'quad' = the Yasp cube grids; ``grid.py:17-42``): the only
+    difference is the per-cell element table (T elements x nb basis functions
+    and the face families — tri has the in-cell diagonal family "D").
+    """
 
     def __init__(self, grid: Grid, order: int = 1, vol_quad: int = 5, face_quad: int = 5):
-        assert grid.grid_type == "tri", "only the triangulated grid is implemented"
+        assert grid.grid_type in ("tri", "quad"), grid.grid_type
         self.grid = grid
         self.order = order
-        self.nb = B.num_basis(order)
+        self.elem = "Q" if grid.grid_type == "quad" else "A"
+        self.nb = B.num_basis(order, self.elem)
         self.s = grid.s
         self.T = grid.tri_per_cell
         self.N = self.s * self.s * self.T * self.nb
@@ -74,7 +81,15 @@ class BlockDGSpace:
         self.hx, self.hy = grid.hx, grid.hy
         self._vol_quad = vol_quad
         self._face_quad = face_quad
-        self._tabulate()
+        if grid.grid_type == "quad":
+            self._tabulate_quad()
+        else:
+            self._tabulate()
+
+    @property
+    def face_families(self):
+        """Interior face families: tri has the in-cell diagonal "D"."""
+        return ("D", "V", "H") if self.grid.grid_type == "tri" else ("V", "H")
 
     # ------------------------------------------------------------------
     def _phys_grad(self, dunit: np.ndarray) -> np.ndarray:
@@ -140,6 +155,52 @@ class BlockDGSpace:
                 centroid_m=self.tri_centroids[TRI_ID[tm]], centroid_p=None,
             )
 
+    def _tabulate_quad(self):
+        """Same tables as :meth:`_tabulate` for the 'quad' grid: one "Q"
+        element per cell (T=1), face families V/H only (no in-cell diagonal)."""
+        order = self.order
+        qp, w = Q.quad_rule_unit_cell(self._vol_quad)
+        self.vol_qp = qp[None]                               # [1, nq, 2]
+        self.vol_w = w[None]                                 # [1, nq] (sum 1)
+        self.vol_phi = B.eval_basis("Q", order, qp)[None]    # [1, nq, nb]
+        self.vol_dphi = self._phys_grad(
+            B.eval_basis_grad_unit("Q", order, qp))[None]    # [1, nq, nb, 2]
+        self.tri_centroids = np.array([[0.5, 0.5]])          # [1, 2]
+        self.nodes_unit = B.node_coords_unit("Q", order)[None]  # [1, nb, 2]
+
+        t, w = Q.edge_rule(self._face_quad)
+        self.face_tabs: Dict[str, FaceTab] = {}
+        lengths = {"V": self.hy, "H": self.hx}
+        normals = {"V": np.array([1.0, 0.0]), "H": np.array([0.0, 1.0])}
+        for fam, ((tm, em), (tp, ep)) in B.QUAD_EDGES_UNIT.items():
+            pm = em.points(t)
+            pp = ep.points(t)
+            self.face_tabs[fam] = FaceTab(
+                phi_m=B.eval_basis(tm, order, pm),
+                dphi_m=self._phys_grad(B.eval_basis_grad_unit(tm, order, pm)),
+                phi_p=B.eval_basis(tp, order, pp),
+                dphi_p=self._phys_grad(B.eval_basis_grad_unit(tp, order, pp)),
+                normal=normals[fam], length=lengths[fam], w=w,
+                pts_unit_m=pm, pts_unit_p=pp,
+                tri_m=0, tri_p=0,
+                centroid_m=self.tri_centroids[0],
+                centroid_p=self.tri_centroids[0],
+            )
+        bnd_normals = {"left": np.array([-1.0, 0.0]), "right": np.array([1.0, 0.0]),
+                       "bottom": np.array([0.0, -1.0]), "top": np.array([0.0, 1.0])}
+        bnd_lengths = {"left": self.hy, "right": self.hy, "bottom": self.hx, "top": self.hx}
+        for side, (tm, em) in B.QUAD_BOUNDARY_EDGES_UNIT.items():
+            pm = em.points(t)
+            self.face_tabs["bnd_" + side] = FaceTab(
+                phi_m=B.eval_basis(tm, order, pm),
+                dphi_m=self._phys_grad(B.eval_basis_grad_unit(tm, order, pm)),
+                phi_p=None, dphi_p=None,
+                normal=bnd_normals[side], length=bnd_lengths[side], w=w,
+                pts_unit_m=pm, pts_unit_p=None,
+                tri_m=0, tri_p=None,
+                centroid_m=self.tri_centroids[0], centroid_p=None,
+            )
+
     # ------------------------------------------------------------------
     # dof index helpers (numpy, static)
     # ------------------------------------------------------------------
@@ -185,16 +246,22 @@ class BlockDGSpace:
     @property
     def N_rt(self) -> int:
         s = self.s
+        if self.grid.grid_type == "quad":
+            return 2 * s * (s + 1)
         return 3 * s * s + 2 * s
 
     def rt_index_D(self, cy, cx):
+        assert self.grid.grid_type == "tri"
         return np.asarray(cy) * self.s + np.asarray(cx)
 
     def rt_index_V(self, cy, vx):
-        return self.s * self.s + np.asarray(cy) * (self.s + 1) + np.asarray(vx)
+        off = 0 if self.grid.grid_type == "quad" else self.s * self.s
+        return off + np.asarray(cy) * (self.s + 1) + np.asarray(vx)
 
     def rt_index_H(self, hy, cx):
-        return self.s * self.s + self.s * (self.s + 1) + np.asarray(hy) * self.s + np.asarray(cx)
+        off = (self.s * (self.s + 1) if self.grid.grid_type == "quad"
+               else self.s * self.s + self.s * (self.s + 1))
+        return off + np.asarray(hy) * self.s + np.asarray(cx)
 
     # triangle -> (local rt dof, orientation sign, opposite vertex unit coords)
     # edges per triangle: A: [bottom H(cy,cx), right V(cy,cx+1), diag D(cy,cx)]
@@ -221,21 +288,76 @@ class BlockDGSpace:
         ])
         return idx, sign, opp
 
+    def quad_face_dofs(self):
+        """Quad-grid RT0 incidence: idx [s, s, 1, 4] local RT dof ids in face
+        order (left V, right V, bottom H, top H)."""
+        s = self.s
+        cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        idx = np.zeros((s, s, 1, 4), dtype=np.int64)
+        idx[:, :, 0, 0] = self.rt_index_V(cy, cx)
+        idx[:, :, 0, 1] = self.rt_index_V(cy, cx + 1)
+        idx[:, :, 0, 2] = self.rt_index_H(cy, cx)
+        idx[:, :, 0, 3] = self.rt_index_H(cy + 1, cx)
+        return idx
+
+    def rt_cell_tab(self):
+        """Unified RT0 cell tabulation for products/estimators.
+
+        Returns ``(chi, idx, div)`` with
+        * ``chi`` [T, nq, nf, 2] — *family-convention* RT0 basis values at the
+          volume quadrature points (physical, cell-relative; orientation signs
+          already folded in): the flux restricted to a cell is
+          ``t = sum_e c_e chi_e`` with ``c_e`` the family-normal face dofs;
+        * ``idx`` [s, s, T, nf] — local RT dof ids per cell element;
+        * ``div`` [T, nf] — the (constant) divergence of each chi_e.
+
+        tri: chi_e = sigma_e (x - p_e)/(2|T|) (simplex RT0, p_e = opposite
+        vertex), div = sigma_e/|T|.  quad: the tensor RT0 on rectangles,
+        chi_L = ((hx-x)/(hx hy), 0), chi_R = (x/(hx hy), 0) etc.,
+        div = -+1/(hx hy).
+        """
+        scale = np.array([self.hx, self.hy])
+        qp = self.vol_qp * scale                 # [T, nq, 2] physical, cell-relative
+        area = self.hx * self.hy
+        if self.grid.grid_type == "quad":
+            nq = qp.shape[1]
+            x, y = qp[0, :, 0], qp[0, :, 1]
+            z = np.zeros(nq)
+            chi = np.stack([
+                np.stack([(self.hx - x) / area, z], -1),    # left V
+                np.stack([x / area, z], -1),                # right V
+                np.stack([z, (self.hy - y) / area], -1),    # bottom H
+                np.stack([z, y / area], -1),                # top H
+            ], axis=1)[None]                                 # [1, nq, 4, 2]
+            div = np.array([[-1.0, 1.0, -1.0, 1.0]]) / area  # [1, 4]
+            return chi, self.quad_face_dofs(), div
+        idx, sign, opp = self.tri_face_dofs()
+        p = opp * scale                          # [T, 3, 2]
+        chi = (qp[:, :, None, :] - p[:, None, :, :]) / area  # (x-p)/(2|T|)
+        chi = chi * sign[:, None, :, None]
+        div = sign / (area / 2.0)
+        return chi, idx, div
+
     def rt_local_to_global(self) -> np.ndarray:
         """[K, N_rt] flat indices into the flattened global RT vector.
 
-        Global RT flat layout: concat(D [Sy*Sx], V [Sy*(Sx+1)], H [(Sy+1)*Sx]).
+        Global RT flat layout: concat(D [Sy*Sx], V [Sy*(Sx+1)], H [(Sy+1)*Sx])
+        for 'tri'; concat(V, H) for 'quad'.
         """
         g = self.grid
         s = self.s
         Sy, Sx = g.global_ny, g.global_nx
-        offD, offV, offH = 0, Sy * Sx, Sy * Sx + Sy * (Sx + 1)
+        has_D = g.grid_type == "tri"
+        offD = 0
+        offV = Sy * Sx if has_D else 0
+        offH = offV + Sy * (Sx + 1)
         out = np.zeros((self.K, self.N_rt), dtype=np.int64)
         for ii in range(self.K):
             sx, sy = g.subdomain_coords(ii)
-            cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
-            gD = offD + (sy * s + cy) * Sx + (sx * s + cx)
-            out[ii, self.rt_index_D(cy, cx).ravel()] = gD.ravel()
+            if has_D:
+                cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+                gD = offD + (sy * s + cy) * Sx + (sx * s + cx)
+                out[ii, self.rt_index_D(cy, cx).ravel()] = gD.ravel()
             cy, vx = np.meshgrid(np.arange(s), np.arange(s + 1), indexing="ij")
             gV = offV + (sy * s + cy) * (Sx + 1) + (sx * s + vx)
             out[ii, self.rt_index_V(cy, vx).ravel()] = gV.ravel()
@@ -248,23 +370,26 @@ class BlockDGSpace:
     def N_rt_global(self) -> int:
         g = self.grid
         Sy, Sx = g.global_ny, g.global_nx
-        return Sy * Sx + Sy * (Sx + 1) + (Sy + 1) * Sx
+        nVH = Sy * (Sx + 1) + (Sy + 1) * Sx
+        return nVH if g.grid_type == "quad" else Sy * Sx + nVH
 
     # ------------------------------------------------------------------
     # interface dof lists (for couplings / patch boundary terms)
     # ------------------------------------------------------------------
     def side_cells(self, side: str):
-        """(cy, cx, t) arrays [s] of the cells+triangle touching a subdomain side."""
+        """(cy, cx, t) arrays [s] of the cells+element touching a subdomain side."""
         s = self.s
         r = np.arange(s)
+        z = np.zeros(s, np.int64)
+        tB = z if self.grid.grid_type == "quad" else np.ones(s, np.int64)
         if side == "left":
-            return r, np.zeros(s, np.int64), np.ones(s, np.int64)       # B triangles
+            return r, np.zeros(s, np.int64), tB                          # B (tri)
         if side == "right":
-            return r, np.full(s, s - 1, np.int64), np.zeros(s, np.int64)  # A
+            return r, np.full(s, s - 1, np.int64), z                     # A
         if side == "bottom":
-            return np.zeros(s, np.int64), r, np.zeros(s, np.int64)      # A
+            return np.zeros(s, np.int64), r, z                           # A
         if side == "top":
-            return np.full(s, s - 1, np.int64), r, np.ones(s, np.int64)  # B
+            return np.full(s, s - 1, np.int64), r, tB                    # B
         raise ValueError(side)
 
     def side_dofs(self, side: str) -> np.ndarray:

@@ -53,8 +53,9 @@ class SwipdgComponent:
 def _interior_face_sets(space: BlockDGSpace):
     s = space.s
     sets = {}
-    cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
-    sets["D"] = (cy.ravel(), cx.ravel(), cy.ravel(), cx.ravel())
+    if "D" in space.face_families:           # in-cell diagonal (tri grids only)
+        cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        sets["D"] = (cy.ravel(), cx.ravel(), cy.ravel(), cx.ravel())
     cy, cx = np.meshgrid(np.arange(s), np.arange(s - 1), indexing="ij")
     sets["V"] = (cy.ravel(), cx.ravel(), cy.ravel(), cx.ravel() + 1)
     cy, cx = np.meshgrid(np.arange(s - 1), np.arange(s), indexing="ij")
@@ -74,14 +75,12 @@ def assemble_swipdg_component(space: BlockDGSpace, lam_fn, kappa_fn=None,
     A_loc = asm.volume_elliptic(space, lam_fn, kappa_fn, dtype)
 
     # ---------------- interior faces ----------------
-    tri_of = {"D": ("A", "B"), "V": ("A", "B"), "H": ("B", "A")}
-    tri_id = {"A": 0, "B": 1}
     for fam, (cy_m, cx_m, cy_p, cx_p) in _interior_face_sets(space).items():
         tab = space.face_tabs[fam]
         _, x_m, x_p = asm._face_phys_points(space, tab, cy_m, cx_m, origins)
         Mmm, Mmp, Mpm, Mpp = asm.inner_face_blocks(
             space, tab, lam_fn, kappa_fn, x_m, x_p, order, ipdg, dtype)
-        tm, tp = (tri_id[t] for t in tri_of[fam])
+        tm, tp = tab.tri_m, tab.tri_p
         rows_m = space.cell_dofs(cy_m, cx_m, np.full_like(cy_m, tm))
         rows_p = space.cell_dofs(cy_p, cx_p, np.full_like(cy_p, tp))
         A_loc = asm.scatter_blocks(A_loc, Mmm, rows_m, rows_m)

@@ -39,7 +39,8 @@ def init_grid_and_problem(config, mu_bar=(1,), mu_hat=(1,)):
     grid = make_grid((lower_left, upper_right),
                      config["num_subdomains"],
                      config["half_num_fine_elements_per_subdomain_and_dim"],
-                     num_refinements=config.get("num_refinements", 2))
+                     num_refinements=config.get("num_refinements", 2),
+                     grid_type=config.get("grid_type", "tri"))
 
     horizontal = make_indicator_function_1x1(_horizontal_channels(1), "horizontal")
     fixed_vert = make_indicator_function_1x1(_fixed_vertical(1), "fixed_vertical")

@@ -17,7 +17,8 @@ def init_grid_and_problem(config):
     grid = make_grid((lower_left, upper_right),
                      config["num_subdomains"],
                      config["half_num_fine_elements_per_subdomain_and_dim"],
-                     num_refinements=config.get("num_refinements", 2))
+                     num_refinements=config.get("num_refinements", 2),
+                     grid_type=config.get("grid_type", "tri"))
 
     def make_values(background, foreground):
         values = [[background]] * 36

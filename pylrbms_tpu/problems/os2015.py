@@ -17,7 +17,8 @@ def init_grid_and_problem(config, mu_bar=1, mu_hat=1, mpi_comm=None):
     grid = make_grid(((-1, -1), (1, 1)),
                      config["num_subdomains"],
                      config["half_num_fine_elements_per_subdomain_and_dim"],
-                     num_refinements=config.get("num_refinements", 2))
+                     num_refinements=config.get("num_refinements", 2),
+                     grid_type=config.get("grid_type", "tri"))
     parameter_type = {"diffusion": (1,)}
     diffusion_functions = [
         make_expression_function_1x1("x", f"1+{COS}", order=2, name="lambda_0"),

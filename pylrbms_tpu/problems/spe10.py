@@ -67,7 +67,8 @@ def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,),
     grid = make_grid(((0, 0), (1, 1)),
                      config["num_subdomains"],
                      config["half_num_fine_elements_per_subdomain_and_dim"],
-                     num_refinements=config.get("num_refinements", 2))
+                     num_refinements=config.get("num_refinements", 2),
+                     grid_type=config.get("grid_type", "tri"))
     perm = load_spe10_layer(layer)
     ny, nx = perm.shape
     # nearest resample to the fine raster

@@ -20,7 +20,8 @@ def init_grid_and_problem(config, mu_bar=(1, 1, 1, 1), mu_hat=(1, 1, 1, 1)):
     grid = make_grid((lower_left, upper_right),
                      config["num_subdomains"],
                      config["half_num_fine_elements_per_subdomain_and_dim"],
-                     num_refinements=config.get("num_refinements", 2))
+                     num_refinements=config.get("num_refinements", 2),
+                     grid_type=config.get("grid_type", "tri"))
     XB, YB = 2, 2
 
     def factory(ix, iy):

@@ -43,6 +43,19 @@ def triangle_rule_unit_cell(tri: str, n: int = 5):
     return pts, w
 
 
+def quad_rule_unit_cell(n: int = 5):
+    """Tensor Gauss-Legendre rule on the unit cell [0,1]^2 (for 'quad' grids).
+
+    Returns points [n*n, 2] and weights [n*n] summing to 1 (the unit-cell
+    area); physical integral = sum(w * f(x)) * (hx*hy)."""
+    u, wu = gauss_legendre_01(n)
+    v, wv = gauss_legendre_01(n)
+    U, V = np.meshgrid(u, v, indexing="ij")
+    WU, WV = np.meshgrid(wu, wv, indexing="ij")
+    pts = np.stack([U.ravel(), V.ravel()], axis=-1)
+    return pts, (WU * WV).ravel()
+
+
 def edge_rule(n: int = 5):
     """Rule on the unit interval [0,1] for faces (points [n], weights sum 1)."""
     return gauss_legendre_01(n)
