@@ -59,32 +59,20 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
     if criterion == "residual_fom":
         d = rd.d
         V = jnp.asarray(rd.reductor._padded_bases(rd.r_max))   # [K, r_max, N]
+        sop = d.mf_operator()
         from .utils.precision import hp as _hp
-        if d.grid.grid_type == "tri":
-            sop = d.mf_operator()
-            from .ops.matrixfree import StencilOperator
+        from .ops.matrixfree import StencilOperator
 
-            def one_direct(mu, V, stencils, rhs_q):
-                c = rd.solve(mu)
-                U = jnp.einsum("kr,krn->kn", c.astype(V.dtype), V)
-                theta = d.theta(mu)
-                b = jnp.einsum("q,qkn->kn", d.theta_f(mu), rhs_q)
-                r = b - StencilOperator(d.space, stencils).assemble(theta).apply(U)
-                return jnp.linalg.norm(r.reshape(-1))
-
-            fn = jax.jit(_hp(jax.vmap(one_direct, in_axes=(0, None, None, None))))
-            return fn(mus_stacked, V, sop.stencils, d.rhs_q)
-
-        # quad grids: the stencil apply is tri-only — use the dense block op
-        def one_dense(mu, V, op, rhs_q):
+        def one_direct(mu, V, stencils, rhs_q):
             c = rd.solve(mu)
             U = jnp.einsum("kr,krn->kn", c.astype(V.dtype), V)
+            theta = d.theta(mu)
             b = jnp.einsum("q,qkn->kn", d.theta_f(mu), rhs_q)
-            r = b - op.assemble(d.theta(mu)).apply(U)
+            r = b - StencilOperator(d.space, stencils).assemble(theta).apply(U)
             return jnp.linalg.norm(r.reshape(-1))
 
-        fn = jax.jit(_hp(jax.vmap(one_dense, in_axes=(0, None, None, None))))
-        return fn(mus_stacked, V, d.op, d.rhs_q)
+        fn = jax.jit(_hp(jax.vmap(one_direct, in_axes=(0, None, None, None))))
+        return fn(mus_stacked, V, sop.stencils, d.rhs_q)
 
     def one(mu):
         c = rd.solve(mu)

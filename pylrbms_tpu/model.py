@@ -153,7 +153,6 @@ class StationaryBlockModel:
         b = self.rhs(mu)
         kind = (options or {}).get("type", "auto")
         if kind == "auto" and self.space.K * self.space.N > 32768 \
-                and self.grid.grid_type == "tri" \
                 and self.estimator is not None \
                 and getattr(self.estimator.data, "lambda_funcs", None):
             # at scale the matrix-free two-level solve dominates everything
@@ -412,7 +411,6 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
               "C_U_oi": d.op.C_U_oi, "rhs_q": d.rhs_q}
     if matrix_free is None:
         matrix_free = (d.space.K * d.space.N >= 16384
-                       and d.grid.grid_type == "tri"   # stencil apply is tri-only
                        and d.estimator is not None
                        and getattr(d.estimator.data, "lambda_funcs", None)
                        is not None)

@@ -73,7 +73,8 @@ def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
         return tuple(b.reshape((K,) + shape + (nb, nb)) for b in blocks)
 
     sets = _interior_face_sets(space)
-    Dq = faces("D", sets["D"][0], sets["D"][1], (s, s))
+    Dq = (faces("D", sets["D"][0], sets["D"][1], (s, s)) if "D" in sets
+          else tuple(jnp.zeros((K, s, s, 0, 0), dtype) for _ in range(4)))
     Vq = faces("V", sets["V"][0], sets["V"][1], (s, s - 1)) if s > 1 else \
         tuple(jnp.zeros((K, s, 0, nb, nb), dtype) for _ in range(4))
     Hq = faces("H", sets["H"][0], sets["H"][1], (s - 1, s)) if s > 1 else \
@@ -156,28 +157,44 @@ class AssembledStencil:
         stencil representation at SPE10 scale."""
         sp = self.space
         s, nb = sp.s, sp.nb
-        Dmm, Dmp, Dpm, Dpp = self.D
-        # each triangle's OWN (mm/pp) contributions from all its faces must be
-        # included, otherwise the cell block is singular (constants see no
-        # penalty energy)
-        dA = self.vol[..., 0, :, :] + Dmm
-        dB = self.vol[..., 1, :, :] + Dpp
-        if s > 1:
-            Vmm, _, _, Vpp = self.V
-            Hmm, _, _, Hpp = self.H
-            dA = dA.at[:, :, :-1].add(Vmm)     # A minus side of V at (cy, cx)
-            dB = dB.at[:, :, 1:].add(Vpp)      # B plus side of V at (cy, cx-1)
-            dB = dB.at[:, :-1, :].add(Hmm)     # B minus side of H at (cy, cx)
-            dA = dA.at[:, 1:, :].add(Hpp)      # A plus side of H below
-        # subdomain-side penalty (one-sided Dirichlet blocks; on interfaces the
-        # in_in strips differ slightly — fine for a preconditioner)
-        dB = dB.at[:, :, 0].add(self.D_side["left"])
-        dA = dA.at[:, :, s - 1].add(self.D_side["right"])
-        dA = dA.at[:, 0, :].add(self.D_side["bottom"])
-        dB = dB.at[:, s - 1, :].add(self.D_side["top"])
-        top = jnp.concatenate([dA, Dmp], axis=-1)
-        bot = jnp.concatenate([Dpm, dB], axis=-1)
-        cell = jnp.concatenate([top, bot], axis=-2)        # [K, s, s, 2nb, 2nb]
+        if sp.T == 1:
+            # quad grid: one element per cell, no in-cell D face
+            dQ = self.vol[..., 0, :, :]
+            if s > 1:
+                Vmm, _, _, Vpp = self.V
+                Hmm, _, _, Hpp = self.H
+                dQ = dQ.at[:, :, :-1].add(Vmm)
+                dQ = dQ.at[:, :, 1:].add(Vpp)
+                dQ = dQ.at[:, :-1, :].add(Hmm)
+                dQ = dQ.at[:, 1:, :].add(Hpp)
+            dQ = dQ.at[:, :, 0].add(self.D_side["left"])
+            dQ = dQ.at[:, :, s - 1].add(self.D_side["right"])
+            dQ = dQ.at[:, 0, :].add(self.D_side["bottom"])
+            dQ = dQ.at[:, s - 1, :].add(self.D_side["top"])
+            cell = dQ                                      # [K, s, s, nb, nb]
+        else:
+            Dmm, Dmp, Dpm, Dpp = self.D
+            # each triangle's OWN (mm/pp) contributions from all its faces must
+            # be included, otherwise the cell block is singular (constants see
+            # no penalty energy)
+            dA = self.vol[..., 0, :, :] + Dmm
+            dB = self.vol[..., 1, :, :] + Dpp
+            if s > 1:
+                Vmm, _, _, Vpp = self.V
+                Hmm, _, _, Hpp = self.H
+                dA = dA.at[:, :, :-1].add(Vmm)     # A minus side of V at (cy, cx)
+                dB = dB.at[:, :, 1:].add(Vpp)      # B plus side of V at (cy, cx-1)
+                dB = dB.at[:, :-1, :].add(Hmm)     # B minus side of H at (cy, cx)
+                dA = dA.at[:, 1:, :].add(Hpp)      # A plus side of H below
+            # subdomain-side penalty (one-sided Dirichlet blocks; on interfaces
+            # the in_in strips differ slightly — fine for a preconditioner)
+            dB = dB.at[:, :, 0].add(self.D_side["left"])
+            dA = dA.at[:, :, s - 1].add(self.D_side["right"])
+            dA = dA.at[:, 0, :].add(self.D_side["bottom"])
+            dB = dB.at[:, s - 1, :].add(self.D_side["top"])
+            top = jnp.concatenate([dA, Dmp], axis=-1)
+            bot = jnp.concatenate([Dpm, dB], axis=-1)
+            cell = jnp.concatenate([top, bot], axis=-2)    # [K, s, s, 2nb, 2nb]
         # symmetric Jacobi scaling + f32 inversion gate (f64 LU is
         # unavailable on TPU; see la/block.block_jacobi_factors)
         dvec = jnp.abs(jnp.diagonal(cell, axis1=-2, axis2=-1))
@@ -216,9 +233,10 @@ class AssembledStencil:
                 return z32.astype(r.dtype)
         else:
             Minv = factors if factors is not None else self.cell_jacobi_factors()
+            cb = sp.T * nb            # cell block size (2nb tri / nb quad)
 
             def M(r):
-                rc = r.reshape(K, s, s, 2 * nb)
+                rc = r.reshape(K, s, s, cb)
                 z = jnp.einsum("kyxij,kyxj->kyxi", Minv, rc)
                 return z.reshape(r.shape)
 
@@ -267,76 +285,98 @@ class AssembledStencil:
         K, s, T, nb = sp.K, sp.s, sp.T, sp.nb
         lead = x.shape[:-2]
         xc = x.reshape(lead + (K, s, s, T, nb))
-        xA, xB = xc[..., 0, :], xc[..., 1, :]        # [..., K, s, s, nb]
-
         e = "kyxij,...kyxj->...kyxi"
-        yA = jnp.einsum(e, self.vol[:, :, :, 0], xA)
-        yB = jnp.einsum(e, self.vol[:, :, :, 1], xB)
+        ev = e
+        if T == 1:
+            # quad grid: one element per cell, V/H faces couple like elements
+            xQ = xc[..., 0, :]                       # [..., K, s, s, nb]
+            y = jnp.einsum(e, self.vol[:, :, :, 0], xQ)
+            if s > 1:
+                Vmm, Vmp, Vpm, Vpp = self.V
+                xm, xp = xQ[..., :, :-1, :], xQ[..., :, 1:, :]
+                y = y.at[..., :, :-1, :].add(
+                    jnp.einsum(ev, Vmm, xm) + jnp.einsum(ev, Vmp, xp))
+                y = y.at[..., :, 1:, :].add(
+                    jnp.einsum(ev, Vpm, xm) + jnp.einsum(ev, Vpp, xp))
+                Hmm, Hmp, Hpm, Hpp = self.H
+                xm, xp = xQ[..., :-1, :, :], xQ[..., 1:, :, :]
+                y = y.at[..., :-1, :, :].add(
+                    jnp.einsum(ev, Hmm, xm) + jnp.einsum(ev, Hmp, xp))
+                y = y.at[..., 1:, :, :].add(
+                    jnp.einsum(ev, Hpm, xm) + jnp.einsum(ev, Hpp, xp))
+            y = y[..., None, :]                      # [..., K, s, s, 1, nb]
+        else:
+            xA, xB = xc[..., 0, :], xc[..., 1, :]    # [..., K, s, s, nb]
+            yA = jnp.einsum(e, self.vol[:, :, :, 0], xA)
+            yB = jnp.einsum(e, self.vol[:, :, :, 1], xB)
 
-        # D faces (within cell, minus=A plus=B)
-        Dmm, Dmp, Dpm, Dpp = self.D
-        yA = yA + jnp.einsum(e, Dmm, xA) + jnp.einsum(e, Dmp, xB)
-        yB = yB + jnp.einsum(e, Dpm, xA) + jnp.einsum(e, Dpp, xB)
+            # D faces (within cell, minus=A plus=B)
+            Dmm, Dmp, Dpm, Dpp = self.D
+            yA = yA + jnp.einsum(e, Dmm, xA) + jnp.einsum(e, Dmp, xB)
+            yB = yB + jnp.einsum(e, Dpm, xA) + jnp.einsum(e, Dpp, xB)
 
-        # V interior faces: minus (cy,cx,A), plus (cy,cx+1,B)
-        if s > 1:
-            Vmm, Vmp, Vpm, Vpp = self.V
-            ev = "kyxij,...kyxj->...kyxi"
-            yA = yA.at[..., :, :-1, :].add(
-                jnp.einsum(ev, Vmm, xA[..., :, :-1, :])
-                + jnp.einsum(ev, Vmp, xB[..., :, 1:, :]))
-            yB = yB.at[..., :, 1:, :].add(
-                jnp.einsum(ev, Vpm, xA[..., :, :-1, :])
-                + jnp.einsum(ev, Vpp, xB[..., :, 1:, :]))
-            # H interior: minus (cy,cx,B), plus (cy+1,cx,A)
-            Hmm, Hmp, Hpm, Hpp = self.H
-            yB = yB.at[..., :-1, :, :].add(
-                jnp.einsum(ev, Hmm, xB[..., :-1, :, :])
-                + jnp.einsum(ev, Hmp, xA[..., 1:, :, :]))
-            yA = yA.at[..., 1:, :, :].add(
-                jnp.einsum(ev, Hpm, xB[..., :-1, :, :])
-                + jnp.einsum(ev, Hpp, xA[..., 1:, :, :]))
+            # V interior faces: minus (cy,cx,A), plus (cy,cx+1,B)
+            if s > 1:
+                Vmm, Vmp, Vpm, Vpp = self.V
+                yA = yA.at[..., :, :-1, :].add(
+                    jnp.einsum(ev, Vmm, xA[..., :, :-1, :])
+                    + jnp.einsum(ev, Vmp, xB[..., :, 1:, :]))
+                yB = yB.at[..., :, 1:, :].add(
+                    jnp.einsum(ev, Vpm, xA[..., :, :-1, :])
+                    + jnp.einsum(ev, Vpp, xB[..., :, 1:, :]))
+                # H interior: minus (cy,cx,B), plus (cy+1,cx,A)
+                Hmm, Hmp, Hpm, Hpp = self.H
+                yB = yB.at[..., :-1, :, :].add(
+                    jnp.einsum(ev, Hmm, xB[..., :-1, :, :])
+                    + jnp.einsum(ev, Hmp, xA[..., 1:, :, :]))
+                yA = yA.at[..., 1:, :, :].add(
+                    jnp.einsum(ev, Hpm, xB[..., :-1, :, :])
+                    + jnp.einsum(ev, Hpp, xA[..., 1:, :, :]))
 
-        y = jnp.stack([yA, yB], axis=-2)             # [..., K, s, s, T, nb]
+            y = jnp.stack([yA, yB], axis=-2)         # [..., K, s, s, T, nb]
 
         # ---- subdomain interfaces (reshape K -> [ky, kx]) ----
+        # boundary-layer element per side (tri: A/B; quad: the single element)
+        tL = int(sp.side_cells("left")[2][0])
+        tR = int(sp.side_cells("right")[2][0])
+        tB = int(sp.side_cells("bottom")[2][0])
+        tT = int(sp.side_cells("top")[2][0])
         kx, ky = grid.kx, grid.ky
         yg = y.reshape(lead + (ky, kx, s, s, T, nb))
         xg = xc.reshape(lead + (ky, kx, s, s, T, nb))
-        es = "efij,...efj->...efi"
         if kx > 1:
             Rii, Rio, Roi, Roo = (b.reshape((ky, kx - 1, s, nb, nb)) for b in self.R)
-            xm = xg[..., :, :-1, :, s - 1, 0, :]      # [..., ky, kx-1, s(cy), nb]
-            xp = xg[..., :, 1:, :, 0, 1, :]
+            xm = xg[..., :, :-1, :, s - 1, tR, :]     # [..., ky, kx-1, s(cy), nb]
+            xp = xg[..., :, 1:, :, 0, tL, :]
             em = "YXfij,...YXfj->...YXfi"
-            yg = yg.at[..., :, :-1, :, s - 1, 0, :].add(
+            yg = yg.at[..., :, :-1, :, s - 1, tR, :].add(
                 jnp.einsum(em, Rii, xm) + jnp.einsum(em, Rio, xp))
-            yg = yg.at[..., :, 1:, :, 0, 1, :].add(
+            yg = yg.at[..., :, 1:, :, 0, tL, :].add(
                 jnp.einsum(em, Roi, xm) + jnp.einsum(em, Roo, xp))
         if ky > 1:
             Uii, Uio, Uoi, Uoo = (b.reshape((ky - 1, kx, s, nb, nb)) for b in self.U)
-            xm = xg[..., :-1, :, s - 1, :, 1, :]      # [..., ky-1, kx, s(cx), nb]
-            xp = xg[..., 1:, :, 0, :, 0, :]
+            xm = xg[..., :-1, :, s - 1, :, tT, :]     # [..., ky-1, kx, s(cx), nb]
+            xp = xg[..., 1:, :, 0, :, tB, :]
             em = "YXfij,...YXfj->...YXfi"
-            yg = yg.at[..., :-1, :, s - 1, :, 1, :].add(
+            yg = yg.at[..., :-1, :, s - 1, :, tT, :].add(
                 jnp.einsum(em, Uii, xm) + jnp.einsum(em, Uio, xp))
-            yg = yg.at[..., 1:, :, 0, :, 0, :].add(
+            yg = yg.at[..., 1:, :, 0, :, tB, :].add(
                 jnp.einsum(em, Uoi, xm) + jnp.einsum(em, Uoo, xp))
 
         # ---- physical Dirichlet boundary ----
         eb = "Xfij,...Xfj->...Xfi"
-        yg = yg.at[..., :, 0, :, 0, 1, :].add(
+        yg = yg.at[..., :, 0, :, 0, tL, :].add(
             jnp.einsum(eb, self.D_side["left"].reshape(ky, kx, s, nb, nb)[:, 0],
-                       xg[..., :, 0, :, 0, 1, :]))
-        yg = yg.at[..., :, kx - 1, :, s - 1, 0, :].add(
+                       xg[..., :, 0, :, 0, tL, :]))
+        yg = yg.at[..., :, kx - 1, :, s - 1, tR, :].add(
             jnp.einsum(eb, self.D_side["right"].reshape(ky, kx, s, nb, nb)[:, -1],
-                       xg[..., :, kx - 1, :, s - 1, 0, :]))
-        yg = yg.at[..., 0, :, 0, :, 0, :].add(
+                       xg[..., :, kx - 1, :, s - 1, tR, :]))
+        yg = yg.at[..., 0, :, 0, :, tB, :].add(
             jnp.einsum(eb, self.D_side["bottom"].reshape(ky, kx, s, nb, nb)[0],
-                       xg[..., 0, :, 0, :, 0, :]))
-        yg = yg.at[..., ky - 1, :, s - 1, :, 1, :].add(
+                       xg[..., 0, :, 0, :, tB, :]))
+        yg = yg.at[..., ky - 1, :, s - 1, :, tT, :].add(
             jnp.einsum(eb, self.D_side["top"].reshape(ky, kx, s, nb, nb)[-1],
-                       xg[..., ky - 1, :, s - 1, :, 1, :]))
+                       xg[..., ky - 1, :, s - 1, :, tT, :]))
 
         return yg.reshape(lead + (K, sp.N))
 

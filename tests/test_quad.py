@@ -161,6 +161,25 @@ def test_quad_parabolic_and_eoc():
     assert 0.7 < rate < 1.5, f"quad elliptic norm EOC {rate}"
 
 
+def test_quad_matrix_free_stencil_matches_dense():
+    from pylrbms_tpu.ops.matrixfree import assemble_swipdg_stencil, StencilOperator
+    gpd, m, data = _setup(half=1, subs=(3, 2))
+    sp = data["space"]
+    sten = tuple(assemble_swipdg_stencil(sp, lf, None)
+                 for lf in m.estimator.data.lambda_funcs)
+    sop = StencilOperator(sp, sten)
+    mu = {"diffusion": 0.5}
+    A = m.assemble(mu)
+    Amf = sop.assemble(m.theta(mu))
+    x = jnp.asarray(np.random.RandomState(0).randn(sp.K, sp.N))
+    y_d, y_mf = A.apply(x), Amf.apply(x)
+    assert float(jnp.abs(y_d - y_mf).max()) <= 1e-12 * float(jnp.abs(y_d).max())
+    b = m.rhs(mu)
+    x_mf = Amf.solve_pcg(b, tol=1e-12, maxiter=3000)
+    relres = float(jnp.linalg.norm(b - A.apply(x_mf)) / jnp.linalg.norm(b))
+    assert relres < 1e-10
+
+
 def test_quad_positive_form_matches_matrix_form():
     """local_quantities_positive == local_quantities (same quadrature)."""
     gpd, m, data = _setup(half=2)
