@@ -224,6 +224,7 @@ class AssembledBlockOp:
         an additive coarse subdomain-constant level."""
         b = b.astype(self.A_diag.dtype)   # keep the while_loop carry uniform
         Ainv = factors if factors is not None else self.block_jacobi_factors()
+        Ainv = Ainv.astype(b.dtype)       # externally-built factors may be wider
 
         if two_level:
             # coarse level applied as a dense [K, K] matmul in f32 (a

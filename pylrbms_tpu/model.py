@@ -379,8 +379,19 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                      maxiter: int = 400, with_estimate: bool = True,
                      positive_form: bool = True,
                      fixed_preconditioner: bool = True,
-                     matrix_free=None):
+                     matrix_free=None, certify: bool = False,
+                     refinements: int = 2):
     """Jitted online step ``(theta, theta_f, mu) -> (U[, indicators])``.
+
+    ``certify`` (off by default) is the certification-at-depth mode for f32
+    model tensors (the TPU-resident regime): the PCG solution is polished by
+    ``refinements`` rounds of mixed-precision iterative refinement (residual
+    in the widest available dtype, correction solve in the base dtype) and
+    the localized indicators are evaluated in the widest dtype.  This removes
+    the f32 solve-noise floor that otherwise hides the true indicators at
+    fine levels (STATUS.md round-1 finding); costs ~one extra solve + a
+    wide-precision estimator pass per step.  With x64 disabled it degrades
+    gracefully to the plain step.
 
     All large per-subdomain tensors are passed as jit *arguments* (donated
     via a pytree dict), never captured — captured arrays become constants
@@ -449,6 +460,8 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
             arrays.update(E_bar=ed.E_bar, BB=ed.BB, M_aa=ed.M_aa, M_ab=ed.M_ab,
                           d_vec=ed.d_vec, R_dd=ed.R_dd, L2=ed.L2)
 
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
     @jax.jit
     @hp
     def _step(arrays, theta, theta_f, mu):
@@ -456,8 +469,11 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
         if matrix_free:
             from .ops.matrixfree import StencilOperator
             A_mf = StencilOperator(d.space, arrays["stencils"]).assemble(theta)
-            U = A_mf.solve_pcg(b, tol=tol, maxiter=maxiter,
-                               block_factors=arrays.get("Minv_bar"))
+
+            def solve(rhs):
+                return A_mf.solve_pcg(rhs, tol=tol, maxiter=maxiter,
+                                      block_factors=arrays.get("Minv_bar"))
+            apply_A = A_mf.apply
         else:
             A = AssembledBlockOp(
                 st,
@@ -466,16 +482,33 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                 jnp.einsum("q,qefij->efij", theta, arrays["C_R_oi"]),
                 jnp.einsum("q,qefij->efij", theta, arrays["C_U_io"]),
                 jnp.einsum("q,qefij->efij", theta, arrays["C_U_oi"]))
-            U = A.solve_pcg(b, tol=tol, maxiter=maxiter,
-                            factors=arrays.get("Minv_bar"))
+
+            def solve(rhs):
+                return A.solve_pcg(rhs, tol=tol, maxiter=maxiter,
+                                   factors=arrays.get("Minv_bar"))
+            apply_A = A.apply
+        U = solve(b)
+        base = U.dtype
+        if certify and wide != base:
+            # mixed-precision refinement: wide residual, base correction
+            Uw = U.astype(wide)
+            bw = b.astype(wide)
+            for _ in range(refinements):
+                rw = bw - apply_A(Uw)
+                Uw = Uw + solve(rw.astype(base)).astype(wide)
+            U = Uw
         if not (with_estimate and est is not None):
-            return U
+            return U.astype(base)
+        Ue = U if certify else U.astype(base)
         if positive_form:
-            nc, r, df = est.local_quantities_positive(U[None], mu, tensors=arrays)
+            tens = arrays
+            if certify and wide != base:
+                tens = dict(arrays, E_bar=arrays["E_bar"].astype(wide))
+            nc, r, df = est.local_quantities_positive(Ue[None], mu, tensors=tens)
             nc, r, df = nc[0], r[0], df[0]
         else:
-            nc, r, df = est.local_quantities(U, mu, tensors=arrays)
-        return U, nc + r + df
+            nc, r, df = est.local_quantities(Ue, mu, tensors=arrays)
+        return U.astype(base), nc + r + df
 
     def step(theta, theta_f, mu=None):
         if mu is None:

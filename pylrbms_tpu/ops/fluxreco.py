@@ -130,6 +130,9 @@ class FluxReconstructor:
         dt = self.dtype
         Sy, Sx = self.Sy, self.Sx
         uc = self._u_block_to_cells(U)             # [..., Sy, Sx, T, nb]
+        # output dtype follows the input (certify mode passes a wider U than
+        # the tabulation dtype; scattering wide into narrow is a JAX error)
+        out_dt = jnp.result_type(uc.dtype, dt)
         lead = uc.shape[:-4]
         org = self.cell_org                         # [Sy, Sx, 2] numpy
         scale = np.array([sp.hx, sp.hy])
@@ -168,7 +171,7 @@ class FluxReconstructor:
         # ---- V faces ----
         tab = sp.face_tabs["V"]
         tVm, tVp = tab.tri_m, tab.tri_p
-        dofV = jnp.zeros(lead + (Sy, Sx + 1), dt)
+        dofV = jnp.zeros(lead + (Sy, Sx + 1), out_dt)
         if Sx > 1:
             x_m, x_p = phys(tab, org[:, :-1].reshape(-1, 2))
             um = uc[..., :, :-1, tVm, :].reshape(lead + (Sy * (Sx - 1), sp.nb))
@@ -188,7 +191,7 @@ class FluxReconstructor:
         # ---- H faces ----
         tab = sp.face_tabs["H"]
         tHm, tHp = tab.tri_m, tab.tri_p
-        dofH = jnp.zeros(lead + (Sy + 1, Sx), dt)
+        dofH = jnp.zeros(lead + (Sy + 1, Sx), out_dt)
         if Sy > 1:
             x_m, x_p = phys(tab, org[:-1, :].reshape(-1, 2))
             um = uc[..., :-1, :, tHm, :].reshape(lead + ((Sy - 1) * Sx, sp.nb))
