@@ -219,18 +219,23 @@ class AssembledBlockOp:
 
     @hp
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
-                  factors=None, two_level: bool = False) -> jnp.ndarray:
+                  factors=None, two_level: bool = False,
+                  coarse_inv=None) -> jnp.ndarray:
         """Block-Jacobi preconditioned CG (symmetric SWIPDG); optionally with
-        an additive coarse subdomain-constant level."""
+        an additive coarse subdomain-constant level (``two_level`` builds it
+        from this operator; ``coarse_inv`` [K, K] passes a prebuilt inverse,
+        e.g. fixed at mu_bar for the online step)."""
         b = b.astype(self.A_diag.dtype)   # keep the while_loop carry uniform
         Ainv = factors if factors is not None else self.block_jacobi_factors()
         Ainv = Ainv.astype(b.dtype)       # externally-built factors may be wider
 
-        if two_level:
+        if two_level and coarse_inv is None:
+            coarse_inv = dense_inv_mixed(self.coarse_matrix())
+        if coarse_inv is not None:
             # coarse level applied as a dense [K, K] matmul in f32 (a
             # triangular lu_solve per iteration is slow on TPU; the
             # preconditioner's precision only affects iteration counts)
-            C32 = dense_inv_mixed(self.coarse_matrix()).astype(jnp.float32)
+            C32 = coarse_inv.astype(jnp.float32)
 
             def M(r):
                 fine = jnp.einsum("knm,km->kn", Ainv, r)

@@ -380,7 +380,7 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                      positive_form: bool = True,
                      fixed_preconditioner: bool = True,
                      matrix_free=None, certify: bool = False,
-                     refinements: int = 2):
+                     refinements: int = 2, two_level: bool = True):
     """Jitted online step ``(theta, theta_f, mu) -> (U[, indicators])``.
 
     ``certify`` (off by default) is the certification-at-depth mode for f32
@@ -451,6 +451,14 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
         arrays["Minv_bar"] = jax.jit(hp(
             lambda op, th: op.assemble(th).block_jacobi_factors()))(
                 d.op, theta_bar)
+        if two_level and d.space.K > 1:
+            # subdomain-constant coarse level, also fixed at mu_bar: one
+            # [K, K] inverse built offline, one tiny matmul per CG iteration —
+            # the global-information channel block-Jacobi lacks
+            from .la.block import dense_inv_mixed
+            arrays["Cinv_bar"] = jax.jit(hp(
+                lambda op, th: dense_inv_mixed(
+                    op.assemble(th).coarse_matrix())))(d.op, theta_bar)
     est = d.estimator
     if with_estimate and est is not None:
         ed = est.data
@@ -472,7 +480,8 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
 
             def solve(rhs):
                 return A_mf.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                      block_factors=arrays.get("Minv_bar"))
+                                      block_factors=arrays.get("Minv_bar"),
+                                      coarse_inv=arrays.get("Cinv_bar"))
             apply_A = A_mf.apply
         else:
             A = AssembledBlockOp(
@@ -485,7 +494,8 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
 
             def solve(rhs):
                 return A.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                   factors=arrays.get("Minv_bar"))
+                                   factors=arrays.get("Minv_bar"),
+                                   coarse_inv=arrays.get("Cinv_bar"))
             apply_A = A.apply
         U = solve(b)
         base = U.dtype

@@ -1,4 +1,4 @@
-"""VTU output for DG functions on the triangulated grid.
+"""VTU output for DG functions on the structured grids (tri and quad).
 
 Replaces dune-gdt's ``.visualize`` / ``DuneGDTVisualizer`` surface
 (SURVEY.md §2.3 "Discrete functions & visualization";
@@ -21,25 +21,32 @@ def _vtu_header(n_points, n_cells):
 
 
 def write_dg_vtu(space, U, filename: str, name: str = "u"):
-    """U [K, N] nodal P1 DG coefficients -> filename.vtu"""
+    """U [K, N] nodal P1/Q1 DG coefficients -> filename.vtu"""
     if not filename.endswith(".vtu"):
         filename += ".vtu"
-    assert space.order == 1, "vtu writer supports P1 output (project first)"
+    assert space.order == 1, "vtu writer supports P1/Q1 output (project first)"
     xn = space.node_coords_phys().reshape(-1, 2)        # [K*s*s*T*nb, 2]
     vals = np.asarray(U).reshape(-1)
-    n_tri = xn.shape[0] // 3
+    nb = space.nb
+    n_cells = xn.shape[0] // nb
+    if nb == 3:
+        vtk_type, perm = 5, (0, 1, 2)                   # VTK_TRIANGLE
+    else:
+        vtk_type, perm = 9, (0, 1, 3, 2)                # VTK_QUAD (ccw order)
+    conn = (np.arange(n_cells)[:, None] * nb
+            + np.asarray(perm)[None, :]).reshape(-1)
     with open(filename, "w") as f:
-        f.write(_vtu_header(xn.shape[0], n_tri))
+        f.write(_vtu_header(xn.shape[0], n_cells))
         f.write('<Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">\n')
         for x, y in xn:
             f.write(f"{x} {y} 0\n")
         f.write('</DataArray></Points>\n<Cells>\n')
         f.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
-        f.write(" ".join(str(i) for i in range(3 * n_tri)))
+        f.write(" ".join(str(i) for i in conn))
         f.write('\n</DataArray>\n<DataArray type="Int32" Name="offsets" format="ascii">\n')
-        f.write(" ".join(str(3 * (i + 1)) for i in range(n_tri)))
+        f.write(" ".join(str(nb * (i + 1)) for i in range(n_cells)))
         f.write('\n</DataArray>\n<DataArray type="UInt8" Name="types" format="ascii">\n')
-        f.write(" ".join("5" for _ in range(n_tri)))    # VTK_TRIANGLE
+        f.write(" ".join(str(vtk_type) for _ in range(n_cells)))
         f.write('\n</DataArray>\n</Cells>\n')
         f.write(f'<PointData Scalars="{name}">'
                 f'<DataArray type="Float64" Name="{name}" format="ascii">\n')
