@@ -235,21 +235,25 @@ def flux_reconstruction_np_vec(grid: Grid, lam_fn, U, order: int = 1,
     return np.concatenate([D.ravel(), V.ravel(), H.ravel()])
 
 
-def make_cpu_online_step(d, theta_np, theta_f_np, mu):
-    """Full online step on the host CPU: scipy spsolve + numpy estimator
-    (quadratic forms from the assembled tensors + the independent
-    Oswald/flux implementations above).  The bench.py baseline."""
-    import scipy.sparse as sp
+def make_cpu_online_query(d):
+    """Streaming-mu CPU baseline: returns ``query(theta_np, theta_f_np)``
+    doing the FULL per-parameter work — assemble A(mu) from the affine
+    components, sparse LU, solve, localized estimate — mirroring what the
+    TPU online step does per query (no cross-query factorization reuse; the
+    reference's ISTL pipeline also re-iterates per mu,
+    ``online_adaptive_lrbms.py:71-95``).  mu-independent tensors (affine
+    component CSRs, estimator tensors) are prepared once, outside."""
     from scipy.sparse.linalg import splu
     from ..la.block import to_scipy_csr
     import jax.numpy as jnp
 
     grid = d.grid
     ed = d.estimator.data
-    A_csr = to_scipy_csr(d.op.assemble(jnp.asarray(theta_np))).astype(np.float64).tocsc()
-    lu = splu(A_csr)
-    b = np.asarray(d.rhs_q, np.float64)
-    b = np.einsum("q,qkn->kn", theta_f_np, b)
+    Q = d.op.A_diag.shape[0]
+    eyeQ = np.eye(Q)
+    A_q = [to_scipy_csr(d.op.assemble(jnp.asarray(eyeQ[q]))).astype(np.float64)
+           for q in range(Q)]
+    b_q = np.asarray(d.rhs_q, np.float64)
     E_bar = np.asarray(ed.E_bar, np.float64)
     BB = np.asarray(ed.BB, np.float64)
     M_aa = np.asarray(ed.M_aa, np.float64)
@@ -263,7 +267,11 @@ def make_cpu_online_step(d, theta_np, theta_f_np, mu):
     lam_funcs = ed.lambda_funcs
     K, N = d.space.K, d.space.N
 
-    def step():
+    def query(theta_np, theta_f_np, lu=None):
+        if lu is None:
+            A = sum(float(th) * Aq for th, Aq in zip(theta_np, A_q)).tocsc()
+            lu = splu(A)
+        b = np.einsum("q,qkn->kn", theta_f_np, b_q)
         u = lu.solve(b.reshape(-1)).reshape(K, N)
         t_g = sum(th * flux_reconstruction_np_vec(grid, lf, u)
                   for th, lf in zip(theta_np, lam_funcs))
@@ -278,5 +286,21 @@ def make_cpu_online_step(d, theta_np, theta_f_np, mu):
         bb = np.einsum("kn,knm,km->k", t_loc, BB, t_loc)
         ab = np.einsum("p,pknm,kn,km->k", theta_np, M_ab, u, t_loc)
         return u, nc + r + (aa + bb + 2 * ab)
+
+    return query
+
+
+def make_cpu_online_step(d, theta_np, theta_f_np, mu):
+    """Fixed-mu variant with the sparse LU PREfactorized outside the timed
+    region (generous to the CPU baseline; kept for parity tests)."""
+    from scipy.sparse.linalg import splu
+    from ..la.block import to_scipy_csr
+    import jax.numpy as jnp
+    query = make_cpu_online_query(d)
+    A_csr = to_scipy_csr(d.op.assemble(jnp.asarray(theta_np))).astype(np.float64).tocsc()
+    lu = splu(A_csr)
+
+    def step():
+        return query(theta_np, theta_f_np, lu=lu)
 
     return step
