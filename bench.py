@@ -78,9 +78,15 @@ def main(cfg=None):
     # ---- CPU baseline: the SAME streaming-mu queries on the host CPU —
     # per query: assemble A(mu) from the affine components, scipy sparse LU,
     # solve, numpy estimator (independent Oswald/flux oracles + quadratic
-    # forms).  Stand-in for the reference's sequential DUNE/ISTL pipeline;
-    # identical per-query work to the TPU path (no cross-query reuse on
-    # either side).
+    # forms).  Stand-in for the reference's sequential DUNE/ISTL pipeline.
+    # Cross-query reuse policy: both sides reuse mu-INdependent offline
+    # artifacts (CPU: assembled affine-component CSRs; TPU: those same
+    # tensors + the mu_bar-fixed preconditioner factors, an offline artifact
+    # of the method — spectral equivalence over the parameter range).  All
+    # mu-DEPENDENT work (assemble A(mu), factorize/iterate, estimate) is
+    # inside the timed region on both sides; the CPU's direct solver has no
+    # mu-independent factorization to hoist (ISTL's ilut is rebuilt per mu
+    # too, online_adaptive_lrbms.py:71-72).
     from pylrbms_tpu.reference_impl.estimator_np import make_cpu_online_query
     cpu_query = make_cpu_online_query(d)
     th_np = [(np.asarray([1.0, float(m_)]), np.asarray([1.0])) for m_ in mus]
@@ -108,7 +114,6 @@ def main(cfg=None):
           f"indicators is expected at fine levels)", file=sys.stderr)
 
     kx, ky = cfg['num_subdomains']
-    import sys
     print(f"bench info: single-query latency {lat_s * 1e3:.1f} ms "
           "(remote-chip round-trip included); per-query streaming time "
           f"{tpu_s * 1e3:.2f} ms; CPU per-query {cpu_s * 1e3:.1f} ms",

@@ -389,9 +389,9 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
     in the widest available dtype, correction solve in the base dtype) and
     the localized indicators are evaluated in the widest dtype.  This removes
     the f32 solve-noise floor that otherwise hides the true indicators at
-    fine levels (STATUS.md round-1 finding); costs ~one extra solve + a
-    wide-precision estimator pass per step.  With x64 disabled it degrades
-    gracefully to the plain step.
+    fine levels (STATUS.md round-1 finding); costs ``refinements`` extra
+    solves + a wide-precision estimator pass per step.  With x64 disabled it
+    degrades gracefully to the plain step.
 
     All large per-subdomain tensors are passed as jit *arguments* (donated
     via a pytree dict), never captured — captured arrays become constants
@@ -434,7 +434,7 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
         arrays["stencils"] = jax.jit(hp(lambda: tuple(
             assemble_swipdg_stencil(d.space, lf, None, dtype=dtype)
             for lf in d.estimator.data.lambda_funcs)))()
-    if fixed_preconditioner:
+    if fixed_preconditioner or two_level:
         mu_bar = getattr(d, "mu_bar", None)
         if mu_bar is None and d.estimator is not None:
             mu_bar = getattr(d.estimator.data, "mu_bar", None)
@@ -445,20 +445,21 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
             # spectrally equivalent to every A(mu) over a compact mu range
             theta_bar = jnp.ones((d.op.A_diag.shape[0],),
                                  d.op.A_diag.dtype)
+    if fixed_preconditioner:
         # one jitted call (eager op-by-op execution costs ~0.4 s *per op* on
         # the remote-TPU path); the operator rides in as a pytree argument so
         # its tensors never become HLO constants
         arrays["Minv_bar"] = jax.jit(hp(
             lambda op, th: op.assemble(th).block_jacobi_factors()))(
                 d.op, theta_bar)
-        if two_level and d.space.K > 1:
-            # subdomain-constant coarse level, also fixed at mu_bar: one
-            # [K, K] inverse built offline, one tiny matmul per CG iteration —
-            # the global-information channel block-Jacobi lacks
-            from .la.block import dense_inv_mixed
-            arrays["Cinv_bar"] = jax.jit(hp(
-                lambda op, th: dense_inv_mixed(
-                    op.assemble(th).coarse_matrix())))(d.op, theta_bar)
+    if two_level and d.space.K > 1:
+        # subdomain-constant coarse level, also fixed at mu_bar: one
+        # [K, K] inverse built offline, one tiny matmul per CG iteration —
+        # the global-information channel block-Jacobi lacks
+        from .la.block import dense_inv_mixed
+        arrays["Cinv_bar"] = jax.jit(hp(
+            lambda op, th: dense_inv_mixed(
+                op.assemble(th).coarse_matrix())))(d.op, theta_bar)
     est = d.estimator
     if with_estimate and est is not None:
         ed = est.data
@@ -511,10 +512,9 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
             return U.astype(base)
         Ue = U if certify else U.astype(base)
         if positive_form:
-            tens = arrays
-            if certify and wide != base:
-                tens = dict(arrays, E_bar=arrays["E_bar"].astype(wide))
-            nc, r, df = est.local_quantities_positive(Ue[None], mu, tensors=tens)
+            # with a wide Ue the einsums promote the f32 tensors internally;
+            # no explicit widening needed
+            nc, r, df = est.local_quantities_positive(Ue[None], mu, tensors=arrays)
             nc, r, df = nc[0], r[0], df[0]
         else:
             nc, r, df = est.local_quantities(Ue, mu, tensors=arrays)

@@ -36,12 +36,13 @@ from .spaces import BlockDGSpace
 
 
 def _interface_offsets_and_rows(space: BlockDGSpace, which: str):
-    """Static (offsets, row-index arrays) for the R (right) / U (up)
-    interface strip families.
-
-    Returns a list of ((i, j) -> offset, rows_minus [E, s], rows_plus [E, s])
-    metadata: for strip block [E, f, i, j], value couples
-    row = flat(minus_k, face f, elem t_m, i) with col = row + offset(i, j).
+    """Static metadata for the R (right) / U (up) interface strip families:
+    ``(k_m, k_p, row_m, row_p, base)`` — minus/plus subdomain indices [E],
+    minus/plus in-block row offsets [s] (at basis index i=0), and the
+    k-block stride of the coupling (N for R, kx*N for U).  For strip block
+    value [e, f, i, j]: row = k_m[e]*N + row_m[f] + i,
+    col = row + (base + row_p[0] - row_m[0]) + (j - i); the offset is
+    face-independent because the in-block index is affine in the face index.
     """
     g = space.grid
     s, T, nb, N = space.s, space.T, space.nb, space.N
@@ -53,33 +54,27 @@ def _interface_offsets_and_rows(space: BlockDGSpace, which: str):
     if which == "R":
         # minus: (k, cy, s-1, tR); plus: (k+1, cy, 0, tL)
         cyf = np.arange(s)
-        _, _, tR = space.side_cells("right")
-        _, _, tL = space.side_cells("left")
-        tR, tL = int(tR[0]), int(tL[0])
+        tR = int(space.side_cells("right")[2][0])
+        tL = int(space.side_cells("left")[2][0])
         row_m = flat_idx(cyf, s - 1, tR, 0)          # [s] (i=0)
         row_p = flat_idx(cyf, 0, tL, 0)
         base = N                                      # next k block
         sy, sx = np.meshgrid(np.arange(ky), np.arange(kx - 1), indexing="ij")
         k_m = (sy * kx + sx).ravel()
         k_p = k_m + 1
-        d_mp = base + (row_p[None, :] - row_m[None, :])   # col(plus) - row(minus), i=j=0
-        t_m, t_p = tR, tL
     elif which == "U":
         cxf = np.arange(s)
-        _, _, tT = space.side_cells("top")
-        _, _, tB = space.side_cells("bottom")
-        tT, tB = int(tT[0]), int(tB[0])
+        tT = int(space.side_cells("top")[2][0])
+        tB = int(space.side_cells("bottom")[2][0])
         row_m = flat_idx(s - 1, cxf, tT, 0)
         row_p = flat_idx(0, cxf, tB, 0)
         base = kx * N
         sy, sx = np.meshgrid(np.arange(ky - 1), np.arange(kx), indexing="ij")
         k_m = (sy * kx + sx).ravel()
         k_p = k_m + kx
-        d_mp = base + (row_p[None, :] - row_m[None, :])
-        t_m, t_p = tT, tB
     else:
         raise ValueError(which)
-    return k_m, k_p, row_m, row_p, d_mp, base
+    return k_m, k_p, row_m, row_p, base
 
 
 def banded_layout(space: BlockDGSpace, diag_mask: np.ndarray):
@@ -100,7 +95,7 @@ def banded_layout(space: BlockDGSpace, diag_mask: np.ndarray):
     for which, kx_cond in (("R", g.kx > 1), ("U", g.ky > 1)):
         if not kx_cond:
             continue
-        k_m, k_p, row_m, row_p, d_mp, base = _interface_offsets_and_rows(space, which)
+        k_m, k_p, row_m, row_p, base = _interface_offsets_and_rows(space, which)
         nb = space.nb
         # offsets for io (minus-row -> plus-col) and oi (plus-row -> minus-col)
         d_io = np.unique((base + row_p[0] - row_m[0]) + (

@@ -28,6 +28,9 @@ logger = getLogger('spe10_greedy')
 
 def main(num_subdomains=(8, 8), half=2, nref=1, training=8, target=1e-3,
          online_mus=3, dtype="float64", checkpoint=None, resume=False):
+    if dtype == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)   # env-independent
     cfg = {'num_subdomains': list(num_subdomains),
            'half_num_fine_elements_per_subdomain_and_dim': half,
            'num_refinements': nref}
@@ -66,9 +69,10 @@ if __name__ == '__main__':
     p.add_argument('--nref', type=int, default=1)
     p.add_argument('--training', type=int, default=8)
     p.add_argument('--target', type=float, default=1e-3)
+    p.add_argument('--online-mus', type=int, default=3)
     p.add_argument('--checkpoint', default=None,
                    help='path for per-iteration offline state (.npz)')
     p.add_argument('--resume', action='store_true')
     a = p.parse_args()
     main(tuple(a.subdomains), a.half, a.nref, a.training, a.target,
-         checkpoint=a.checkpoint, resume=a.resume)
+         online_mus=a.online_mus, checkpoint=a.checkpoint, resume=a.resume)

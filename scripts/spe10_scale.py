@@ -22,6 +22,8 @@ enable_compile_cache()
 
 def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
          matrix_free=False, maxiter=600, two_level=False):
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)   # env-independent
     dt = getattr(jnp, dtype)
     cfg = {'num_subdomains': [kx, ky],
            'half_num_fine_elements_per_subdomain_and_dim': half,
