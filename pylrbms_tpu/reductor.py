@@ -250,10 +250,13 @@ class LRBMSReductor:
 
     def __init__(self, d: StationaryBlockModel, bases: Optional[List[np.ndarray]] = None,
                  products: Optional[jnp.ndarray] = None, order: Optional[int] = None,
-                 num_cpus: int = 1, solver_options=None):
+                 num_cpus: int = 1, solver_options=None, mesh=None):
         assert order is None or 0 <= order <= 1
         self.d = d
         self.solver_options = solver_options
+        # default SubdomainMesh for reduce(); every re-reduction in the
+        # greedy / online-enrichment loops then runs K-sharded
+        self.mesh = mesh
         K, N = d.space.K, d.space.N
         if products is None:
             products = d.products.get("energy_mu_bar", d.products["l2"])
@@ -400,7 +403,19 @@ class LRBMSReductor:
             V.reshape(K * r_max, N))
         return A_red, b_red, B_all
 
-    def reduce(self) -> ReducedModel:
+    def reduce(self, mesh=None) -> ReducedModel:
+        """Blockwise Galerkin projection + projected estimator tensors.
+
+        With ``mesh`` (a :class:`~pylrbms_tpu.parallel.mesh.SubdomainMesh`)
+        the projection runs K-sharded over the device mesh: every
+        per-subdomain input is placed with its K axis on the mesh axis and
+        GSPMD shards the whole projection graph — this divides the peak
+        HBM of the offline/enrichment re-reduction (the single-chip
+        capacity edge at SPE10 scale, docs/results/spe10_greedy_tpu.txt)
+        by the device count.  Results match the unsharded path (tested on
+        the virtual 8-device mesh).  Defaults to ``self.mesh`` so the
+        greedy / enrichment re-reductions inherit the sharding."""
+        mesh = mesh if mesh is not None else getattr(self, "mesh", None)
         d = self.d
         sp = d.space
         K, N, Nrt = sp.K, sp.N, sp.N_rt
@@ -566,8 +581,29 @@ class LRBMSReductor:
             fn = jax.jit(hp(_full))
             self._project_cache[key] = fn
 
-        out = fn(op_arrays, ed_arrays, d.rhs_q, V, mask,
-                 jnp.asarray(rows_safe), jnp.asarray(valid, V.dtype))
+        rows_j = jnp.asarray(rows_safe)
+        valid_j = jnp.asarray(valid, V.dtype)
+        rhs_j = d.rhs_q
+        if mesh is not None:
+            put = jax.device_put
+            k1, k0, k2 = mesh.shard_k(1), mesh.shard_k(0), mesh.shard_k(2)
+            rep = mesh.replicated()
+            A_diag, CRio, CRoi, CUio, CUoi = op_arrays
+            op_arrays = (put(A_diag, k1), put(CRio, rep), put(CRoi, rep),
+                         put(CUio, rep), put(CUoi, rep))
+            E_bar, BB, M_aa, M_ab, d_vec, R_dd, L2b, A_div_c = ed_arrays
+            ed_arrays = (put(E_bar, k0), put(BB, k0), put(M_aa, k2),
+                         put(M_ab, k1), put(d_vec, k1), put(R_dd, k0),
+                         put(L2b, k0), put(A_div_c, rep))
+            rhs_j = put(rhs_j, k1)
+            V = put(V, k0)
+            mask = put(mask, k0)
+            rows_j = put(rows_j, k0)
+            valid_j = put(valid_j, k0)
+            with mesh.mesh:
+                out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
+        else:
+            out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
 
         return ReducedModel(
             reductor=self, A_red=out["A_red"], b_red=out["b_red"],

@@ -36,3 +36,34 @@ def test_sharded_online_step_matches_unsharded():
     assert len(set(x.device for x in U.addressable_shards)) == 8
     np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref), rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(ind), ind_ref, rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_reduce_matches_unsharded():
+    """reduce(mesh=...) K-shards the whole offline projection over the
+    device mesh (the capacity hand-off at SPE10 scale,
+    docs/results/spe10_greedy_tpu.txt); results must equal the unsharded
+    path and outputs must actually land sharded."""
+    from pylrbms_tpu.reductor import LRBMSReductor
+    gpd = init_grid_and_problem({'num_subdomains': [4, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, data = discretize(gpd)
+    red = LRBMSReductor(d, products=data['local_energy_dg_product'], order=0)
+    for v in (0.3, 1.0):
+        red.extend_basis(d.solve({'diffusion': v}))
+    rd_ref = red.reduce()
+    red._project_cache = {}          # fresh trace under the mesh
+    sm = SubdomainMesh.create(8)
+    rd_sh = red.reduce(mesh=sm)
+    for name in ('A_red', 'b_red', 'G_nc', 'AA', 'ABT', 'BBT', 'DV', 'RD'):
+        a, b = getattr(rd_ref, name), getattr(rd_sh, name)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14)
+    assert len(set(s.device for s in rd_sh.G_nc.addressable_shards)) == 8
+    mu = {'diffusion': 0.55}
+    c1, c2 = rd_ref.solve(mu), rd_sh.solve(mu)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=1e-10, atol=1e-13)
+    e1, e2 = float(rd_ref.estimate(c1, mu)), float(rd_sh.estimate(c2, mu))
+    assert abs(e1 - e2) <= 1e-10 * abs(e1)
