@@ -403,6 +403,54 @@ class LRBMSReductor:
             V.reshape(K * r_max, N))
         return A_red, b_red, B_all
 
+    @staticmethod
+    def _patch_rows(oswald, flux, lam_funcs, V, rows_safe, valid_f, store,
+                    ch: int):
+        """Memory-lean Wk/Tk: neighborhood-gathered Oswald errors and flux
+        reconstructions of ALL basis rows WITHOUT materializing the
+        [R, K, N] stacked intermediates (B_all / W_all / T_all — the
+        dominant reduce() HBM cost at SPE10 scale, ~2.5 GB at 98k dofs).
+
+        Chunks of ``ch`` basis rows are built from V, pushed through the
+        operators, and their contributions immediately gathered into the
+        [K, P, (N|Nrt)] neighborhood tensors the estimator projections
+        actually consume; peak extra memory is one [ch, K, N] chunk.
+        Returns (Wk [K, P, N], Tk [Q, K, P, Nrt]).
+        """
+        K, r_max, N = V.shape
+        R_all = K * r_max
+        P = rows_safe.shape[1]
+        Nrt = flux.space.N_rt
+        Q = len(lam_funcs)
+        kk = jnp.arange(K)
+        nchunks = -(-R_all // ch)
+        Wk0 = jnp.zeros((K, P, N), store)
+        Tk0 = jnp.zeros((Q, K, P, Nrt), store)
+
+        def body(i, acc):
+            Wk, Tk = acc
+            c0 = i * ch
+            r_idx = c0 + jnp.arange(ch)
+            ok = (r_idx < R_all)
+            r_clamped = jnp.minimum(r_idx, R_all - 1)
+            k_idx = r_clamped // r_max
+            j_idx = r_clamped % r_max
+            vals = V[k_idx, j_idx] * ok[:, None].astype(V.dtype)
+            B_chunk = jnp.zeros((ch, K, N), V.dtype)
+            B_chunk = B_chunk.at[jnp.arange(ch), k_idx].set(vals)
+            in_chunk = ((rows_safe >= c0) & (rows_safe < c0 + ch)
+                        & (valid_f > 0))                       # [K, P]
+            loc = jnp.clip(rows_safe - c0, 0, ch - 1)
+            sel = in_chunk[:, :, None].astype(store)
+            Wc = oswald.apply(B_chunk).astype(store)           # [ch, K, N]
+            Wk = Wk + Wc[loc, kk[:, None], :] * sel
+            for q, lf in enumerate(lam_funcs):
+                Tc = flux.apply(lf, B_chunk).astype(store)     # [ch, K, Nrt]
+                Tk = Tk.at[q].add(Tc[loc, kk[:, None], :] * sel)
+            return Wk, Tk
+
+        return jax.lax.fori_loop(0, nchunks, body, (Wk0, Tk0))
+
     def reduce(self, mesh=None) -> ReducedModel:
         """Blockwise Galerkin projection + projected estimator tensors.
 
@@ -457,7 +505,10 @@ class LRBMSReductor:
         # global basis columns + [R, R] chunk loops) — are skipped entirely
         with_gramians = not (K * r_max > 1024
                              and jax.default_backend() != "cpu")
-        key = (K, N, r_max, Q, Qf, with_gramians)
+        if getattr(self, "force_lean", False):     # test hook: exercise the
+            with_gramians = False                  # at-scale path on CPU
+        key = (K, N, r_max, Q, Qf, with_gramians,
+               getattr(self, "force_chunk", None))
         fn = self._project_cache.get(key)
         if fn is None:
             lam_funcs = ed.lambda_funcs
@@ -478,6 +529,8 @@ class LRBMSReductor:
                 # a no-op chunking for small K)
                 R_all = B_all.shape[0]
                 ch = max(1, min(R_all, 4096 // K))
+                if getattr(self, "force_chunk", None):   # test hook
+                    ch = int(self.force_chunk)
 
                 def _map_rows(f, B):
                     pad = (-B.shape[0]) % ch
@@ -502,11 +555,29 @@ class LRBMSReductor:
                         and R_all > 1024):
                     store = jnp.float32
 
-                W_all = oswald.apply(B_all).astype(store)            # [R, K, N]
-                T_all = jnp.stack([
-                    _map_rows(lambda blk, lf=lf: flux.apply(lf, blk)
-                              .astype(store), B_all)
-                    for lf in lam_funcs])
+                kk = jnp.arange(K)
+                if not (with_gramians or parabolic):
+                    # at-scale path: never materialize B_all/W_all/T_all
+                    # ([R, K, N] each, ~2.5 GB at SPE10 scale) — chunked
+                    # apply + immediate neighborhood gather (B_all above is
+                    # then dead and eliminated by XLA).  The gathered
+                    # [K, P, *] tensors are small, so they accumulate in the
+                    # WIDE dtype: the projected RD/DV/BBT tensors must carry
+                    # full precision or the online eta_r cancellation
+                    # (rf - 2 r_fd + r_dd) floors at ~1e-7*rf — at SPE10
+                    # scaling that is a ~1e7 absolute eta error.
+                    Wk, Tk = LRBMSReductor._patch_rows(
+                        oswald, flux, lam_funcs, V * mask[:, :, None],
+                        rows_safe, valid_f, wide, ch)
+                else:
+                    W_all = oswald.apply(B_all).astype(store)        # [R, K, N]
+                    T_all = jnp.stack([
+                        _map_rows(lambda blk, lf=lf: flux.apply(lf, blk)
+                                  .astype(store), B_all)
+                        for lf in lam_funcs])
+                    Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
+                    Tk = (T_all[:, rows_safe, kk[:, None], :]
+                          * valid_f[None, :, :, None])               # [Q, K, P, Nrt]
                 A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
                 if with_gramians or parabolic:
                     # keep the Q operator applies as a LIST (a stacked
@@ -540,10 +611,6 @@ class LRBMSReductor:
                 else:
                     G_bb = G_Ab = G_AA = None
 
-                kk = jnp.arange(K)
-                Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
-                Tk = (T_all[:, rows_safe, kk[:, None], :]
-                      * valid_f[None, :, :, None])                   # [Q, K, P, Nrt]
                 G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
                 BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
                 RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)

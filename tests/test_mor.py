@@ -125,3 +125,30 @@ def test_online_step_matches_eager_solve_estimate():
     assert np.allclose(np.asarray(c), np.asarray(c2), atol=1e-12)
     assert abs(float(eta) - float(eta2)) < 1e-12 * max(1.0, abs(float(eta2)))
     assert np.allclose(np.asarray(ind), np.asarray(ind2), atol=1e-12)
+
+
+def test_lean_reduce_matches_standard():
+    """The at-scale reduce path (chunked row apply + immediate neighborhood
+    gather; never materializes the [R, K, N] B_all/W_all/T_all stacks) must
+    equal the standard path exactly (force_lean exercises it on CPU)."""
+    from pylrbms_tpu.reductor import LRBMSReductor
+    gpd = init_grid_and_problem({'num_subdomains': [4, 2],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1})
+    d, data = discretize(gpd)
+    red = LRBMSReductor(d, products=data['local_energy_dg_product'], order=0)
+    for v in (0.3, 1.0):
+        red.extend_basis(d.solve({'diffusion': v}))
+    rd_ref = red.reduce()
+    red._project_cache = {}
+    red.force_lean = True
+    red.force_chunk = 4           # R_all = 32 -> 8 chunks (multi-chunk path)
+    rd_lean = red.reduce()
+    for name in ('A_red', 'b_red', 'G_nc', 'AA', 'ABT', 'BBT', 'DV', 'RD'):
+        np.testing.assert_allclose(np.asarray(getattr(rd_ref, name)),
+                                   np.asarray(getattr(rd_lean, name)),
+                                   rtol=1e-13, atol=1e-15)
+    mu = {'diffusion': 0.55}
+    e1 = float(rd_ref.estimate(rd_ref.solve(mu), mu))
+    e2 = float(rd_lean.estimate(rd_lean.solve(mu), mu))
+    assert abs(e1 - e2) <= 1e-10 * abs(e1)
