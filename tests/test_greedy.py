@@ -108,3 +108,27 @@ def test_greedy_checkpoint_resume(tmp_path):
     for b1, b2 in zip(res.reductor.bases, ref.reductor.bases):
         assert b1.shape == b2.shape
         assert np.allclose(b1, b2, atol=1e-10)
+
+
+def test_pod_greedy_parabolic():
+    """POD-greedy for the parabolic family (no reference counterpart — its
+    ParabolicLRBMSReductor is a pass stub): the ROM trajectory converges to
+    the FOM at unseen parameters."""
+    from pylrbms_tpu.problems.artificial_channels import \
+        init_grid_and_problem as channels
+    from pylrbms_tpu.discretize_parabolic_block_swipdg import \
+        discretize as discretize_parabolic
+    from pylrbms_tpu.greedy import pod_greedy
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=1.0, nt=6)
+    training = im.stationary.parameter_space.sample_uniformly(3)
+    res = pod_greedy(im, training, target_error=1e-6, max_extensions=4,
+                     pod_modes=2)
+    assert res.fom_solves >= 3
+    mu = im.parse_parameter(0.33)          # unseen
+    U = np.asarray(im.solve(mu))
+    Ur = np.asarray(res.reductor.reconstruct(res.rd.solve(mu)))
+    rel = np.linalg.norm(U - Ur) / np.linalg.norm(U)
+    assert rel < 0.02, rel
