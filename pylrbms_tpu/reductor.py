@@ -451,6 +451,215 @@ class LRBMSReductor:
 
         return jax.lax.fori_loop(0, nchunks, body, (Wk0, Tk0))
 
+    def _make_project_fn(self, with_gramians):
+        """Build the jitted full-projection function.  Shape-polymorphic:
+        jit retraces per r_max bucket; also used by the background bucket
+        prefetch (:meth:`prefetch_bucket`)."""
+        d = self.d
+        ed = d.estimator.data
+        st = d.op.static
+        K = d.space.K
+        side_rows = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
+        edges = (st.left_k, st.right_k, st.low_k, st.up_k)
+        lam_funcs = ed.lambda_funcs
+        oswald, flux = ed.oswald, ed.flux
+        parabolic = getattr(self, 'parabolic_tensors', False)
+
+        def _full(op_arrays, ed_arrays, rhs_q, V, mask, rows_safe, valid_f):
+            A_red, b_red, B_all = LRBMSReductor._project(
+                op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
+                mask, side_rows, edges)
+            (E_bar, BB, M_aa, M_ab, d_vec, R_dd,
+             l2_blocks, A_div_c) = ed_arrays
+
+            # R = K*r_max global basis columns: applying the flux
+            # reconstruction / operator to ALL of them at once
+            # materializes [R, faces, nq] temporaries (~4 GB at K=256) —
+            # chunk the R axis with lax.map (serialized, memory-bounded;
+            # a no-op chunking for small K)
+            R_all = B_all.shape[0]
+            ch = max(1, min(R_all, 4096 // K))
+            if getattr(self, "force_chunk", None):   # test hook
+                ch = int(self.force_chunk)
+
+            def _map_rows(f, B):
+                pad = (-B.shape[0]) % ch
+                Bp = jnp.pad(B, ((0, pad),) + ((0, 0),) * (B.ndim - 1))
+                out = jax.lax.map(f, Bp.reshape((-1, ch) + B.shape[1:]))
+                return out.reshape((-1,) + out.shape[2:])[:B.shape[0]]
+
+            # on accelerators the f64 [R, K, N] intermediates are
+            # software-emulated (2x storage, ~4x dot temporaries): store
+            # them in f32 and ACCUMULATE the Gramians in f64
+            # (preferred_element_type) — entry error ~1e-7 relative, far
+            # below what the residual surrogate or the estimator tensors
+            # resolve.  On CPU this is the identity.
+            # NOTE the f32 storage is only engaged at scale (R > 1024),
+            # where the greedy uses the DIRECT residual criterion
+            # ('residual_fom', greedy.py) — the quadratic-form Gramian
+            # surrogate cancels below f32 entry noise at high contrast
+            # (SPE10: ||A_q v||^2 entries ~1e12 vs residual^2 ~1e-4).
+            wide = V.dtype
+            store = wide
+            if (wide == jnp.float64 and jax.default_backend() != "cpu"
+                    and R_all > 1024):
+                store = jnp.float32
+
+            kk = jnp.arange(K)
+            if not (with_gramians or parabolic):
+                # at-scale path: never materialize B_all/W_all/T_all
+                # ([R, K, N] each, ~2.5 GB at SPE10 scale) — chunked
+                # apply + immediate neighborhood gather (B_all above is
+                # then dead and eliminated by XLA).  The gathered
+                # [K, P, *] tensors are small, so they accumulate in the
+                # WIDE dtype: the projected RD/DV/BBT tensors must carry
+                # full precision or the online eta_r cancellation
+                # (rf - 2 r_fd + r_dd) floors at ~1e-7*rf — at SPE10
+                # scaling that is a ~1e7 absolute eta error.
+                Wk, Tk = LRBMSReductor._patch_rows(
+                    oswald, flux, lam_funcs, V * mask[:, :, None],
+                    rows_safe, valid_f, wide, ch)
+            else:
+                W_all = oswald.apply(B_all).astype(store)        # [R, K, N]
+                T_all = jnp.stack([
+                    _map_rows(lambda blk, lf=lf: flux.apply(lf, blk)
+                              .astype(store), B_all)
+                    for lf in lam_funcs])
+                Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
+                Tk = (T_all[:, rows_safe, kk[:, None], :]
+                      * valid_f[None, :, :, None])               # [Q, K, P, Nrt]
+            A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
+            if with_gramians or parabolic:
+                # keep the Q operator applies as a LIST (a stacked
+                # [Q, R, K, N] copy is gigabytes at SPE10 scale, doubled
+                # again by the f64-on-TPU split representation)
+                AVs = [
+                    _map_rows(lambda blk, q=q: AssembledBlockOp(
+                        st, A_diag_q[q], CRio[q], CRoi[q], CUio[q],
+                        CUoi[q]).apply(blk).astype(store), B_all)
+                    for q in range(len(lam_funcs))]              # Q x [R, K, N]
+            if with_gramians:
+                G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
+                rhs_s = rhs_q.astype(store)
+                # Gramians: per-subdomain partial dots in the storage
+                # dtype, reduced over K in the wide dtype.  A direct
+                # f64-accumulate dot of f32 operands would push the WHOLE
+                # contraction into the x64-emulation path (multi-GB
+                # temporaries, the OOM at SPE10 scale); block-dot + wide
+                # tree-sum keeps temporaries at chunk size with
+                # ~sqrt(N)*eps_f32 entry error.
+                G_Ab = jnp.stack([
+                    _map_rows(lambda c: jnp.einsum("ckn,fkn->ckf", c,
+                                                   rhs_s)
+                              .astype(wide).sum(axis=1), AVq).T
+                    for AVq in AVs])                             # [Q, Qf, R]
+                G_AA = jnp.stack([jnp.stack([
+                    _map_rows(lambda c, Aq=Aq: jnp.einsum(
+                        "ckn,skn->cks", c, Aq).astype(wide).sum(axis=1),
+                              Ap)
+                    for Aq in AVs]) for Ap in AVs])              # [Q, Q, R, R]
+            else:
+                G_bb = G_Ab = G_AA = None
+
+            G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
+            BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
+            RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)
+            Vm = V * mask[:, :, None]
+            AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
+            ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
+            DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
+            out = dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
+                       ABT=ABT, BBT=BBT, DV=DV, RD=RD,
+                       G_bb=G_bb, G_Ab=G_Ab, G_AA=G_AA)
+            if parabolic:
+                # fully projected parabolic estimator tensors:
+                # BU_R = M^-1 A(mu) V c; F_R = M^-1 F;  needed for the
+                # time residual ||B dU||^2_{M^-1} and the elliptic-
+                # reconstruction eta_r additions (estimators.py parabolic
+                # branch), all N-independent online.
+                L2 = l2_blocks
+                Linv = dense_inv_mixed(L2)
+                AV = jnp.stack(AVs)                            # [Q,R,K,N]
+                MAV = jnp.einsum("knm,qrkm->qrkn", Linv, AV)   # [Q,R,K,N]
+                FR = jnp.einsum("knm,fkm->fkn", Linv, rhs_q)   # [Qf,K,N]
+                # time residual Gramian: (A_q V)^T M^-1 (A_q' V) [Q,Q,R,R]
+                out["G_MAA"] = jnp.einsum("prkn,qskn->pqrs", MAV, AV)
+                # neighborhood-padded per-subdomain tensors
+                Bk = (MAV[:, rows_safe, kk[:, None], :]
+                      * valid_f[None, :, :, None])             # [Q,K,P,N]
+                divTk = jnp.einsum("nr,qkur->qkun", A_div_c, Tk)  # [Q,K,P,N]
+                out["G_BLB"] = jnp.einsum("pkun,knm,qkvm->pqkuv", Bk, L2, Bk)
+                out["G_BLdiv"] = jnp.einsum("pkun,knm,qkvm->pqkuv", Bk, L2, divTk)
+                out["G_FLF"] = jnp.einsum("fkn,knm,gkm->fgk", FR, L2, FR)
+                out["G_BLF"] = jnp.einsum("pkun,knm,fkm->pfku", Bk, L2, FR)
+                out["G_FLdiv"] = jnp.einsum("fkn,knm,qkum->fqku", FR, L2, divTk)
+            return out
+
+        return jax.jit(hp(_full))
+
+    @staticmethod
+    def _bucket_rows(grid, K: int, r_max: int):
+        """Static neighborhood-gather metadata for a bucket width."""
+        nbhd_idx = -np.ones((K, 9), dtype=np.int64)
+        for k in range(K):
+            nb_list = grid.neighborhood_of(k)
+            nbhd_idx[k, :len(nb_list)] = nb_list
+        rows = np.where(nbhd_idx[:, :, None] >= 0,
+                        nbhd_idx[:, :, None] * r_max
+                        + np.arange(r_max)[None, None, :],
+                        -1).reshape(K, 9 * r_max)
+        valid = (rows >= 0)
+        return nbhd_idx, np.where(valid, rows, 0), valid
+
+    def prefetch_bucket(self, r_next: int):
+        """AOT-compile the projection for a FUTURE r_max bucket in a daemon
+        thread.  With the persistent compilation cache enabled the
+        foreground jit call at that bucket becomes a disk-cache hit —
+        hiding the multi-minute recompile that otherwise lands in the
+        middle of an online-enrichment round at scale
+        (docs/results/spe10_greedy_tpu.txt: the r_max bucket growth at
+        online mu #2 cost ~450 s of compiles)."""
+        import threading
+        d = self.d
+        K, N = d.space.K, d.space.N
+        ed = d.estimator.data
+        Q = len(ed.lambda_funcs)
+        Qf = len(d.f_coeffs)
+        with_gramians = not (K * r_next > 1024
+                             and jax.default_backend() != "cpu")
+        if getattr(self, "force_lean", False):
+            with_gramians = False
+        key = (K, N, r_next, Q, Qf, with_gramians,
+               getattr(self, "force_chunk", None))
+        if not hasattr(self, "_project_cache"):
+            self._project_cache = {}
+        if not hasattr(self, "_prefetching"):
+            self._prefetching = set()
+        if key in self._project_cache or key in self._prefetching:
+            return
+        self._prefetching.add(key)
+        fn = self._make_project_fn(with_gramians)
+        _, rows_safe, valid = self._bucket_rows(d.grid, K, r_next)
+        V0 = jnp.asarray(np.zeros((K, r_next, N)))
+        mask0 = jnp.asarray(np.ones((K, r_next)))
+        rows_j = jnp.asarray(rows_safe)
+        valid_j = jnp.asarray(valid, V0.dtype)
+        op_arrays = (d.op.A_diag, d.op.C_R_io, d.op.C_R_oi,
+                     d.op.C_U_io, d.op.C_U_oi)
+        ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec,
+                     ed.R_dd, ed.L2, ed.A_div)
+        rhs_q = d.rhs_q
+
+        def work():
+            try:
+                fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                         rows_j, valid_j).compile()
+                self._project_cache[key] = fn
+            except Exception:      # noqa: BLE001 — prefetch is best-effort
+                self._prefetching.discard(key)
+
+        threading.Thread(target=work, daemon=True, name="bucket-prefetch").start()
+
     def reduce(self, mesh=None) -> ReducedModel:
         """Blockwise Galerkin projection + projected estimator tensors.
 
@@ -476,24 +685,13 @@ class LRBMSReductor:
         ed = d.estimator.data
         Q = len(ed.lambda_funcs)
         Qf = len(d.f_coeffs)
-        st = d.op.static
 
-        nbhd_idx = -np.ones((K, 9), dtype=np.int64)
-        for k in range(K):
-            nb_list = d.grid.neighborhood_of(k)
-            nbhd_idx[k, :len(nb_list)] = nb_list
         # neighborhood gather rows [K, P] into the stacked basis axis
-        rows = np.where(nbhd_idx[:, :, None] >= 0,
-                        nbhd_idx[:, :, None] * r_max + np.arange(r_max)[None, None, :],
-                        -1).reshape(K, 9 * r_max)
-        valid = (rows >= 0)
-        rows_safe = np.where(valid, rows, 0)
+        nbhd_idx, rows_safe, valid = self._bucket_rows(d.grid, K, r_max)
 
         op_arrays = (d.op.A_diag, d.op.C_R_io, d.op.C_R_oi, d.op.C_U_io, d.op.C_U_oi)
         ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec,
                      ed.R_dd, ed.L2, ed.A_div)
-        side_rows = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
-        edges = (st.left_k, st.right_k, st.low_k, st.up_k)
 
         # per-reductor jit cache (the traced closure captures this model's
         # coefficient functions); keyed by the bucketed padded width
@@ -511,142 +709,9 @@ class LRBMSReductor:
                getattr(self, "force_chunk", None))
         fn = self._project_cache.get(key)
         if fn is None:
-            lam_funcs = ed.lambda_funcs
-            oswald, flux = ed.oswald, ed.flux
-            parabolic = getattr(self, 'parabolic_tensors', False)
-
-            def _full(op_arrays, ed_arrays, rhs_q, V, mask, rows_safe, valid_f):
-                A_red, b_red, B_all = LRBMSReductor._project(
-                    op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
-                    mask, side_rows, edges)
-                (E_bar, BB, M_aa, M_ab, d_vec, R_dd,
-                 l2_blocks, A_div_c) = ed_arrays
-
-                # R = K*r_max global basis columns: applying the flux
-                # reconstruction / operator to ALL of them at once
-                # materializes [R, faces, nq] temporaries (~4 GB at K=256) —
-                # chunk the R axis with lax.map (serialized, memory-bounded;
-                # a no-op chunking for small K)
-                R_all = B_all.shape[0]
-                ch = max(1, min(R_all, 4096 // K))
-                if getattr(self, "force_chunk", None):   # test hook
-                    ch = int(self.force_chunk)
-
-                def _map_rows(f, B):
-                    pad = (-B.shape[0]) % ch
-                    Bp = jnp.pad(B, ((0, pad),) + ((0, 0),) * (B.ndim - 1))
-                    out = jax.lax.map(f, Bp.reshape((-1, ch) + B.shape[1:]))
-                    return out.reshape((-1,) + out.shape[2:])[:B.shape[0]]
-
-                # on accelerators the f64 [R, K, N] intermediates are
-                # software-emulated (2x storage, ~4x dot temporaries): store
-                # them in f32 and ACCUMULATE the Gramians in f64
-                # (preferred_element_type) — entry error ~1e-7 relative, far
-                # below what the residual surrogate or the estimator tensors
-                # resolve.  On CPU this is the identity.
-                # NOTE the f32 storage is only engaged at scale (R > 1024),
-                # where the greedy uses the DIRECT residual criterion
-                # ('residual_fom', greedy.py) — the quadratic-form Gramian
-                # surrogate cancels below f32 entry noise at high contrast
-                # (SPE10: ||A_q v||^2 entries ~1e12 vs residual^2 ~1e-4).
-                wide = V.dtype
-                store = wide
-                if (wide == jnp.float64 and jax.default_backend() != "cpu"
-                        and R_all > 1024):
-                    store = jnp.float32
-
-                kk = jnp.arange(K)
-                if not (with_gramians or parabolic):
-                    # at-scale path: never materialize B_all/W_all/T_all
-                    # ([R, K, N] each, ~2.5 GB at SPE10 scale) — chunked
-                    # apply + immediate neighborhood gather (B_all above is
-                    # then dead and eliminated by XLA).  The gathered
-                    # [K, P, *] tensors are small, so they accumulate in the
-                    # WIDE dtype: the projected RD/DV/BBT tensors must carry
-                    # full precision or the online eta_r cancellation
-                    # (rf - 2 r_fd + r_dd) floors at ~1e-7*rf — at SPE10
-                    # scaling that is a ~1e7 absolute eta error.
-                    Wk, Tk = LRBMSReductor._patch_rows(
-                        oswald, flux, lam_funcs, V * mask[:, :, None],
-                        rows_safe, valid_f, wide, ch)
-                else:
-                    W_all = oswald.apply(B_all).astype(store)        # [R, K, N]
-                    T_all = jnp.stack([
-                        _map_rows(lambda blk, lf=lf: flux.apply(lf, blk)
-                                  .astype(store), B_all)
-                        for lf in lam_funcs])
-                    Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
-                    Tk = (T_all[:, rows_safe, kk[:, None], :]
-                          * valid_f[None, :, :, None])               # [Q, K, P, Nrt]
-                A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
-                if with_gramians or parabolic:
-                    # keep the Q operator applies as a LIST (a stacked
-                    # [Q, R, K, N] copy is gigabytes at SPE10 scale, doubled
-                    # again by the f64-on-TPU split representation)
-                    AVs = [
-                        _map_rows(lambda blk, q=q: AssembledBlockOp(
-                            st, A_diag_q[q], CRio[q], CRoi[q], CUio[q],
-                            CUoi[q]).apply(blk).astype(store), B_all)
-                        for q in range(len(lam_funcs))]              # Q x [R, K, N]
-                if with_gramians:
-                    G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
-                    rhs_s = rhs_q.astype(store)
-                    # Gramians: per-subdomain partial dots in the storage
-                    # dtype, reduced over K in the wide dtype.  A direct
-                    # f64-accumulate dot of f32 operands would push the WHOLE
-                    # contraction into the x64-emulation path (multi-GB
-                    # temporaries, the OOM at SPE10 scale); block-dot + wide
-                    # tree-sum keeps temporaries at chunk size with
-                    # ~sqrt(N)*eps_f32 entry error.
-                    G_Ab = jnp.stack([
-                        _map_rows(lambda c: jnp.einsum("ckn,fkn->ckf", c,
-                                                       rhs_s)
-                                  .astype(wide).sum(axis=1), AVq).T
-                        for AVq in AVs])                             # [Q, Qf, R]
-                    G_AA = jnp.stack([jnp.stack([
-                        _map_rows(lambda c, Aq=Aq: jnp.einsum(
-                            "ckn,skn->cks", c, Aq).astype(wide).sum(axis=1),
-                                  Ap)
-                        for Aq in AVs]) for Ap in AVs])              # [Q, Q, R, R]
-                else:
-                    G_bb = G_Ab = G_AA = None
-
-                G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
-                BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
-                RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)
-                Vm = V * mask[:, :, None]
-                AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
-                ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
-                DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
-                out = dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
-                           ABT=ABT, BBT=BBT, DV=DV, RD=RD,
-                           G_bb=G_bb, G_Ab=G_Ab, G_AA=G_AA)
-                if parabolic:
-                    # fully projected parabolic estimator tensors:
-                    # BU_R = M^-1 A(mu) V c; F_R = M^-1 F;  needed for the
-                    # time residual ||B dU||^2_{M^-1} and the elliptic-
-                    # reconstruction eta_r additions (estimators.py parabolic
-                    # branch), all N-independent online.
-                    L2 = l2_blocks
-                    Linv = dense_inv_mixed(L2)
-                    AV = jnp.stack(AVs)                            # [Q,R,K,N]
-                    MAV = jnp.einsum("knm,qrkm->qrkn", Linv, AV)   # [Q,R,K,N]
-                    FR = jnp.einsum("knm,fkm->fkn", Linv, rhs_q)   # [Qf,K,N]
-                    # time residual Gramian: (A_q V)^T M^-1 (A_q' V) [Q,Q,R,R]
-                    out["G_MAA"] = jnp.einsum("prkn,qskn->pqrs", MAV, AV)
-                    # neighborhood-padded per-subdomain tensors
-                    Bk = (MAV[:, rows_safe, kk[:, None], :]
-                          * valid_f[None, :, :, None])             # [Q,K,P,N]
-                    divTk = jnp.einsum("nr,qkur->qkun", A_div_c, Tk)  # [Q,K,P,N]
-                    out["G_BLB"] = jnp.einsum("pkun,knm,qkvm->pqkuv", Bk, L2, Bk)
-                    out["G_BLdiv"] = jnp.einsum("pkun,knm,qkvm->pqkuv", Bk, L2, divTk)
-                    out["G_FLF"] = jnp.einsum("fkn,knm,gkm->fgk", FR, L2, FR)
-                    out["G_BLF"] = jnp.einsum("pkun,knm,fkm->pfku", Bk, L2, FR)
-                    out["G_FLdiv"] = jnp.einsum("fkn,knm,qkum->fqku", FR, L2, divTk)
-                return out
-
-            fn = jax.jit(hp(_full))
+            fn = self._make_project_fn(with_gramians)
             self._project_cache[key] = fn
+
 
         rows_j = jnp.asarray(rows_safe)
         valid_j = jnp.asarray(valid, V.dtype)
@@ -671,6 +736,12 @@ class LRBMSReductor:
                 out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
         else:
             out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
+            # overlap the NEXT bucket's compile with ongoing work (greedy /
+            # enrichment grow r_max monotonically); accelerators only — on
+            # CPU (tests) compiles are cheap and threads add noise
+            if getattr(self, "prefetch_next",
+                       jax.default_backend() != "cpu"):
+                self.prefetch_bucket(r_max + self.R_BUCKET)
 
         return ReducedModel(
             reductor=self, A_red=out["A_red"], b_red=out["b_red"],

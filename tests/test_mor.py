@@ -152,3 +152,39 @@ def test_lean_reduce_matches_standard():
     e1 = float(rd_ref.estimate(rd_ref.solve(mu), mu))
     e2 = float(rd_lean.estimate(rd_lean.solve(mu), mu))
     assert abs(e1 - e2) <= 1e-10 * abs(e1)
+
+
+def test_bucket_prefetch_compiles_next_bucket():
+    """prefetch_bucket AOT-compiles the next r_max bucket in the background;
+    when the basis grows into it, reduce() reuses the prefetched fn."""
+    import time
+    from pylrbms_tpu.reductor import LRBMSReductor
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, data = discretize(gpd)
+    red = LRBMSReductor(d, products=data['local_energy_dg_product'], order=0)
+    red.prefetch_next = True
+    rd = red.reduce()                     # r_max bucket 4; prefetches bucket 8
+    K, N = d.space.K, d.space.N
+    target_key_rmax = rd.r_max + red.R_BUCKET
+    for _ in range(300):                  # wait for the daemon compile
+        if any(k[2] == target_key_rmax for k in red._project_cache):
+            break
+        time.sleep(0.1)
+    assert any(k[2] == target_key_rmax for k in red._project_cache), \
+        "prefetch did not land"
+    # grow the basis into the next bucket; reduce must still be correct
+    for v in (0.2, 0.4, 0.6, 0.8, 1.0):
+        try:
+            red.extend_basis(d.solve({'diffusion': v}))
+        except Exception:
+            pass
+    rd2 = red.reduce()
+    assert rd2.r_max == target_key_rmax
+    mu = {'diffusion': 0.55}
+    c = rd2.solve(mu)
+    U_rec = red.reconstruct(c)
+    e_rom = float(rd2.estimate(c, mu))
+    e_fom = float(d.estimate(U_rec, mu))
+    assert abs(e_rom - e_fom) <= 1e-8 * abs(e_fom)
