@@ -73,6 +73,9 @@ class AdaptiveEnrichment:
             from .reductor import ExtensionError
             if self._corrector is None:
                 self._corrector = BatchedCorrector(self.discretization)
+                # inherit the reductor's device mesh: the whole enrichment
+                # loop (online step, corrector, re-reduce) then K-shards
+                self._corrector.mesh = getattr(self.reductor, "mesh", None)
             marked_sorted = sorted(marked)
             W = self._corrector.solve(marked_sorted, mu,
                                       current_solution=u_full)

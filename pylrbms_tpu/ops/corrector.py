@@ -196,8 +196,13 @@ class BatchedCorrector:
 
     # ------------------------------------------------------------------
     def solve(self, marked, mu=None, current_solution=None, mode="residual",
-              tol: float = 1e-10, maxiter: int = 300):
-        """marked: list[int] -> corrections [B, N] (per marked subdomain)."""
+              tol: float = 1e-10, maxiter: int = 300, mesh=None):
+        """marked: list[int] -> corrections [B, N] (per marked subdomain).
+
+        With ``mesh`` (a SubdomainMesh; defaults to ``self.mesh``) the union
+        patch solve runs K-sharded over the device mesh, completing the
+        multi-chip enrichment loop (online step, reduce and corrector all
+        shard the subdomain axis)."""
         d = self.d
         mu = d.parse_parameter(mu)
         theta = d.theta(mu)
@@ -222,7 +227,19 @@ class BatchedCorrector:
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
-        W = self._jit_cache[key](arrays, theta.astype(self.dtype),
-                                 jnp.asarray(marked),
-                                 rhs_full.astype(self.dtype))
+        theta_c = theta.astype(self.dtype)
+        rhs_c = rhs_full.astype(self.dtype)
+        marked_j = jnp.asarray(marked)
+        mesh = mesh if mesh is not None else getattr(self, "mesh", None)
+        if mesh is not None:
+            put = jax.device_put
+            k1, rep = mesh.shard_k(1), mesh.replicated()
+            arrays = {nm: put(v, k1 if nm.startswith(("A_", "D_")) else rep)
+                      for nm, v in arrays.items()}
+            rhs_c = put(rhs_c, mesh.shard_k(0))
+            theta_c, marked_j = put(theta_c, rep), put(marked_j, rep)
+            with mesh.mesh:
+                W = self._jit_cache[key](arrays, theta_c, marked_j, rhs_c)
+        else:
+            W = self._jit_cache[key](arrays, theta_c, marked_j, rhs_c)
         return W[:n_marked]

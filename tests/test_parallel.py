@@ -67,3 +67,23 @@ def test_sharded_reduce_matches_unsharded():
                                rtol=1e-10, atol=1e-13)
     e1, e2 = float(rd_ref.estimate(c1, mu)), float(rd_sh.estimate(c2, mu))
     assert abs(e1 - e2) <= 1e-10 * abs(e1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_corrector_matches_unsharded():
+    """The batched patch-corrector solve K-shards over the mesh (completing
+    the multi-chip enrichment loop) and must equal the unsharded solve."""
+    from pylrbms_tpu.ops.corrector import BatchedCorrector
+    gpd = init_grid_and_problem({'num_subdomains': [4, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = {'diffusion': 0.5}
+    U0 = 0.3 * d.solve(mu)          # deliberately wrong current solution
+    W_ref = np.asarray(BatchedCorrector(d).solve([1, 3, 6], mu,
+                                                 current_solution=U0))
+    sm = SubdomainMesh.create(8)
+    W_sh = np.asarray(BatchedCorrector(d).solve([1, 3, 6], mu,
+                                                current_solution=U0, mesh=sm))
+    assert np.abs(W_ref).max() > 1e-3         # nontrivial corrections
+    assert np.abs(W_ref - W_sh).max() <= 1e-8 * np.abs(W_ref).max()
