@@ -209,7 +209,7 @@ class AssembledStencil:
     @hp
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-10, maxiter: int = 3000,
                   factors=None, block_factors=None,
-                  coarse_inv=None) -> jnp.ndarray:
+                  coarse_inv=None, coarse_basis=None) -> jnp.ndarray:
         """Matrix-free PCG.
 
         Preconditioner: cell-block Jacobi by default; pass ``block_factors``
@@ -243,11 +243,21 @@ class AssembledStencil:
         if coarse_inv is not None:
             M_fine = M
             C32 = coarse_inv.astype(jnp.float32)
+            if coarse_basis is not None:
+                Cb = coarse_basis.astype(jnp.float32)
+                Kc, _, mc = Cb.shape
 
-            def M(r):
-                rc = jnp.sum(r, axis=1).astype(jnp.float32)     # [K]
-                xc = (C32 @ rc).astype(r.dtype)
-                return M_fine(r) + xc[:, None]
+                def M(r):
+                    rc = jnp.einsum("knm,kn->km", Cb,
+                                    r.astype(jnp.float32)).reshape(-1)
+                    xc = (C32 @ rc).reshape(Kc, mc)
+                    return (M_fine(r)
+                            + jnp.einsum("knm,km->kn", Cb, xc).astype(r.dtype))
+            else:
+                def M(r):
+                    rc = jnp.sum(r, axis=1).astype(jnp.float32)     # [K]
+                    xc = (C32 @ rc).astype(r.dtype)
+                    return M_fine(r) + xc[:, None]
 
         def dot(u, v):
             return jnp.vdot(u, v)
