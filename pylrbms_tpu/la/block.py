@@ -219,10 +219,14 @@ class AssembledBlockOp:
 
     @staticmethod
     def coarse_modes_basis(space, modes: int = 3) -> np.ndarray:
-        """Per-subdomain coarse basis [K, N, modes]: mode 0 = constants,
-        modes 1/2 = centered-scaled x/y (nodal interpolants).  modes=1
-        reproduces the subdomain-constant space."""
+        """Per-subdomain coarse basis [K, N, modes] (nodal interpolants of
+        centered-scaled monomials): 1 | x, y | xy, x^2, y^2 (modes <= 6).
+        modes=1 reproduces the subdomain-constant space.  On s=1 subdomains
+        (too few distinct nodes for independent quadratics) modes is clamped
+        to 3 to keep the coarse matrix invertible."""
         K, N = space.K, space.N
+        if space.s < 2:
+            modes = min(modes, 3)
         C = np.ones((K, N, modes))
         if modes > 1:
             xn = space.node_coords_phys().reshape(K, N, 2)
@@ -230,7 +234,10 @@ class AssembledBlockOp:
             w = np.array([space.s * space.hx, space.s * space.hy])
             ctr = org + w / 2.0
             Xl = (xn - ctr[:, None, :]) / w
-            C[:, :, 1:modes] = Xl[:, :, :modes - 1]
+            x, y = Xl[..., 0], Xl[..., 1]
+            cols = [x, y, x * y, x * x, y * y]
+            for j in range(1, modes):
+                C[:, :, j] = cols[j - 1]
         return C
 
     def coarse_matrix_general(self, C) -> jnp.ndarray:

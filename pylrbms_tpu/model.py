@@ -384,7 +384,7 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                      fixed_preconditioner: bool = True,
                      matrix_free=None, certify: bool = False,
                      refinements: int = 2, two_level: bool = True,
-                     coarse_modes: int = 3):
+                     coarse_modes: int = 6):
     """Jitted online step ``(theta, theta_f, mu) -> (U[, indicators])``.
 
     ``certify`` (off by default) is the certification-at-depth mode for f32
