@@ -74,13 +74,37 @@ class EstimatorData:
     lambda_hat: object = None   # the lambda_hat coefficient function
 
 
-def aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose: bool = False):
-    """The reference's aggregation of the squared local quantities into eta
-    (and optionally the [K, B] triples + marking indicators), shared by the
-    FOM, ROM and parabolic paths (``estimators.py:99-110`` as-executed)."""
+def aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose: bool = False,
+                  paper_convention: bool = False):
+    """Aggregation of the squared local quantities into eta (and optionally
+    the [K, B] triples + marking indicators), shared by the FOM, ROM and
+    parabolic paths.
+
+    Default (``paper_convention=False``): the reference *as-executed*
+    (``estimators.py:99-110``) — the per-subdomain values entering the norms
+    are the SQUARED energy quantities, so the printed aggregates are norms of
+    squared locals (the golden triple 1.66e-01/1.45e-01/3.55e-01 is in this
+    convention) and indicator EOC slopes come out ~2.
+
+    ``paper_convention=True``: the OS2015 paper convention (SISC 2015,
+    Thm. 3.10 / Tables 1-3, reproduced at
+    ``scripts/OS2015_convergence_study.py:44-67``) — locals are the
+    UNSQUARED eta_*,T = sqrt(max(squared, 0)), the aggregate is
+
+      eta = (1/sqrt(alpha(mu,mu_bar))) * ( sqrt(gamma(mu,mu_bar)) *
+            sqrt(sum_T eta_nc,T^2)
+            + (1/sqrt(alpha(mu,mu_hat))) * sqrt(sum_T (eta_r,T+eta_df,T)^2) )
+
+    giving first-order indicators and level-constant efficiency — the only
+    externally published ground truth for the estimator."""
     a_bar = est.alpha(mu, est.data.mu_bar)
     g_bar = est.gamma(mu, est.data.mu_bar)
     a_hat = est.alpha(mu, est.data.mu_hat)
+
+    if paper_convention:
+        eta_nc = jnp.sqrt(jnp.maximum(eta_nc, 0.0))
+        eta_r = jnp.sqrt(jnp.maximum(eta_r, 0.0))
+        eta_df = jnp.sqrt(jnp.maximum(eta_df, 0.0))
 
     def norm(v):    # Frobenius over (B, K) <-> mpi_norm of [K, len(U)]
         return jnp.sqrt(jnp.sum(v * v))
@@ -90,6 +114,8 @@ def aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose: bool = False):
     if not decompose:
         return eta
     nc, r, df = (jnp.moveaxis(v, 0, -1) for v in (eta_nc, eta_r, eta_df))
+    # on squared locals this double-squares (reference quirk, replicated);
+    # on paper-convention locals it IS the OS2015 local indicator
     indicators = (2.0 / a_bar) * (g_bar * nc ** 2 + (1.0 / a_hat) * (r + df) ** 2)
     return eta, (nc, r, df), indicators
 
@@ -248,17 +274,21 @@ class EllipticEstimator:
 
     @hp
     def estimate(self, U, mu, d=None, decompose: bool = False,
-                 elliptic_reconstruction: bool = False):
+                 elliptic_reconstruction: bool = False,
+                 paper_convention: bool = False):
         """U [K, N] or [B, K, N].  Returns eta (scalar) and, with
-        ``decompose``, the local squared triples [K, B] and indicators [K, B]
+        ``decompose``, the local triples [K, B] and indicators [K, B]
         (reference array convention ``(num_subdomains, len(U))``,
-        ``estimators.py:50-53``)."""
+        ``estimators.py:50-53``).  Locals are squared quantities by default
+        (as-executed parity) or unsquared with ``paper_convention`` (see
+        :func:`aggregate_eta`)."""
         single = U.ndim == 2
         Ub = U[None] if single else U
         eta_nc, eta_r, eta_df = self.local_quantities(
             Ub, mu, elliptic_reconstruction=elliptic_reconstruction,
             d_model=d)                                           # [B, K]
-        return aggregate_eta(self, mu, eta_nc, eta_r, eta_df, decompose)
+        return aggregate_eta(self, mu, eta_nc, eta_r, eta_df, decompose,
+                             paper_convention=paper_convention)
 
 
 class ParabolicEstimator(EllipticEstimator):

@@ -220,14 +220,22 @@ class StationaryBlockModel:
                     b, tol=tol, maxiter=maxiter, block_factors=bf,
                     coarse_inv=ci, coarse_basis=C if two_level else None)
             cache[key] = _solve
-        C = jnp.asarray(_ABO.coarse_modes_basis(self.space, coarse_modes),
-                        self.op.A_diag.dtype)
+        # C is mu-independent: build the host-side coarse basis once per
+        # (coarse_modes,) and reuse it across solve() calls
+        Ckey = ("coarse_C", coarse_modes)
+        C = cache.get(Ckey)
+        if C is None:
+            C = jnp.asarray(_ABO.coarse_modes_basis(self.space, coarse_modes),
+                            self.op.A_diag.dtype)
+            cache[Ckey] = C
         return cache[key](sop, self.op, theta, b, C)
 
     @hp
-    def estimate(self, U, mu, decompose: bool = False):
+    def estimate(self, U, mu, decompose: bool = False,
+                 paper_convention: bool = False):
         mu = self.parse_parameter(mu)
-        return self.estimator.estimate(U, mu, d=self, decompose=decompose)
+        return self.estimator.estimate(U, mu, d=self, decompose=decompose,
+                                       paper_convention=paper_convention)
 
     # ------------------------------------------------------------------
     def l2_solve(self, V):

@@ -21,6 +21,13 @@ operator is algebraically identical (tested to 1e-12 against the dense
 apply).  <-> the reference's monolithic CSR view of the same physics
 (``discretize_elliptic_block_swipdg.py:439-473``), re-laid-out for the TPU's
 vector units.
+
+Integration status: NOT wired into ``make_online_step``/``bench.py``.  The
+measured online step is bound by the *preconditioner* apply (block-Jacobi
+HBM stream, docs/ARCHITECTURE.md "scaling levers"), not the operator matvec,
+so swapping the stencil apply for the banded one does not move the bench;
+the class is kept as a validated alternative layout (tests/test_banded.py)
+for configs where the matvec dominates.
 """
 from __future__ import annotations
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..utils.precision import hp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _rowwise(arrs, ky, kx):
@@ -197,7 +197,7 @@ class SpmdOnlineSolver:
             in_specs=(P(), P(), spec_row, spec_row, spec_row, spec_row,
                       spec_row, spec_row),
             out_specs=P(self.axis),
-            check_rep=False)
+            check_vma=False)
 
         def run(theta, theta_f):
             x = sharded(theta, theta_f, A_diag, C_R_io, C_R_oi,

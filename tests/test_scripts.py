@@ -43,6 +43,32 @@ def test_decomp_script_regression(capsys):
     assert np.linalg.norm(df_) == pytest.approx(vals["eta_df"], rel=1e-8)
 
 
+def test_golden_gap_attribution():
+    """Reference golden-triple reconciliation (VERDICT round-1 item 2):
+    at the reference's effective mesh (s = 2*half fine cells per subdomain
+    per dim) with the paper (unsquared-locals) aggregation, the reference
+    goldens 1.66e-01/1.45e-01/3.55e-01
+    (``linearelliptic_block_swipdg_decomp.py:41-43``) are matched to 0.2% /
+    2.2% (eta_r / eta_df); eta_nc is within 20% with the excess bounded by
+    the Oswald vertex-zeroing convention + the ALU-bisection triangulation
+    (docs/results/golden_gap_attribution.md)."""
+    import golden_gap_study as study
+    executed, paper, h = study.triple(nref=1)
+    assert h == pytest.approx(0.25)
+    assert paper["r"] == pytest.approx(study.GOLDEN["r"], rel=0.01)
+    assert paper["df"] == pytest.approx(study.GOLDEN["df"], rel=0.05)
+    assert paper["nc"] == pytest.approx(study.GOLDEN["nc"], rel=0.25)
+    # as-executed convention stays locked to our own goldens
+    assert executed["nc"] == pytest.approx(GOLDEN["eta_nc"], rel=1e-5)
+    # the zeroing-free Oswald variant moves eta_nc toward the golden
+    _, paper_nozero, _ = study.triple(nref=1, oswald_boundary_zeroing=False)
+    assert study.GOLDEN["nc"] < paper_nozero["nc"] < paper["nc"]
+    # neighboring mesh levels are ~4x off in the squared locals: the mesh
+    # identification is unambiguous
+    executed0, _, _ = study.triple(nref=0)
+    assert 3.0 < executed0["df"] / executed["df"] < 5.5
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from pylrbms_tpu.problems.os2015 import init_grid_and_problem
     from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
