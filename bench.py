@@ -58,9 +58,26 @@ def main(cfg=None):
         mu_d = {"diffusion": jnp.asarray([m_], dtype)}
         args.append((jnp.asarray([1.0, float(m_)], dtype),
                      jnp.asarray([1.0], dtype), mu_d))
-    U, ind = fn(*args[0])   # compile
+    U, ind = fn(*args[0])   # compile (single-query graph)
     U.block_until_ready()
 
+    # batched-mu serving: ONE dispatch answers all B queries (vmapped step);
+    # this is the headline serving shape — per-query device work batches on
+    # the MXU and the host<->chip round-trip amortizes B-fold
+    thetas = jnp.asarray(np.stack([np.asarray(a[0]) for a in args]), dtype)
+    theta_fs = jnp.asarray(np.stack([np.asarray(a[1]) for a in args]), dtype)
+    mus_b = {"diffusion": jnp.asarray(mus[:, None], dtype)}
+    Ub, indb = fn(thetas, theta_fs, mus_b)      # compile (batched graph)
+    Ub.block_until_ready()
+    bt = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        Ub, indb = fn(thetas, theta_fs, mus_b)
+        indb.block_until_ready()
+        bt.append((time.perf_counter() - t0) / B)
+    tpu_s = float(np.median(bt))
+
+    # streamed single-query dispatches, for comparison
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -68,7 +85,7 @@ def main(cfg=None):
         outs[-1][0].block_until_ready()
         outs[-1][1].block_until_ready()
         times.append((time.perf_counter() - t0) / B)
-    tpu_s = float(np.median(times))
+    stream_s = float(np.median(times))
     # single-query latency (round-trip to the remote chip included), for info
     t0 = time.perf_counter()
     U, ind = fn(*args[0])
@@ -106,6 +123,10 @@ def main(cfg=None):
     rel = float(np.abs(np.asarray(U, np.float64) - u_cpu).max()
                 / max(np.abs(u_cpu).max(), 1e-300))
     assert rel < 1e-3, f"TPU/CPU solution mismatch: {rel}"
+    relb = float(np.abs(np.asarray(Ub[0], np.float64)
+                        - np.asarray(U, np.float64)).max()
+                 / max(np.abs(u_cpu).max(), 1e-300))
+    assert relb < 1e-3, f"batched/single mismatch: {relb}"
     ind64 = np.asarray(ind, np.float64)
     assert np.isfinite(ind64).all(), "non-finite indicators"
     mag, mag_cpu = float(np.abs(ind64).sum()), float(np.abs(ind_cpu).sum())
@@ -115,15 +136,16 @@ def main(cfg=None):
 
     kx, ky = cfg['num_subdomains']
     print(f"bench info: single-query latency {lat_s * 1e3:.1f} ms "
-          "(remote-chip round-trip included); per-query streaming time "
-          f"{tpu_s * 1e3:.2f} ms; CPU per-query {cpu_s * 1e3:.1f} ms",
+          "(remote-chip round-trip included); per-query streamed "
+          f"{stream_s * 1e3:.2f} ms; per-query one-dispatch batched "
+          f"{tpu_s * 1e3:.2f} ms (B={B}); CPU per-query {cpu_s * 1e3:.1f} ms",
           file=sys.stderr)
     result = {
         "metric": (f"OS2015 {kx}x{ky}-subdomain online step "
                    "(assemble + detailed solve + localized estimate) per "
-                   f"parameter query, {K * N} dofs, stream of {B} distinct mu; "
-                   "baseline = same queries on host CPU (scipy splu per mu + "
-                   "numpy estimator)"),
+                   f"parameter query, {K * N} dofs, B={B} distinct mu served "
+                   "in ONE batched dispatch; baseline = same queries on host "
+                   "CPU (scipy splu per mu + numpy estimator)"),
         "value": round(tpu_s * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_s / tpu_s, 3),

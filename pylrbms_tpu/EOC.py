@@ -136,8 +136,12 @@ class StationaryEocStudy(EocStudy):
 
     def __init__(self, gp_initializer: Callable, disc: Callable, base_cfg: dict,
                  refine: Callable = default_refine, mu=1, p_ref: int = 2,
-                 max_levels: int = 2):
+                 max_levels: int = 2, paper_convention: bool = False):
         self.max_levels = max_levels
+        # paper convention (OS2015 tables): unsquared local quantities ->
+        # first-order indicators, level-constant efficiency (estimators.
+        # aggregate_eta docstring); default = as-executed reference parity
+        self.paper_convention = paper_convention
         self.data = {}
         self._gpd, self._d, self._data, self._U, self._U_ref, self._cfg, self._cache = \
             {}, {}, {}, {}, {}, {}, {}
@@ -197,8 +201,9 @@ class StationaryEocStudy(EocStudy):
     def _estimates(self, level):
         if level not in self._cache:
             mu = self._d[level].parse_parameter(self.mu)
-            eta, (nc, r, df), _ = self._d[level].estimate(self._U[level], mu,
-                                                          decompose=True)
+            eta, (nc, r, df), _ = self._d[level].estimate(
+                self._U[level], mu, decompose=True,
+                paper_convention=getattr(self, "paper_convention", False))
             self._cache[level] = {
                 "eta_nc": float(jnp.linalg.norm(nc)),
                 "eta_r": float(jnp.linalg.norm(r)),

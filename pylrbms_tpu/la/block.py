@@ -240,6 +240,11 @@ class AssembledBlockOp:
                 C[:, :, j] = cols[j - 1]
         return C
 
+    def geneo_basis(self, M_diag, modes: int = 6) -> np.ndarray:
+        """Spectral (GenEO-style) coarse basis of this assembled operator;
+        see :func:`geneo_coarse_basis`."""
+        return geneo_coarse_basis(self.A_diag, M_diag, modes)
+
     def coarse_matrix_general(self, C) -> jnp.ndarray:
         """Galerkin coarse matrix on an arbitrary per-subdomain coarse basis
         C [K, N, m]: Ac[(k,i),(k',j)] = C_k[:,i]^T A_{kk'} C_k'[:,j]
@@ -258,42 +263,59 @@ class AssembledBlockOp:
     @hp
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
                   factors=None, two_level: bool = False,
-                  coarse_inv=None, coarse_basis=None) -> jnp.ndarray:
+                  coarse_inv=None, coarse_basis=None,
+                  return_iters: bool = False) -> jnp.ndarray:
         """Block-Jacobi preconditioned CG (symmetric SWIPDG); optionally with
         an additive coarse level (``two_level`` builds the subdomain-constant
         one from this operator; ``coarse_inv`` passes a prebuilt inverse —
         [K, K] for constants, or [K*m, K*m] together with ``coarse_basis``
-        [K, N, m] for the general modal coarse space)."""
+        [K, N, m] for a modal or spectral/GenEO coarse space).
+
+        ``factors`` may be stored in bfloat16: the per-iteration
+        preconditioner apply then streams half the HBM bytes (the measured
+        online-step bound at bench scale, docs/ARCHITECTURE.md) and the MXU
+        accumulates in float32 (``preferred_element_type``) — the
+        preconditioner's precision only affects iteration counts."""
         b = b.astype(self.A_diag.dtype)   # keep the while_loop carry uniform
         Ainv = factors if factors is not None else self.block_jacobi_factors()
-        Ainv = Ainv.astype(b.dtype)       # externally-built factors may be wider
+        if Ainv.dtype != jnp.bfloat16:
+            Ainv = Ainv.astype(b.dtype)   # externally-built factors may be wider
+        acc = jnp.float32 if b.dtype in (jnp.float32, jnp.bfloat16) else b.dtype
 
         if two_level and coarse_inv is None:
             coarse_inv = dense_inv_mixed(self.coarse_matrix())
         if coarse_inv is not None:
-            # coarse level applied as a dense f32 matmul (a triangular
-            # lu_solve per iteration is slow on TPU; the preconditioner's
-            # precision only affects iteration counts)
-            C32 = coarse_inv.astype(jnp.float32)
+            # coarse level applied as a dense matmul (a triangular lu_solve
+            # per iteration is slow on TPU).  Precision rule: f32 when the
+            # operator itself is f32 (the TPU online regime, moderate
+            # contrast) but the OPERATOR dtype when wider — at SPE10-scale
+            # contrast (~1e6) an f32 coarse apply has no correct digits and
+            # makes CG diverge (measured; see prepare_coarse)
+            cdt = (jnp.float32 if self.A_diag.dtype == jnp.float32
+                   else self.A_diag.dtype)
+            C32 = coarse_inv.astype(cdt)
             if coarse_basis is not None:
-                Cb = coarse_basis.astype(jnp.float32)
+                Cb = coarse_basis.astype(cdt)
                 K_, _, m_ = Cb.shape
 
                 def M(r):
-                    fine = jnp.einsum("knm,km->kn", Ainv, r)
+                    fine = jnp.einsum("knm,km->kn", Ainv, r,
+                                      preferred_element_type=acc).astype(r.dtype)
                     rc = jnp.einsum("knm,kn->km", Cb,
-                                    r.astype(jnp.float32)).reshape(-1)
+                                    r.astype(cdt)).reshape(-1)
                     xc = (C32 @ rc).reshape(K_, m_)
                     return fine + jnp.einsum("knm,km->kn", Cb, xc).astype(r.dtype)
             else:
                 def M(r):
-                    fine = jnp.einsum("knm,km->kn", Ainv, r)
-                    rc = jnp.sum(r, axis=1).astype(jnp.float32)
+                    fine = jnp.einsum("knm,km->kn", Ainv, r,
+                                      preferred_element_type=acc).astype(r.dtype)
+                    rc = jnp.sum(r, axis=1).astype(cdt)
                     xc = (C32 @ rc).astype(r.dtype)
                     return fine + xc[:, None]
         else:
             def M(r):
-                return jnp.einsum("knm,km->kn", Ainv, r)
+                return jnp.einsum("knm,km->kn", Ainv, r,
+                                  preferred_element_type=acc).astype(r.dtype)
 
         def dot(u, v):
             return jnp.vdot(u, v)
@@ -324,7 +346,7 @@ class AssembledBlockOp:
             return (x, r, z, p, rz_new, it + 1)
 
         x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
-        return x
+        return (x, it) if return_iters else x
 
     @hp
     def solve_refined(self, b: jnp.ndarray, tol: float = 1e-10,
@@ -436,6 +458,139 @@ def to_scipy_csr(op: AssembledBlockOp):
     place(op.C_U_io, st.low_k, st.up_k, sr["top"], sr["bottom"])
     place(op.C_U_oi, st.up_k, st.low_k, sr["bottom"], sr["top"])
     return sp.bmat(blocks, format="csr")
+
+
+def geneo_coarse_basis(A_neumann, M_diag, modes: int = 6) -> np.ndarray:
+    """Per-subdomain spectral (GenEO-style) coarse basis [K, N, modes].
+
+    For every subdomain k the ``modes`` lowest generalized eigenvectors of
+    (A^Neu_kk, M_kk) are computed and M-orthonormalized.  ``A_neumann``
+    MUST be the subdomain-NEUMANN SWIPDG matrix — volume + intra-subdomain
+    face terms only, NO subdomain-boundary penalties (the per-component
+    ``SwipdgComponent.A_loc`` summed with theta(mu_bar)): its near-kernel
+    (constant + channel/inclusion indicator functions at high coefficient
+    contrast) is exactly what block-Jacobi damps slowly and what the modal
+    (polynomial) coarse space cannot represent — the property that makes
+    two-level Schwarz methods contrast-robust (GenEO, Spillane et al.,
+    Numer. Math. 2014).  Using the *assembled* (penalized) diagonal block
+    instead selects bubble modes and makes the coarse level useless
+    (measured 85 vs 42 iterations on the channels problem).  Offline
+    host-side cost: one [N, N] generalized eigsolve per subdomain,
+    amortized over every online solve.
+
+    <-> the iteration economy of the reference's ``bicgstab.ilut``
+    (``online_adaptive_lrbms.py:71-72``) — replaced by a TPU-friendly coarse
+    space instead of an inherently sequential ILU."""
+    import scipy.linalg as sla
+    A = np.asarray(A_neumann, np.float64)
+    M = np.asarray(M_diag, np.float64)
+    K, N, _ = A.shape
+    m = min(modes, N)
+    C = np.zeros((K, N, m))
+    for k in range(K):
+        Ak = 0.5 * (A[k] + A[k].T)
+        Mk = 0.5 * (M[k] + M[k].T)
+        _, vecs = sla.eigh(Ak, Mk, subset_by_index=[0, m - 1])
+        C[k] = vecs                         # M-orthonormal by construction
+    return C
+
+
+def prepare_coarse(A: "AssembledBlockOp", C):
+    """Condition and invert a two-level coarse space for ``solve_pcg``.
+
+    Per-subdomain basis columns are normalized to unit block energy
+    (unit-diagonal Galerkin coarse matrix) and the inverse is computed on
+    the HOST in float64 with symmetric Jacobi scaling — at SPE10-scale
+    contrast (~1e6) the raw coarse matrix has cond ~1e7+ and both an
+    unscaled basis and a device f32 inverse make CG diverge (measured:
+    modal m=6 at contrast 1e6 fails with the raw path, converges in 154
+    iterations with this one).
+
+    Returns ``(C, Ac_inv)`` as device arrays in the operator dtype, ready
+    for ``solve_pcg(coarse_basis=C, coarse_inv=Ac_inv)``."""
+    C = np.asarray(C, np.float64)
+    Ad = np.asarray(A.A_diag, np.float64)
+    e = np.einsum("knm,knj,kmj->kj", Ad, C, C)                  # [K, m]
+    C = C / np.sqrt(np.maximum(np.abs(e), 1e-300))[:, None, :]
+    Ac = np.asarray(A.coarse_matrix_general(jnp.asarray(C, A.A_diag.dtype)),
+                    np.float64)
+    sd = 1.0 / np.sqrt(np.maximum(np.abs(np.diag(Ac)), 1e-300))
+    inv = np.linalg.inv(0.5 * (Ac + Ac.T) * sd[:, None] * sd[None, :])
+    inv = inv * sd[:, None] * sd[None, :]
+    return (jnp.asarray(C, A.A_diag.dtype),
+            jnp.asarray(inv, np.float64 if A.A_diag.dtype == jnp.float64
+                        else np.float32))
+
+
+def harvested_coarse_basis(A: "AssembledBlockOp", factors, space,
+                           n_harvest: int = 16, extra_modal: int = 3,
+                           rounds: int = 3, deg: int = 30,
+                           interval=(0.25, 2.05), seed: int = 0) -> np.ndarray:
+    """Spectral coarse space harvested from the operator itself
+    [K, N, extra_modal + n_harvest].
+
+    Runs a jitted Chebyshev-filtered subspace iteration on the block-Jacobi
+    preconditioned operator M^-1 A (``factors`` = the block inverses): the
+    filter damps the spectrum on ``interval`` and amplifies the slow tail,
+    so after a few rounds the block of vectors spans the SLOW invariant
+    subspace — exactly the error components one-level block-Jacobi cannot
+    damp.  Splitting those global vectors per subdomain (plus ``extra_modal``
+    polynomial modes, per-subdomain QR) yields a coarse space that contains
+    the slow space, making the two-level method robust to ARBITRARY
+    coefficient structure.  Measured at contrast 1e6 (channels + inclusions,
+    8x8 subdomains): block-Jacobi 343 its, modal m=6 154, this space
+    (3+16) 79 — and unlike local (GenEO-type) eigenproblems it also sees
+    slow modes that are global/smooth, which dominate here
+    (tests/test_geneo_bf16.py).
+
+    Offline cost: rounds*deg preconditioned matvecs on n_harvest vectors
+    (a single jitted graph per round) + host QRs — amortized over every
+    online solve, mu-robust by spectral equivalence.
+
+    <-> replaces the iteration economy of the reference's ILUT
+    (``online_adaptive_lrbms.py:71-72``) with a TPU-native mechanism."""
+    import jax as _jax
+
+    K, N = space.K, space.N
+    a, bnd = interval
+    e = (bnd + a) / 2.0
+    c = (bnd - a) / 2.0
+
+    @_jax.jit
+    def filt(V, Ainv):
+        def pa(X):
+            return jnp.einsum("knm,vkm->vkn", Ainv, A.apply(X))
+
+        Y = (pa(V) - e * V) / c
+
+        def body(i, carry):
+            Vm1, Vc = carry
+            return (Vc, 2.0 * (pa(Vc) - e * Vc) / c - Vm1)
+
+        _, Vc = _jax.lax.fori_loop(0, deg - 1, body, (V, Y))
+        return Vc
+
+    rng = np.random.default_rng(seed)
+    V = jnp.asarray(rng.normal(size=(n_harvest, K, N)), A.A_diag.dtype)
+    Ainv = jnp.asarray(factors, A.A_diag.dtype)
+    for _ in range(rounds):
+        V = filt(V, Ainv)
+        Q, _ = np.linalg.qr(np.asarray(V, np.float64).reshape(n_harvest, -1).T)
+        V = jnp.asarray(Q.T.reshape(n_harvest, K, N), A.A_diag.dtype)
+    cols = [np.moveaxis(np.asarray(V, np.float64), 0, -1)]       # [K, N, nh]
+    if extra_modal:
+        cols.insert(0, AssembledBlockOp.coarse_modes_basis(space, extra_modal))
+    C = np.concatenate(cols, axis=-1)
+    return np.stack([np.linalg.qr(C[k])[0] for k in range(K)])
+
+
+def neumann_blocks(d, theta_bar) -> np.ndarray:
+    """[K, N, N] subdomain-Neumann SWIPDG matrix at theta_bar (the GenEO
+    eigenproblem's A): sum_q theta_bar_q * components[q].A_loc — volume +
+    intra-subdomain faces, no subdomain-boundary penalties."""
+    th = np.asarray(theta_bar, np.float64)
+    return sum(float(t) * np.asarray(c.A_loc, np.float64)
+               for t, c in zip(th, d.components))
 
 
 def unblock(x: jnp.ndarray) -> jnp.ndarray:

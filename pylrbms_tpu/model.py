@@ -196,39 +196,62 @@ class StationaryBlockModel:
 
     def _mf_solve(self, theta, b, options):
         """Matrix-free two-level PCG FOM solve: fused stencil matvec +
-        f32-applied subdomain-block-Jacobi + subdomain-constant coarse
+        f32-applied subdomain-block-Jacobi + modal/geneo/harvested coarse
         level.  The stencil family is assembled once per model (one jitted
         graph) and the solve itself is one jitted call with all tensors as
-        pytree arguments (remote-compile safe)."""
-        from .la.block import dense_inv_mixed, AssembledBlockOp as _ABO
+        pytree arguments (remote-compile safe).
+
+        The whole preconditioner (block factors + conditioned coarse space,
+        :func:`~pylrbms_tpu.la.block.prepare_coarse`) is built ONCE at the
+        first theta seen and reused for every later mu — A(mu) and
+        A(theta_0) are spectrally equivalent over the compact parameter
+        range (same argument as ``make_online_step``'s
+        ``fixed_preconditioner``), and freezing it moves the per-solve
+        coarse-matrix inversion offline entirely.  Options:
+        ``coarse_space`` 'modal' (default) | 'geneo' | 'harvested' (the
+        contrast-robust choice at SPE10-scale jumps), ``coarse_modes``."""
+        from .la.block import prepare_coarse, harvested_coarse_basis, \
+            geneo_coarse_basis, neumann_blocks, AssembledBlockOp as _ABO
         sop = self.mf_operator()
         tol = options.get("precision", 1e-10)
         maxiter = options.get("max_iter", 2000)
         two_level = options.get("two_level", True)
         coarse_modes = int(options.get("coarse_modes", 3))
-        key = (float(tol), int(maxiter), bool(two_level), coarse_modes)
+        coarse_space = options.get("coarse_space", "modal")
+        key = (float(tol), int(maxiter), bool(two_level), coarse_modes,
+               coarse_space)
         cache = self._mf_jit_cache
         if key not in cache:
             @jax.jit
             @hp
-            def _solve(sop_, op_, theta, b, C):
-                Aass = op_.assemble(theta)
-                bf = Aass.block_jacobi_factors()
-                ci = (dense_inv_mixed(Aass.coarse_matrix_general(C))
-                      if two_level else None)
+            def _solve(sop_, theta, b, bf, C, ci):
                 return sop_.assemble(theta).solve_pcg(
                     b, tol=tol, maxiter=maxiter, block_factors=bf,
-                    coarse_inv=ci, coarse_basis=C if two_level else None)
+                    coarse_inv=ci, coarse_basis=C)
             cache[key] = _solve
-        # C is mu-independent: build the host-side coarse basis once per
-        # (coarse_modes,) and reuse it across solve() calls
-        Ckey = ("coarse_C", coarse_modes)
-        C = cache.get(Ckey)
-        if C is None:
-            C = jnp.asarray(_ABO.coarse_modes_basis(self.space, coarse_modes),
-                            self.op.A_diag.dtype)
-            cache[Ckey] = C
-        return cache[key](sop, self.op, theta, b, C)
+        # preconditioner frozen at the first theta (see docstring)
+        Pkey = ("precond", bool(two_level), coarse_space, coarse_modes)
+        pre = cache.get(Pkey)
+        if pre is None:
+            A0 = jax.jit(hp(lambda op, th: op.assemble(th)))(self.op, theta)
+            bf = jax.jit(hp(lambda A: A.block_jacobi_factors()))(A0)
+            C = ci = None
+            if two_level:
+                if coarse_space == "harvested":
+                    C_np = harvested_coarse_basis(A0, bf, self.space,
+                                                  n_harvest=coarse_modes,
+                                                  extra_modal=3)
+                elif coarse_space == "geneo":
+                    C_np = geneo_coarse_basis(neumann_blocks(self, theta),
+                                              self.products["l2"],
+                                              coarse_modes)
+                else:
+                    C_np = _ABO.coarse_modes_basis(self.space, coarse_modes)
+                C, ci = prepare_coarse(A0, C_np)
+            pre = (bf, C, ci)
+            cache[Pkey] = pre
+        bf, C, ci = pre
+        return cache[key](sop, theta, b, bf, C, ci)
 
     @hp
     def estimate(self, U, mu, decompose: bool = False,
@@ -392,7 +415,8 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                      fixed_preconditioner: bool = True,
                      matrix_free=None, certify: bool = False,
                      refinements: int = 2, two_level: bool = True,
-                     coarse_modes: int = 6):
+                     coarse_modes: int = 6, coarse_space: str = "modal",
+                     jacobi_storage: str = None):
     """Jitted online step ``(theta, theta_f, mu) -> (U[, indicators])``.
 
     ``certify`` (off by default) is the certification-at-depth mode for f32
@@ -426,6 +450,17 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
     iteration then reads ~N*nb coefficients per subdomain instead of the
     full N*N block — the HBM-bandwidth-optimal inner loop.  The operator is
     algebraically identical; only float association differs.
+
+    ``coarse_space``: 'modal' (polynomial, :meth:`coarse_modes_basis`) or
+    'geneo' (per-subdomain generalized eigenmodes of (A_kk(mu_bar), M_kk),
+    :func:`~pylrbms_tpu.la.block.geneo_coarse_basis`) — contrast-robust at
+    SPE10-scale coefficient jumps where polynomial modes saturate.
+
+    ``jacobi_storage``: None (auto: 'bf16' on accelerators, native on CPU),
+    'bf16' or 'native' — bf16-stored block-Jacobi factors halve the
+    preconditioner's per-iteration HBM stream (the measured online-step
+    bound, docs/ARCHITECTURE.md) at an iteration-count cost measured <10%
+    (tests/test_geneo_bf16.py).
     """
     from .la.block import AssembledBlockOp
     st = d.op.static
@@ -457,28 +492,44 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
             # spectrally equivalent to every A(mu) over a compact mu range
             theta_bar = jnp.ones((d.op.A_diag.shape[0],),
                                  d.op.A_diag.dtype)
-    if fixed_preconditioner:
+    if jacobi_storage is None:
+        jacobi_storage = ("bf16" if jax.default_backend() != "cpu"
+                          else "native")
+    Minv = None
+    if fixed_preconditioner or (two_level and coarse_space == "harvested"):
         # one jitted call (eager op-by-op execution costs ~0.4 s *per op* on
         # the remote-TPU path); the operator rides in as a pytree argument so
         # its tensors never become HLO constants
-        arrays["Minv_bar"] = jax.jit(hp(
+        Minv = jax.jit(hp(
             lambda op, th: op.assemble(th).block_jacobi_factors()))(
                 d.op, theta_bar)
+    if fixed_preconditioner:
+        arrays["Minv_bar"] = (Minv.astype(jnp.bfloat16)
+                              if jacobi_storage == "bf16" else Minv)
     if two_level and d.space.K > 1:
-        # modal coarse level (constants + linears per subdomain by default),
-        # fixed at mu_bar: one [K*m, K*m] inverse built offline, one tiny
-        # matmul per CG iteration — the global-information channel
-        # block-Jacobi lacks.  Measured 91 -> 47 CG iterations (27% faster
-        # solve) over the constants-only level at the bench config.
-        from .la.block import dense_inv_mixed, AssembledBlockOp as _ABO
-        C_modes = jnp.asarray(
-            _ABO.coarse_modes_basis(d.space, coarse_modes),
-            d.op.A_diag.dtype)
+        # coarse level fixed at mu_bar: one [K*m, K*m] inverse built
+        # offline, one tiny matmul per CG iteration — the
+        # global-information channel block-Jacobi lacks.  Modal
+        # (constants+linears+quadratics) measured 91 -> 47 CG iterations at
+        # the bench config; 'geneo' = local generalized eigenmodes of
+        # (A^Neu_kk(mu_bar), M_kk); 'harvested' = Chebyshev-harvested slow
+        # modes of the preconditioned operator — the contrast-robust choice
+        # at SPE10-scale jumps (la/block.py harvested_coarse_basis).
+        from .la.block import geneo_coarse_basis, neumann_blocks, \
+            prepare_coarse, harvested_coarse_basis, AssembledBlockOp as _ABO
+        A_bar = jax.jit(hp(lambda op, th: op.assemble(th)))(d.op, theta_bar)
+        if coarse_space == "geneo":
+            C_np = geneo_coarse_basis(neumann_blocks(d, theta_bar),
+                                      d.products["l2"], coarse_modes)
+        elif coarse_space == "harvested":
+            C_np = harvested_coarse_basis(A_bar, Minv, d.space,
+                                          n_harvest=coarse_modes,
+                                          extra_modal=3)
+        else:
+            C_np = _ABO.coarse_modes_basis(d.space, coarse_modes)
+        C_modes, Cinv = prepare_coarse(A_bar, C_np)
         arrays["C_coarse"] = C_modes
-        arrays["Cinv_bar"] = jax.jit(hp(
-            lambda op, th, C: dense_inv_mixed(
-                op.assemble(th).coarse_matrix_general(C))))(
-                    d.op, theta_bar, C_modes)
+        arrays["Cinv_bar"] = Cinv
     est = d.estimator
     if with_estimate and est is not None:
         ed = est.data
@@ -490,9 +541,8 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
 
     wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    @jax.jit
     @hp
-    def _step(arrays, theta, theta_f, mu):
+    def _core(arrays, theta, theta_f, mu):
         b = jnp.einsum("q,qkn->kn", theta_f, arrays["rhs_q"])
         if matrix_free:
             from .ops.matrixfree import StencilOperator
@@ -541,9 +591,22 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
             nc, r, df = est.local_quantities(Ue, mu, tensors=arrays)
         return U.astype(base), nc + r + df
 
+    _step = jax.jit(_core)
+    # batched-mu serving: ONE dispatch answers B parameter queries — the
+    # while_loop runs lock-step until the slowest query converges, but all
+    # per-query work (assemble/solve/estimate) batches onto the MXU and the
+    # host round-trip amortizes B-fold (the measured single-query latency is
+    # RTT-dominated on the remote chip)
+    _step_batched = jax.jit(jax.vmap(_core, in_axes=(None, 0, 0, 0)))
+
     def step(theta, theta_f, mu=None):
+        """Single query: (theta [Q], theta_f [Qf], mu dict) -> (U[, ind]).
+        Batched: (thetas [B, Q], theta_fs [B, Qf], mu dict with [B, ...]
+        leaves) -> batched outputs, one dispatch."""
         if mu is None:
             mu = {}
+        if jnp.ndim(theta) == 2:
+            return _step_batched(arrays, theta, theta_f, mu)
         return _step(arrays, theta, theta_f, mu)
 
     return step

@@ -76,6 +76,13 @@ class AdaptiveEnrichment:
                 # inherit the reductor's device mesh: the whole enrichment
                 # loop (online step, corrector, re-reduce) then K-shards
                 self._corrector.mesh = getattr(self.reductor, "mesh", None)
+                # warm the common mark-count buckets in the background so
+                # later rounds never stall on a corrector compile
+                # (accelerators only — CPU compiles are cheap)
+                import jax as _jax
+                if (_jax.default_backend() != "cpu"
+                        and self._corrector.mesh is None):
+                    self._corrector.prefetch_buckets()
             marked_sorted = sorted(marked)
             W = self._corrector.solve(marked_sorted, mu,
                                       current_solution=u_full)

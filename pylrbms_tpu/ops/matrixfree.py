@@ -209,7 +209,8 @@ class AssembledStencil:
     @hp
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-10, maxiter: int = 3000,
                   factors=None, block_factors=None,
-                  coarse_inv=None, coarse_basis=None) -> jnp.ndarray:
+                  coarse_inv=None, coarse_basis=None,
+                  return_iters: bool = False) -> jnp.ndarray:
         """Matrix-free PCG.
 
         Preconditioner: cell-block Jacobi by default; pass ``block_factors``
@@ -226,10 +227,14 @@ class AssembledStencil:
         sp = self.space
         K, s, nb = sp.K, sp.s, sp.nb
         if block_factors is not None:
-            Binv32 = block_factors.astype(jnp.float32)
+            # bfloat16-stored factors stream half the HBM bytes per CG
+            # iteration (the measured online-step bound); f32 MXU accumulate
+            Binv = (block_factors if block_factors.dtype == jnp.bfloat16
+                    else block_factors.astype(jnp.float32))
 
             def M(r):
-                z32 = jnp.einsum("knm,km->kn", Binv32, r.astype(jnp.float32))
+                z32 = jnp.einsum("knm,km->kn", Binv, r.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32)
                 return z32.astype(r.dtype)
         else:
             Minv = factors if factors is not None else self.cell_jacobi_factors()
@@ -242,20 +247,24 @@ class AssembledStencil:
 
         if coarse_inv is not None:
             M_fine = M
-            C32 = coarse_inv.astype(jnp.float32)
+            # f32 coarse apply only when the Krylov space itself is f32; at
+            # SPE10-scale contrast an f32 coarse solve has no correct digits
+            # and breaks CG (measured — la/block.py prepare_coarse)
+            cdt = jnp.float32 if b.dtype == jnp.float32 else b.dtype
+            C32 = coarse_inv.astype(cdt)
             if coarse_basis is not None:
-                Cb = coarse_basis.astype(jnp.float32)
+                Cb = coarse_basis.astype(cdt)
                 Kc, _, mc = Cb.shape
 
                 def M(r):
                     rc = jnp.einsum("knm,kn->km", Cb,
-                                    r.astype(jnp.float32)).reshape(-1)
+                                    r.astype(cdt)).reshape(-1)
                     xc = (C32 @ rc).reshape(Kc, mc)
                     return (M_fine(r)
                             + jnp.einsum("knm,km->kn", Cb, xc).astype(r.dtype))
             else:
                 def M(r):
-                    rc = jnp.sum(r, axis=1).astype(jnp.float32)     # [K]
+                    rc = jnp.sum(r, axis=1).astype(cdt)             # [K]
                     xc = (C32 @ rc).astype(r.dtype)
                     return M_fine(r) + xc[:, None]
 
@@ -284,8 +293,8 @@ class AssembledStencil:
             p = z + (rzn / rz) * p
             return (x, r, z, p, rzn, it + 1)
 
-        x, *_ = jax.lax.while_loop(cond, body, state)
-        return x
+        out = jax.lax.while_loop(cond, body, state)
+        return (out[0], out[5]) if return_iters else out[0]
 
     @hp
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:

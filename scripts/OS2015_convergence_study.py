@@ -29,13 +29,17 @@ config = {'num_subdomains': [2, 2],
           'grid_type': 'tri'}
 
 
-def main(max_levels=2):
+def main(max_levels=2, paper_convention=False):
     print('M. Ohlberger, F. Schindler, 2015, Error control for the Localized Reduced')
     print('Basis Multiscale method with adaptive on-line enrichment — Block SWIPDG P1')
+    if paper_convention:
+        print('(paper convention: unsquared locals -> first-order indicators,')
+        print(' level-constant efficiency — shape-comparable to p. A2885 Table 1)')
     print()
 
     study = StationaryEocStudy(init_grid_and_problem, discretize, config,
-                               default_refine, mu=1, max_levels=max_levels)
+                               default_refine, mu=1, max_levels=max_levels,
+                               paper_convention=paper_convention)
     print("Table 1 columns (h, elliptic norm, eta_nc, eta_df):")
     study.run(('h', 'elliptic_mu_bar', 'eta_nc', 'eta_df'))
     print()
@@ -45,13 +49,17 @@ def main(max_levels=2):
     print("Table 2 (mu_hat=0.1): eta_df and eta")
     StationaryEocStudy(partial(init_grid_and_problem, mu_bar=1, mu_hat=0.1),
                        discretize, config, default_refine, mu=1,
-                       max_levels=max_levels).run(('h', 'eta_df', 'eta'))
+                       max_levels=max_levels,
+                       paper_convention=paper_convention).run(('h', 'eta_df', 'eta'))
     print()
     print("Table 3 (mu_bar=mu_hat=0.1):")
     StationaryEocStudy(partial(init_grid_and_problem, mu_bar=0.1, mu_hat=0.1),
                        discretize, config, default_refine, mu=1,
-                       max_levels=max_levels).run(('h', 'elliptic_mu_bar', 'eta_nc', 'eta'))
+                       max_levels=max_levels,
+                       paper_convention=paper_convention).run(
+                           ('h', 'elliptic_mu_bar', 'eta_nc', 'eta'))
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    main(paper_convention='--paper' in sys.argv)

