@@ -87,3 +87,20 @@ def test_sharded_corrector_matches_unsharded():
                                                 current_solution=U0, mesh=sm))
     assert np.abs(W_ref).max() > 1e-3         # nontrivial corrections
     assert np.abs(W_ref - W_sh).max() <= 1e-8 * np.abs(W_ref).max()
+
+
+@pytest.mark.slow
+def test_two_process_jax_distributed_smoke():
+    """The multi-host entry point (initialize_distributed ->
+    jax.distributed.initialize) proven off-mesh: two local CPU processes,
+    cross-process allgather + shard_map psum (VERDICT round-1 item 10;
+    <-> ref mpitest.py comm-semantics-on-a-small-real-world strategy)."""
+    import pathlib
+    import subprocess
+    import sys
+    script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / \
+        "distributed_smoke.py"
+    out = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "distributed smoke: OK" in out.stdout

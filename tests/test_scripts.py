@@ -43,6 +43,85 @@ def test_decomp_script_regression(capsys):
     assert np.linalg.norm(df_) == pytest.approx(vals["eta_df"], rel=1e-8)
 
 
+def _triple(d, mu):
+    U = d.solve(mu)
+    eta, (nc, r, df), _ = d.estimate(U, mu, decompose=True)
+    return [float(np.linalg.norm(x)) for x in (nc, r, df)] + [float(eta)]
+
+
+def test_thermalblock_golden():
+    """Self-golden regression for thermalblock [4,4] (VERDICT round-1
+    item 8: golden breadth beyond the single OS2015 config)."""
+    from pylrbms_tpu.problems.thermalblock import init_grid_and_problem as tb
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = tb({'num_subdomains': [4, 4],
+              'half_num_fine_elements_per_subdomain_and_dim': 1,
+              'num_refinements': 1})
+    d, _ = discretize(gpd)
+    vals = _triple(d, d.parse_parameter([1.0, 0.1, 0.3, 1.0]))
+    for v, g in zip(vals, (1.942884e-01, 5.775504e-03, 6.137637e-02,
+                           5.712534e-01)):
+        assert v == pytest.approx(g, rel=1e-5), (vals,)
+
+
+def test_os2015_quad_family_golden():
+    """Self-golden for the quad (Yasp/Q1) grid family."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = os2015({'num_subdomains': [4, 4],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1, 'grid_type': 'quad'})
+    d, _ = discretize(gpd)
+    vals = _triple(d, d.parse_parameter(1.))
+    for v, g in zip(vals, (6.490054e-05, 8.496632e-03, 3.357390e-02,
+                           4.002763e-02)):
+        assert v == pytest.approx(g, rel=1e-4, abs=1e-12), (vals,)
+
+
+def test_channels_parabolic_golden():
+    """Self-golden for the parabolic artificial-channels pipeline (implicit
+    Euler + parabolic estimator with elliptic reconstruction)."""
+    from pylrbms_tpu.problems.artificial_channels import init_grid_and_problem as ch
+    from pylrbms_tpu.discretize_parabolic_block_swipdg import discretize as pdisc
+    gpd = ch({'num_subdomains': [2, 2],
+              'half_num_fine_elements_per_subdomain_and_dim': 1,
+              'num_refinements': 1})
+    im, _ = pdisc(gpd, T=1.0, nt=8)
+    mu = im.parse_parameter({'switch': 0.1, '_t': 0.0})
+    U = im.solve(mu)
+    est, parts = im.estimate(U, mu)
+    assert float(est) == pytest.approx(2.275404e-01, rel=1e-5)
+    goldens = (9.237918e-04, 1.007213e-01, 5.859737e-03, 4.036123e-02,
+               8.016293e-02)
+    for p, g in zip(parts, goldens):
+        assert float(np.linalg.norm(np.asarray(p))) == pytest.approx(
+            g, rel=1e-4), (g,)
+
+
+def test_max_discretization_error_anchors():
+    """Anchors in the role of the reference's documented max discretization
+    errors (``online_adaptive_lrbms.py:49-53``, BASELINE.md rows 4-6):
+    eta at mu = parameter_range[0] for three configs, locked against our
+    own build."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    from pylrbms_tpu.problems.local_thermalblock import \
+        init_grid_and_problem as ltb
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    anchors = (
+        (os2015, [4, 4], 1.296416e-02),
+        (os2015, [6, 6], 3.683152e-03),
+        (ltb, [6, 6], 3.507750e-03),
+    )
+    for init, subs, golden in anchors:
+        gpd = init({'num_subdomains': subs,
+                    'half_num_fine_elements_per_subdomain_and_dim': 2,
+                    'num_refinements': 1})
+        d, _ = discretize(gpd)
+        mu = d.parse_parameter(gpd['parameter_range'][0])
+        eta = float(d.estimate(d.solve(mu), mu))
+        assert eta == pytest.approx(golden, rel=1e-5), (subs, eta, golden)
+
+
 def test_golden_gap_attribution():
     """Reference golden-triple reconciliation (VERDICT round-1 item 2):
     at the reference's effective mesh (s = 2*half fine cells per subdomain
