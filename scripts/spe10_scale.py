@@ -21,7 +21,17 @@ enable_compile_cache()
 
 
 def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
-         matrix_free=False, maxiter=600, two_level=False):
+         matrix_free=False, maxiter=600, two_level=False,
+         model_solver=False, coarse_space="harvested", coarse_modes=16,
+         precision=1e-6):
+    if model_solver:
+        # the production FOM path: d.solve -> _mf_solve with the FROZEN
+        # two-level preconditioner (block-Jacobi + modal/harvested coarse
+        # space, built once at the first theta) — the config the greedy and
+        # enrichment loops run at scale
+        return main_model_solver(kx, ky, half, nref, dtype, max_contrast,
+                                 maxiter, coarse_space, coarse_modes,
+                                 precision)
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)   # env-independent
     dt = getattr(jnp, dtype)
@@ -98,6 +108,49 @@ def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
           f"indicators finite: {bool(jnp.isfinite(ind).all())}")
 
 
+def main_model_solver(kx, ky, half, nref, dtype, max_contrast, maxiter,
+                      coarse_space, coarse_modes, precision):
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    dt = getattr(jnp, dtype)
+    cfg = {'num_subdomains': [kx, ky],
+           'half_num_fine_elements_per_subdomain_and_dim': half,
+           'num_refinements': nref}
+    t0 = time.perf_counter()
+    gpd = init_grid_and_problem(cfg, max_contrast=max_contrast)
+    d, _ = discretize(gpd, dtype=dt, lean=True)
+    jax.block_until_ready(d.op.A_diag)
+    print(f"grid: {gpd['grid'].num_elements} elements, {d.space.K} "
+          f"subdomains, {d.space.K * d.space.N} dofs; "
+          f"discretize {time.perf_counter() - t0:.1f}s")
+    opts = {"type": "mf_pcg", "precision": precision, "max_iter": maxiter,
+            "coarse_space": coarse_space, "coarse_modes": coarse_modes,
+            "return_iters": True}
+    mus = [0.5, 0.3, 0.7, 0.9, 0.2]
+    t0 = time.perf_counter()
+    mu0 = d.parse_parameter(mus[0])
+    U, it = d._mf_solve(d.theta(mu0), d.rhs(mu0), opts)
+    U.block_until_ready()
+    print(f"first solve (compile + harvest + freeze preconditioner): "
+          f"{time.perf_counter() - t0:.1f}s, {int(it)} iterations")
+    times = []
+    for m_ in mus:
+        mu = d.parse_parameter(m_)
+        th, b = d.theta(mu), d.rhs(mu)
+        t0 = time.perf_counter()
+        U, it = d._mf_solve(th, b, opts)
+        U.block_until_ready()
+        dt_s = time.perf_counter() - t0
+        A = d.op.assemble(th)
+        rel = float(jnp.linalg.norm((b - A.apply(U)).reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        times.append(dt_s)
+        print(f"  mu={m_}: solve {dt_s * 1e3:.0f} ms, {int(it)} iterations, "
+              f"relres {rel:.1e}")
+    print(f"median FOM solve ({coarse_space} m={coarse_modes}): "
+          f"{np.median(times) * 1e3:.0f} ms")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--subdomains", type=int, nargs=2, default=[16, 16])
@@ -108,6 +161,14 @@ if __name__ == "__main__":
     p.add_argument("--matrix-free", action="store_true")
     p.add_argument("--maxiter", type=int, default=600)
     p.add_argument("--two-level", action="store_true")
+    p.add_argument("--model-solver", action="store_true",
+                   help="time the production d.solve mf path (frozen "
+                        "two-level preconditioner)")
+    p.add_argument("--coarse-space", default="harvested",
+                   choices=["modal", "geneo", "harvested"])
+    p.add_argument("--coarse-modes", type=int, default=16)
+    p.add_argument("--precision", type=float, default=1e-6)
     a = p.parse_args()
     main(a.subdomains[0], a.subdomains[1], a.half, a.nref, a.dtype,
-         a.max_contrast, a.matrix_free, a.maxiter, a.two_level)
+         a.max_contrast, a.matrix_free, a.maxiter, a.two_level,
+         a.model_solver, a.coarse_space, a.coarse_modes, a.precision)

@@ -110,6 +110,7 @@ def test_operators_dict_view_and_caching():
     np.testing.assert_array_equal(np.asarray(U3), np.asarray(d.solve(mu)))
 
 
+@pytest.mark.slow
 def test_lean_discretize_positive_estimator():
     from pylrbms_tpu.problems.os2015 import init_grid_and_problem
     from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize

@@ -7,6 +7,7 @@ iterative refinement and evaluates the indicators in the widest dtype; this
 asserts it actually recovers accuracy an f32 step loses.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pylrbms_tpu.problems.os2015 import init_grid_and_problem
@@ -22,6 +23,7 @@ def _indicators(model, theta_dtype, mu, **step_kw):
     return np.asarray(ind)
 
 
+@pytest.mark.slow
 def test_certify_recovers_f32_indicator_accuracy():
     cfg = {"num_subdomains": [4, 4],
            "half_num_fine_elements_per_subdomain_and_dim": 4}
@@ -40,6 +42,7 @@ def test_certify_recovers_f32_indicator_accuracy():
     assert e_cert < 1e-4, e_cert
 
 
+@pytest.mark.slow
 def test_certify_noop_at_f64():
     cfg = {"num_subdomains": [2, 2],
            "half_num_fine_elements_per_subdomain_and_dim": 2}

@@ -34,6 +34,7 @@ def _solve_and_estimate(nref):
     return d, float(eta), (np.linalg.norm(nc), np.linalg.norm(r), np.linalg.norm(df)), l2_err
 
 
+@pytest.mark.slow
 def test_indicators_converge_at_expected_rate():
     # squared local quantities must scale ~h^2 (eta_* themselves O(h))
     _, eta1, (nc1, r1, df1), e1 = _solve_and_estimate(1)

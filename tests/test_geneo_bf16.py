@@ -126,6 +126,7 @@ def test_bf16_jacobi_iteration_cost_bounded():
     assert itb <= 1.10 * max(it0, 1), (itb, it0)
 
 
+@pytest.mark.slow
 def test_online_step_harvested_and_bf16_options():
     """make_online_step with coarse_space='harvested' + bf16 factors returns
     the same solution/indicators as the default path (moderate-contrast

@@ -110,6 +110,7 @@ def test_greedy_checkpoint_resume(tmp_path):
         assert np.allclose(b1, b2, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_pod_greedy_parabolic():
     """POD-greedy for the parabolic family (no reference counterpart — its
     ParabolicLRBMSReductor is a pass stub): the ROM trajectory converges to

@@ -66,6 +66,7 @@ def test_parabolic_reaches_steady_state():
     assert rel < 1e-5, f"parabolic solution must approach the elliptic one, rel={rel}"
 
 
+@pytest.mark.slow
 def test_parabolic_estimator_runs_on_channels():
     gpd = channels({'num_subdomains': [2, 2],
                     'half_num_fine_elements_per_subdomain_and_dim': 1,
@@ -81,6 +82,7 @@ def test_parabolic_estimator_runs_on_channels():
     assert float(est) > 0
 
 
+@pytest.mark.slow
 def test_stationary_eoc_study_smoke(capsys):
     from pylrbms_tpu.EOC import StationaryEocStudy, default_refine
     study = StationaryEocStudy(
@@ -130,6 +132,7 @@ def test_paper_convention_eoc_first_order_and_constant_efficiency():
     assert all(e < 1.0 for e in effs), "eta must dominate the energy error"
 
 
+@pytest.mark.slow
 def test_projected_parabolic_rom_estimate_matches_reconstruction():
     from pylrbms_tpu.reductor import ParabolicLRBMSReductor
     gpd = channels({'num_subdomains': [2, 2],

@@ -42,6 +42,7 @@ def test_local_thermalblock():
     _run(gpd, 1.2)
 
 
+@pytest.mark.slow
 def test_artificial_channels_elliptic():
     from pylrbms_tpu.problems.artificial_channels import init_grid_and_problem
     gpd = init_grid_and_problem(CFG)

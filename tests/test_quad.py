@@ -45,6 +45,7 @@ def test_quad_operator_spd():
     assert w.min() > 0
 
 
+@pytest.mark.slow
 def test_quad_exact_solution_convergence():
     """u = cos(pi x/2) cos(pi y/2) is exact at mu=1; expect O(h^2) in L2."""
     errs = []
@@ -131,6 +132,7 @@ def test_quad_online_enrichment_reaches_fom_floor():
     assert eta_final <= 1.01 * eta_fom, (eta_final, eta_fom)
 
 
+@pytest.mark.slow
 def test_quad_parabolic_and_eoc():
     import math
     from pylrbms_tpu.problems.artificial_channels import \
@@ -180,6 +182,7 @@ def test_quad_matrix_free_stencil_matches_dense():
     assert relres < 1e-10
 
 
+@pytest.mark.slow
 def test_quad_positive_form_matches_matrix_form():
     """local_quantities_positive == local_quantities (same quadrature)."""
     gpd, m, data = _setup(half=2)

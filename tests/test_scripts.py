@@ -78,6 +78,7 @@ def test_os2015_quad_family_golden():
         assert v == pytest.approx(g, rel=1e-4, abs=1e-12), (vals,)
 
 
+@pytest.mark.slow
 def test_channels_parabolic_golden():
     """Self-golden for the parabolic artificial-channels pipeline (implicit
     Euler + parabolic estimator with elliptic reconstruction)."""
@@ -98,6 +99,7 @@ def test_channels_parabolic_golden():
             g, rel=1e-4), (g,)
 
 
+@pytest.mark.slow
 def test_max_discretization_error_anchors():
     """Anchors in the role of the reference's documented max discretization
     errors (``online_adaptive_lrbms.py:49-53``, BASELINE.md rows 4-6):
@@ -168,14 +170,50 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-12)
 
 
-def test_vtu_writer(tmp_path):
+def test_vtu_writer_and_model_visualize(tmp_path):
+    """VTU output as a first-class artifact: structural + content
+    assertions (point/cell counts, value round-trip), and the model-level
+    entry point (<-> the reference's ``d.visualize``, ``mpi_elliptic.py:58``)."""
+    import re
     from pylrbms_tpu.grid import make_grid
     from pylrbms_tpu.ops.spaces import BlockDGSpace
     from pylrbms_tpu.utils.vtk import write_dg_vtu
-    import numpy as np
     grid = make_grid(((0, 0), (1, 1)), [2, 2], 1, num_refinements=0)
     space = BlockDGSpace(grid, order=1)
-    U = np.ones((space.K, space.N))
+    rng = np.random.default_rng(5)
+    U = rng.normal(size=(space.K, space.N))
     f = write_dg_vtu(space, U, str(tmp_path / "u"))
     text = open(f).read()
-    assert "<VTKFile" in text and "VTK_TRIANGLE" not in text and 'Name="u"' in text
+    assert "<VTKFile" in text and 'Name="u"' in text
+    # content: the scalar field round-trips exactly, counts are consistent
+    n_pts = space.K * space.N
+    n_cells = n_pts // space.nb
+    m = re.search(r'NumberOfPoints="(\d+)" NumberOfCells="(\d+)"', text)
+    assert m and (int(m.group(1)), int(m.group(2))) == (n_pts, n_cells)
+    field = re.search(r'Name="u" format="ascii">\n([\s\S]*?)</DataArray>',
+                      text).group(1)
+    vals = np.fromstring(field, sep=" ")
+    np.testing.assert_allclose(np.sort(vals), np.sort(U.reshape(-1)),
+                               rtol=0, atol=0)
+    conn = re.search(r'Name="connectivity" format="ascii">\n([\s\S]*?)'
+                     r'</DataArray>', text).group(1)
+    conn = np.fromstring(conn, sep=" ", dtype=np.int64)
+    assert conn.min() >= 0 and conn.max() == n_pts - 1
+    assert conn.size == n_cells * space.nb
+
+    # model-level entry point (solution of a real solve)
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 0})
+    d, _ = discretize(gpd)
+    Usol = d.solve(d.parse_parameter(1.))
+    f2 = d.visualize(Usol, str(tmp_path / "sol"))
+    text2 = open(f2).read()
+    field2 = re.search(r'Name="u" format="ascii">\n([\s\S]*?)</DataArray>',
+                       text2).group(1)
+    vals2 = np.fromstring(field2, sep=" ")
+    # the max nodal value of the OS2015 solution at mu=1 is ~u(0,0)=1
+    assert 0.5 < vals2.max() < 1.5
+    assert np.isfinite(vals2).all()

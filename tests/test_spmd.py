@@ -51,6 +51,7 @@ def test_spmd_pcg_multiple_rows_per_shard():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_matrixfree_solve_gspmd_sharded_matches_unsharded():
     """Matrix-free two-level solve with the stencil arrays GSPMD-sharded
     over the K axis == unsharded (XLA inserts the halo collectives)."""
