@@ -248,17 +248,31 @@ class AssembledBlockOp:
     def coarse_matrix_general(self, C) -> jnp.ndarray:
         """Galerkin coarse matrix on an arbitrary per-subdomain coarse basis
         C [K, N, m]: Ac[(k,i),(k',j)] = C_k[:,i]^T A_{kk'} C_k'[:,j]
-        ([K*m, K*m]).  With m > 1 (constants + linears,
-        :func:`coarse_modes_basis`) the coarse level also damps the smooth
-        linear error components — measured 91 -> 47 CG iterations at the
-        bench config vs the constants-only level."""
+        ([K*m, K*m]).  Computed block-sparsely from the diagonal blocks and
+        the interface strips — the dense [K*m, K, N] basis embedding the
+        naive version materializes is ~4 GB at SPE10 scale (K=256, m=19,
+        f64) and would not fit next to the operator."""
+        st = self.static
+        C = jnp.asarray(C, self.A_diag.dtype)
         K, N, m = C.shape
-        kk = jnp.repeat(jnp.arange(K), m)
-        mm = jnp.tile(jnp.arange(m), K)
-        Cg = jnp.zeros((K * m, K, N), C.dtype)
-        Cg = Cg.at[jnp.arange(K * m), kk, :].set(C[kk, :, mm])
-        AC = self.apply(Cg)                           # [K*m, K, N]
-        return jnp.einsum("ikn,jkn->ij", Cg, AC)
+        diag = jnp.einsum("kni,knl,klj->kij", C, self.A_diag, C)   # [K,m,m]
+        Ac = jnp.zeros((K, K, m, m), C.dtype)
+        Ac = Ac.at[jnp.arange(K), jnp.arange(K)].set(diag)
+        sr = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
+
+        def add(Ac, Cstrip, k_out, k_in, rows_out, rows_in):
+            if k_out.size == 0:
+                return Ac
+            Co = C[k_out][:, rows_out, :]              # [E, s, nb, m]
+            Ci = C[k_in][:, rows_in, :]
+            blk = jnp.einsum("esai,esab,esbj->eij", Co, Cstrip, Ci)
+            return Ac.at[k_out, k_in].add(blk)
+
+        Ac = add(Ac, self.C_R_io, st.left_k, st.right_k, sr["right"], sr["left"])
+        Ac = add(Ac, self.C_R_oi, st.right_k, st.left_k, sr["left"], sr["right"])
+        Ac = add(Ac, self.C_U_io, st.low_k, st.up_k, sr["top"], sr["bottom"])
+        Ac = add(Ac, self.C_U_oi, st.up_k, st.low_k, sr["bottom"], sr["top"])
+        return Ac.transpose(0, 2, 1, 3).reshape(K * m, K * m)
 
     @hp
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
@@ -512,8 +526,10 @@ def prepare_coarse(A: "AssembledBlockOp", C):
     Ad = np.asarray(A.A_diag, np.float64)
     e = np.einsum("knm,knj,kmj->kj", Ad, C, C)                  # [K, m]
     C = C / np.sqrt(np.maximum(np.abs(e), 1e-300))[:, None, :]
-    Ac = np.asarray(A.coarse_matrix_general(jnp.asarray(C, A.A_diag.dtype)),
-                    np.float64)
+    # one jitted call, operator as pytree argument (remote-compile safe)
+    Ac = np.asarray(
+        jax.jit(hp(lambda A_, C_: A_.coarse_matrix_general(C_)))(
+            A, jnp.asarray(C, A.A_diag.dtype)), np.float64)
     sd = 1.0 / np.sqrt(np.maximum(np.abs(np.diag(Ac)), 1e-300))
     inv = np.linalg.inv(0.5 * (Ac + Ac.T) * sd[:, None] * sd[None, :])
     inv = inv * sd[:, None] * sd[None, :]
@@ -557,9 +573,12 @@ def harvested_coarse_basis(A: "AssembledBlockOp", factors, space,
     c = (bnd - a) / 2.0
 
     @_jax.jit
-    def filt(V, Ainv):
+    def filt(V, Ainv, A_):
+        # A_ rides in as a pytree ARGUMENT — closure capture would embed
+        # the operator tensors as HLO constants (breaks remote compilation
+        # at SPE10 scale: HTTP 413 request-size limit)
         def pa(X):
-            return jnp.einsum("knm,vkm->vkn", Ainv, A.apply(X))
+            return jnp.einsum("knm,vkm->vkn", Ainv, A_.apply(X))
 
         Y = (pa(V) - e * V) / c
 
@@ -574,7 +593,7 @@ def harvested_coarse_basis(A: "AssembledBlockOp", factors, space,
     V = jnp.asarray(rng.normal(size=(n_harvest, K, N)), A.A_diag.dtype)
     Ainv = jnp.asarray(factors, A.A_diag.dtype)
     for _ in range(rounds):
-        V = filt(V, Ainv)
+        V = filt(V, Ainv, A)
         Q, _ = np.linalg.qr(np.asarray(V, np.float64).reshape(n_harvest, -1).T)
         V = jnp.asarray(Q.T.reshape(n_harvest, K, N), A.A_diag.dtype)
     cols = [np.moveaxis(np.asarray(V, np.float64), 0, -1)]       # [K, N, nh]
