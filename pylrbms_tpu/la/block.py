@@ -278,7 +278,8 @@ class AssembledBlockOp:
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-12, maxiter: int = 2000,
                   factors=None, two_level: bool = False,
                   coarse_inv=None, coarse_basis=None,
-                  return_iters: bool = False) -> jnp.ndarray:
+                  return_iters: bool = False,
+                  coarse_f32: bool = False) -> jnp.ndarray:
         """Block-Jacobi preconditioned CG (symmetric SWIPDG); optionally with
         an additive coarse level (``two_level`` builds the subdomain-constant
         one from this operator; ``coarse_inv`` passes a prebuilt inverse —
@@ -305,7 +306,13 @@ class AssembledBlockOp:
             # contrast) but the OPERATOR dtype when wider — at SPE10-scale
             # contrast (~1e6) an f32 coarse apply has no correct digits and
             # makes CG diverge (measured; see prepare_coarse)
-            cdt = (jnp.float32 if self.A_diag.dtype == jnp.float32
+            # coarse_f32: with a prepare_coarse-conditioned space the f32
+            # apply costs ~3% extra iterations even at contrast 1e6 but
+            # avoids the f64-emulated [K*m, K*m] matvec stream on TPU (the
+            # measured wall-time bound of the harvested space at SPE10
+            # scale: m=19 streams 190 MB/iteration in emulated f64)
+            cdt = (jnp.float32 if (self.A_diag.dtype == jnp.float32
+                                   or coarse_f32)
                    else self.A_diag.dtype)
             C32 = coarse_inv.astype(cdt)
             if coarse_basis is not None:

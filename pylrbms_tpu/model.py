@@ -222,16 +222,78 @@ class StationaryBlockModel:
         coarse_modes = int(options.get("coarse_modes", 16))
         coarse_space = options.get("coarse_space", "harvested")
         return_iters = bool(options.get("return_iters", False))
-        key = (float(tol), int(maxiter), bool(two_level), coarse_modes,
-               coarse_space, return_iters)
+        # mixed-precision refinement (accelerator default for f64 models at
+        # MODERATE contrast): the Krylov iteration runs entirely in f32 —
+        # native-speed stencil matvecs instead of ~10x-slower f64-EMULATED
+        # ones — and f64 enters only through residual recomputation between
+        # restarts (solve_refined's scheme applied to the stencil path).
+        # The f32 matvec noise floor is ~eps_f32 * coefficient contrast, so
+        # past contrast ~1e4 the inner solve cannot converge (measured:
+        # stalls at relres 6e-3 at contrast 1e6) — the auto default checks
+        # the operator's diagonal span and keeps emulated-f64 Krylov at
+        # extreme (SPE10) contrast.
         cache = self._mf_jit_cache
+        mixed = options.get("mixed")
+        if mixed is None:
+            mixed = (self.op.A_diag.dtype == jnp.float64
+                     and jax.default_backend() != "cpu")
+            if mixed:
+                contrast = cache.get("diag_contrast")
+                if contrast is None:
+                    dvec = np.abs(np.asarray(jnp.diagonal(
+                        self.op.A_diag[0], axis1=-2, axis2=-1)))
+                    contrast = float(dvec.max() / max(dvec.min(), 1e-300))
+                    cache["diag_contrast"] = contrast
+                mixed = contrast < 1e4
+        mixed = bool(mixed)
+        key = (float(tol), int(maxiter), bool(two_level), coarse_modes,
+               coarse_space, return_iters, mixed)
         if key not in cache:
-            @jax.jit
-            @hp
-            def _solve(sop_, theta, b, bf, C, ci):
-                return sop_.assemble(theta).solve_pcg(
-                    b, tol=tol, maxiter=maxiter, block_factors=bf,
-                    coarse_inv=ci, coarse_basis=C, return_iters=return_iters)
+            if mixed:
+                rounds = int(options.get("mixed_rounds", 4))
+                inner_tol = float(options.get("mixed_inner_tol", 1e-5))
+
+                @jax.jit
+                @hp
+                def _solve(sop_, sop32_, theta, b, bf, C, ci):
+                    f32 = jnp.float32
+                    A64 = sop_.assemble(theta)
+                    A32 = sop32_.assemble(theta.astype(f32))
+                    bf32 = bf.astype(f32)
+                    C32 = None if C is None else C.astype(f32)
+                    ci32 = None if ci is None else ci.astype(f32)
+                    bn = jnp.linalg.norm(b.reshape(-1))
+
+                    def cond(st):
+                        x, it, rd = st
+                        r = jnp.linalg.norm((b - A64.apply(x)).reshape(-1))
+                        return jnp.logical_and(r > tol * bn, rd < rounds)
+
+                    def body(st):
+                        x, it, rd = st
+                        r64 = b - A64.apply(x)
+                        dx, k = A32.solve_pcg(
+                            r64.astype(f32), tol=inner_tol, maxiter=maxiter,
+                            block_factors=bf32, coarse_inv=ci32,
+                            coarse_basis=C32, return_iters=True)
+                        return (x + dx.astype(b.dtype), it + k, rd + 1)
+
+                    x, it, _ = jax.lax.while_loop(
+                        cond, body, (jnp.zeros_like(b), 0, 0))
+                    return (x, it) if return_iters else x
+            else:
+                @jax.jit
+                @hp
+                def _solve(sop_, sop32_, theta, b, bf, C, ci):
+                    # coarse apply in f32 — safe with the prepare_coarse-
+                    # conditioned space (measured +3% iterations at
+                    # contrast 1e6) and avoids the f64-emulated [K*m, K*m]
+                    # stream that was the wall-time bound of wide coarse
+                    # spaces at scale
+                    return sop_.assemble(theta).solve_pcg(
+                        b, tol=tol, maxiter=maxiter, block_factors=bf,
+                        coarse_inv=ci, coarse_basis=C,
+                        return_iters=return_iters, coarse_f32=True)
             cache[key] = _solve
         # preconditioner frozen at the first theta (see docstring)
         Pkey = ("precond", bool(two_level), coarse_space, coarse_modes)
@@ -255,7 +317,15 @@ class StationaryBlockModel:
             pre = (bf, C, ci)
             cache[Pkey] = pre
         bf, C, ci = pre
-        return cache[key](sop, theta, b, bf, C, ci)
+        sop32 = None
+        if mixed:
+            sop32 = cache.get("sop32")
+            if sop32 is None:
+                from .ops.matrixfree import StencilOperator
+                sop32 = StencilOperator(self.space, jax.tree.map(
+                    lambda a: a.astype(jnp.float32), sop.stencils))
+                cache["sop32"] = sop32
+        return cache[key](sop, sop32, theta, b, bf, C, ci)
 
     @hp
     def estimate(self, U, mu, decompose: bool = False,

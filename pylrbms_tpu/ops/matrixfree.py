@@ -210,7 +210,8 @@ class AssembledStencil:
     def solve_pcg(self, b: jnp.ndarray, tol: float = 1e-10, maxiter: int = 3000,
                   factors=None, block_factors=None,
                   coarse_inv=None, coarse_basis=None,
-                  return_iters: bool = False) -> jnp.ndarray:
+                  return_iters: bool = False,
+                  coarse_f32: bool = False) -> jnp.ndarray:
         """Matrix-free PCG.
 
         Preconditioner: cell-block Jacobi by default; pass ``block_factors``
@@ -250,7 +251,8 @@ class AssembledStencil:
             # f32 coarse apply only when the Krylov space itself is f32; at
             # SPE10-scale contrast an f32 coarse solve has no correct digits
             # and breaks CG (measured — la/block.py prepare_coarse)
-            cdt = jnp.float32 if b.dtype == jnp.float32 else b.dtype
+            cdt = (jnp.float32 if (b.dtype == jnp.float32 or coarse_f32)
+                   else b.dtype)
             C32 = coarse_inv.astype(cdt)
             if coarse_basis is not None:
                 Cb = coarse_basis.astype(cdt)

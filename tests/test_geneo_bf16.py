@@ -198,3 +198,32 @@ def test_mf_solve_harvested_matches_dense():
     U2_dense = d.solve(mu2, inverse_options={"type": "dense"})
     np.testing.assert_allclose(np.asarray(U2), np.asarray(U2_dense),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_mixed_refinement_matches_dense_and_guards_contrast(hc_model):
+    """Mixed-precision matrix-free refinement (f32 Krylov + f64 residual
+    recomputation): matches the dense solve at moderate contrast; the auto
+    default keeps emulated-f64 Krylov at extreme contrast where the f32
+    matvec noise floor (~eps_f32 * contrast) blocks convergence."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    gpd = os2015({'num_subdomains': [4, 4],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 2})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(0.6)
+    U_ref = d.solve(mu, inverse_options={"type": "dense"})
+    U_mx, it = d._mf_solve(d.theta(mu), d.rhs(mu),
+                           {"precision": 1e-10, "mixed": True,
+                            "coarse_modes": 4, "return_iters": True})
+    err = float(jnp.abs(U_mx - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < 1e-8, err
+    # auto-mixed must stay OFF at SPE10-scale contrast: the diagonal-span
+    # estimate the auto default uses must classify this as high contrast
+    hc = hc_model
+    dvec = np.abs(np.asarray(jnp.diagonal(hc.op.A_diag[0],
+                                          axis1=-2, axis2=-1)))
+    assert float(dvec.max() / dvec.min()) > 1e4
+    # ... and classify the moderate-contrast OS2015 operator as mixable
+    dvec2 = np.abs(np.asarray(jnp.diagonal(d.op.A_diag[0],
+                                           axis1=-2, axis2=-1)))
+    assert float(dvec2.max() / dvec2.min()) < 1e4
