@@ -75,10 +75,20 @@ def test_solver_post_check_detects_failure():
     d.solve(mu, inverse_options={'type': 'pcg', 'precision': 1e-10,
                                  'max_iter': 400,
                                  'post_check_solves_system': 1e-5})
-    # starved iteration budget must be caught
+    # starved iteration budget: by default the robust fallback RECOVERS
+    # (failure detection with recovery — the reference's check only aborts)
+    U = d.solve(mu, inverse_options={'type': 'pcg', 'precision': 1e-12,
+                                     'max_iter': 1,
+                                     'post_check_solves_system': 1e-8})
+    import jax.numpy as jnp
+    A, b = d.assemble(mu), d.rhs(mu)
+    rel = float(jnp.linalg.norm((b - A.apply(U)).reshape(-1))
+                / jnp.linalg.norm(b.reshape(-1)))
+    assert rel < 1e-8, rel
+    # with the fallback disabled the failure must be raised
     with pytest.raises(SolverError):
         d.solve(mu, inverse_options={'type': 'pcg', 'precision': 1e-12,
-                                     'max_iter': 1,
+                                     'max_iter': 1, 'fallback': False,
                                      'post_check_solves_system': 1e-8})
 
 
