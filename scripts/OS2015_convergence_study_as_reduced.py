@@ -30,8 +30,9 @@ def discretize_reduced(grid_and_problem_data):
         def solve(self, mu):
             return rd.solve(mu)
 
-        def estimate(self, u, mu, decompose=False):
-            return rd.estimate(u, mu, decompose=decompose)
+        def estimate(self, u, mu, decompose=False, paper_convention=False):
+            return rd.estimate(u, mu, decompose=decompose,
+                               paper_convention=paper_convention)
 
     return _RdAdapter(), {'block_space': d.space, 'reductor': reductor,
                           'unblock': d.unblock}
@@ -43,12 +44,15 @@ config = {'num_subdomains': [2, 2],
           'grid_type': 'tri'}
 
 
-def main(max_levels=1):
-    print('OS2015 tables for the reduced model (snapshots at mu=1)')
+def main(max_levels=1, paper_convention=False):
+    print('OS2015 tables for the reduced model (snapshots at mu=1)'
+          + (' — paper convention' if paper_convention else ''))
     StationaryEocStudy(init_grid_and_problem, discretize_reduced, config,
-                       default_refine, mu=1, max_levels=max_levels).run(
+                       default_refine, mu=1, max_levels=max_levels,
+                       paper_convention=paper_convention).run(
         ('h', 'elliptic_mu_bar', 'eta_nc', 'eta_df', 'eta'))
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    main(paper_convention='--paper' in sys.argv)
