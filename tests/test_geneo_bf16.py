@@ -169,10 +169,12 @@ def test_batched_online_step_matches_singles():
                   jnp.asarray([[1.0]] * len(mus)),
                   {"diffusion": jnp.asarray([[m] for m in mus])})
     for i, (U, ind) in enumerate(singles):
+        # lock-step batched CG keeps iterating the already-converged
+        # queries until the slowest converges -> tiny extra refinement
         np.testing.assert_allclose(np.asarray(Ub[i]), np.asarray(U),
-                                   rtol=1e-10, atol=1e-12)
+                                   rtol=1e-7, atol=1e-11)
         np.testing.assert_allclose(np.asarray(indb[i]), np.asarray(ind),
-                                   rtol=1e-8, atol=1e-14)
+                                   rtol=1e-6, atol=1e-13)
 
 
 def test_mf_solve_harvested_matches_dense():
@@ -227,3 +229,27 @@ def test_mixed_refinement_matches_dense_and_guards_contrast(hc_model):
     dvec2 = np.abs(np.asarray(jnp.diagonal(d.op.A_diag[0],
                                            axis1=-2, axis2=-1)))
     assert float(dvec2.max() / dvec2.min()) < 1e4
+
+
+def test_batched_online_step_matrix_free_matches_singles():
+    """The bench's exact serving path: batched-mu + matrix-free stencil +
+    fixed two-level preconditioner, equal to single dispatches."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    from pylrbms_tpu.model import make_online_step
+    gpd = os2015({'num_subdomains': [4, 4],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1})
+    d, _ = discretize(gpd)
+    fn = make_online_step(d, tol=1e-9, maxiter=500, matrix_free=True)
+    mus = [0.2, 0.7]
+    singles = [fn(jnp.asarray([1.0, m]), jnp.asarray([1.0]),
+                  {"diffusion": jnp.asarray([m])}) for m in mus]
+    Ub, indb = fn(jnp.asarray([[1.0, m] for m in mus]),
+                  jnp.asarray([[1.0]] * len(mus)),
+                  {"diffusion": jnp.asarray([[m] for m in mus])})
+    for i, (U, ind) in enumerate(singles):
+        # lock-step batched CG refines already-converged queries further
+        np.testing.assert_allclose(np.asarray(Ub[i]), np.asarray(U),
+                                   rtol=1e-7, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(indb[i]), np.asarray(ind),
+                                   rtol=1e-6, atol=1e-13)
