@@ -142,8 +142,10 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
     stacked = _stack_mus(mus)
     chosen = [mus[i] for i in chosen_idx]
     solves = 0
+    from .utils.timers import GLOBAL_TIMINGS as _T
     for it in range(it0, max_extensions):
-        etas = np.asarray(batched_estimates(rd, stacked, criterion))
+        with _T.span('greedy: surrogate sweep'):
+            etas = np.asarray(batched_estimates(rd, stacked, criterion))
         sel = np.where(retired, -np.inf, etas)
         worst = int(np.argmax(sel))
         max_eta = float(etas[worst])
@@ -152,17 +154,20 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
                     f"training index {worst} (RB size {rd.solution_dim})")
         if max_eta <= target_error or retired.all():
             break
-        U = d.solve(mus[worst])
+        with _T.span('greedy: FOM snapshot solve'):
+            U = d.solve(mus[worst])
         solves += 1
         chosen.append(mus[worst])
         chosen_idx.append(worst)
         try:
-            red.extend_basis(U)
+            with _T.span('greedy: basis extension (GS)'):
+                red.extend_basis(U)
         except ExtensionError:
             logger.info(f"greedy: snapshot at index {worst} added nothing; retiring it")
             retired[worst] = True
             continue
-        rd = red.reduce()
+        with _T.span('greedy: re-reduction (projection)'):
+            rd = red.reduce()
         if checkpoint_path is not None:
             from .utils.checkpoint import save_greedy_state
             save_greedy_state(red, checkpoint_path, it=it + 1,
