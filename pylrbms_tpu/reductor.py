@@ -453,6 +453,75 @@ class LRBMSReductor:
 
         return jax.lax.fori_loop(0, nchunks, body, (Wk0, Tk0))
 
+    def _make_contract_fn(self):
+        """Jitted contraction-only projection: consumes CACHED neighborhood
+        image stacks (Wk [K, P, N], Tk [Q, K, P, Nrt]) instead of
+        recomputing the Oswald/flux applies of every basis column — the
+        incremental re-reduction's fast path (lean/at-scale tensors only)."""
+        d = self.d
+        st = d.op.static
+        side_rows = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
+        edges = (st.left_k, st.right_k, st.low_k, st.up_k)
+
+        @jax.jit
+        @hp
+        def _contract(op_arrays, ed_arrays, rhs_q, V, mask, Wk, Tk):
+            A_red, b_red, _ = LRBMSReductor._project(
+                op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
+                mask, side_rows, edges)
+            (E_bar, BB, M_aa, M_ab, d_vec, R_dd, _l2, _div) = ed_arrays
+            Vm = V * mask[:, :, None]
+            G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
+            BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
+            RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)
+            AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
+            ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
+            DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
+            return dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
+                        ABT=ABT, BBT=BBT, DV=DV, RD=RD,
+                        G_bb=None, G_Ab=None, G_AA=None)
+
+        return _contract
+
+    def _make_image_update_fn(self, r_max: int, ch: int):
+        """Jitted incremental image update for one (bucket, chunk) shape:
+        computes the Oswald/flux images of up to ``ch`` NEW basis columns
+        and scatters them into the cached neighborhood stacks."""
+        d = self.d
+        ed = d.estimator.data
+        K, N = d.space.K, d.space.N
+        lam_funcs = ed.lambda_funcs
+        oswald, flux = ed.oswald, ed.flux
+        kk = jnp.arange(K)
+
+        @jax.jit
+        @hp
+        def _update(V, mask, new_ids, Wk, Tk, rows_safe, valid_f):
+            # new_ids [ch]: ASCENDING global row ids (k*r_max + j), padded
+            # at the END with the sentinel K*r_max (keeps searchsorted valid)
+            sentinel = K * r_max
+            ok = new_ids < sentinel
+            rid = jnp.minimum(new_ids, sentinel - 1)
+            k_idx = rid // r_max
+            j_idx = rid % r_max
+            Vm = V * mask[:, :, None]
+            vals = Vm[k_idx, j_idx] * ok[:, None].astype(V.dtype)
+            B_chunk = jnp.zeros((ch, K, N), V.dtype)
+            B_chunk = B_chunk.at[jnp.arange(ch), k_idx].set(vals)
+            # slot membership: which (k, p) neighborhood slots hold new ids
+            pos = jnp.searchsorted(new_ids, rows_safe)           # [K, P]
+            pos = jnp.clip(pos, 0, ch - 1)
+            hit = (new_ids[pos] == rows_safe) & (valid_f > 0)
+            sel = hit[:, :, None].astype(Wk.dtype)
+            Wc = oswald.apply(B_chunk).astype(Wk.dtype)          # [ch, K, N]
+            Wk = Wk + Wc[pos, kk[:, None], :] * sel
+            for q, lf in enumerate(lam_funcs):
+                Tc = flux.apply(lf, B_chunk).astype(Tk.dtype)
+                Tk = Tk.at[q].add(Tc[pos, kk[:, None], :] * sel)
+            return Wk, Tk
+
+        return _update
+
     def _make_project_fn(self, with_gramians):
         """Build the jitted full-projection function.  Shape-polymorphic:
         jit retraces per r_max bucket; also used by the background bucket
@@ -521,7 +590,9 @@ class LRBMSReductor:
                 Wk, Tk = LRBMSReductor._patch_rows(
                     oswald, flux, lam_funcs, V * mask[:, :, None],
                     rows_safe, valid_f, wide, ch)
+                lean_images = (Wk, Tk)
             else:
+                lean_images = None
                 W_all = oswald.apply(B_all).astype(store)        # [R, K, N]
                 T_all = jnp.stack([
                     _map_rows(lambda blk, lf=lf: flux.apply(lf, blk)
@@ -573,6 +644,13 @@ class LRBMSReductor:
             out = dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
                        ABT=ABT, BBT=BBT, DV=DV, RD=RD,
                        G_bb=G_bb, G_Ab=G_Ab, G_AA=G_AA)
+            if lean_images is not None:
+                # expose the gathered image stacks so reduce() can cache
+                # them for INCREMENTAL re-reductions (enrichment adds a few
+                # columns; re-applying Oswald/flux to all K*r_max columns
+                # was the measured offline/online re-reduction bound at
+                # SPE10 scale — docs/results/spe10_greedy_tpu.txt)
+                out["_Wk"], out["_Tk"] = lean_images
             if parabolic:
                 # fully projected parabolic estimator tensors:
                 # BU_R = M^-1 A(mu) V c; F_R = M^-1 F;  needed for the
@@ -786,8 +864,11 @@ class LRBMSReductor:
             valid_j = put(valid_j, k0)
             with mesh.mesh:
                 out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
+            out.pop("_Wk", None), out.pop("_Tk", None)
         else:
-            out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
+            out = self._reduce_unsharded(fn, with_gramians, op_arrays,
+                                         ed_arrays, rhs_j, V, mask, rows_j,
+                                         valid_j, sizes, r_max)
         # overlap the NEXT bucket's compile with ongoing work (greedy /
         # enrichment grow r_max monotonically); accelerators only — on
         # CPU (tests) compiles are cheap and threads add noise.  The
@@ -796,6 +877,77 @@ class LRBMSReductor:
             self.prefetch_bucket(r_max + self.R_BUCKET, mesh=mesh)
 
         return self._build_reduced(out, sizes, r_max, nbhd_idx)
+
+    # incremental-update chunk ladder: few distinct compiled shapes
+    _UPD_CHUNKS = (8, 64, 512)
+
+    def _reduce_unsharded(self, fn, with_gramians, op_arrays, ed_arrays,
+                          rhs_j, V, mask, rows_j, valid_j, sizes, r_max):
+        """Unsharded projection with INCREMENTAL re-reduction: the cached
+        neighborhood image stacks (Wk/Tk) are updated only for basis
+        columns added since the previous reduce() — enrichment adds a few
+        columns per round, while re-applying Oswald/flux to all K*r_max
+        columns was the measured re-reduction bound at SPE10 scale
+        (docs/results/spe10_greedy_tpu.txt).  Bases are append-only
+        (extend_basis_local), so previously computed images stay valid;
+        bucket growth remaps the slot layout.  Falls back to the full
+        projection whenever the cache cannot be reused."""
+        K = self.d.space.K
+        lean = not (with_gramians
+                    or getattr(self, "parabolic_tensors", False))
+        cache = getattr(self, "_img_cache", None)
+        if (lean and cache is not None
+                and not getattr(self, "force_full_projection", False)
+                and cache["r_max"] <= r_max
+                and np.all(sizes >= cache["sizes"])):
+            Wk, Tk = cache["Wk"], cache["Tk"]
+            r_old = cache["r_max"]
+            if r_old < r_max:          # bucket grew: remap slot layout
+                def grow(X, axis):
+                    shp = list(X.shape)
+                    Xr = X.reshape(shp[:axis] + [9, r_old] + shp[axis + 1:])
+                    pad = [(0, 0)] * Xr.ndim
+                    pad[axis + 1] = (0, r_max - r_old)
+                    Xr = jnp.pad(Xr, pad)
+                    return Xr.reshape(shp[:axis] + [9 * r_max]
+                                      + shp[axis + 1:])
+                Wk, Tk = grow(Wk, 1), grow(Tk, 2)
+            new_rows = np.concatenate([
+                k * r_max + np.arange(cache["sizes"][k], sizes[k])
+                for k in range(K)]).astype(np.int64)
+            if not hasattr(self, "_upd_cache"):
+                self._upd_cache = {}
+            i = 0
+            while i < len(new_rows):
+                n = len(new_rows) - i
+                ch = next((c for c in self._UPD_CHUNKS if c >= n),
+                          self._UPD_CHUNKS[-1])
+                take = min(n, ch)
+                ids = np.full(ch, K * r_max, np.int64)   # end sentinel
+                ids[:take] = np.sort(new_rows[i:i + take])
+                ukey = (r_max, ch)
+                upd = self._upd_cache.get(ukey)
+                if upd is None:
+                    upd = self._make_image_update_fn(r_max, ch)
+                    self._upd_cache[ukey] = upd
+                Wk, Tk = upd(V, mask, jnp.asarray(ids), Wk, Tk,
+                             rows_j, valid_j)
+                i += take
+            contract = getattr(self, "_contract_fn", None)
+            if contract is None:
+                contract = self._make_contract_fn()
+                self._contract_fn = contract
+            out = contract(op_arrays, ed_arrays, rhs_j, V, mask, Wk, Tk)
+            self._img_cache = {"r_max": r_max, "sizes": sizes.copy(),
+                               "Wk": Wk, "Tk": Tk}
+            return out
+        out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
+        Wk = out.pop("_Wk", None)
+        Tk = out.pop("_Tk", None)
+        if lean and Wk is not None:
+            self._img_cache = {"r_max": r_max, "sizes": sizes.copy(),
+                               "Wk": Wk, "Tk": Tk}
+        return out
 
     def _build_reduced(self, out, sizes, r_max, nbhd_idx) -> "ReducedModel":
         ed = self.d.estimator.data

@@ -188,3 +188,54 @@ def test_bucket_prefetch_compiles_next_bucket():
     e_rom = float(rd2.estimate(c, mu))
     e_fom = float(d.estimate(U_rec, mu))
     assert abs(e_rom - e_fom) <= 1e-8 * abs(e_fom)
+
+
+def test_incremental_reduce_matches_full():
+    """Incremental re-reduction (cached Oswald/flux image stacks, only new
+    columns applied) must produce the same reduced tensors as the full
+    projection — including across a bucket-growth remap."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    from pylrbms_tpu.reductor import LRBMSReductor
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    rng = np.random.default_rng(7)
+
+    red = LRBMSReductor(d, order=0)
+    red.force_lean = True                  # exercise the at-scale lean path
+    red.prefetch_next = False
+    red.reduce()                           # seeds the image cache
+    assert getattr(red, "_img_cache", None) is not None
+
+    def check():
+        rd_inc = red.reduce()              # incremental (cache hit)
+        ref = LRBMSReductor(d, bases=[b.copy() for b in red.bases])
+        ref.force_lean = True
+        ref.prefetch_next = False
+        ref.force_full_projection = True
+        rd_full = ref.reduce()
+        for name in ("A_red", "b_red", "G_nc", "AA", "ABT", "BBT", "DV",
+                     "RD"):
+            a = np.asarray(getattr(rd_inc, name))
+            b = np.asarray(getattr(rd_full, name))
+            np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12,
+                                       err_msg=name)
+        mu = d.parse_parameter(0.6)
+        np.testing.assert_allclose(np.asarray(rd_inc.solve(mu)),
+                                   np.asarray(rd_full.solve(mu)),
+                                   rtol=1e-10, atol=1e-12)
+
+    # grow one subdomain by one vector -> incremental update of 1 column
+    red.extend_basis_local(1, rng.normal(size=(1, d.space.N)))
+    check()
+    # grow several subdomains at once (snapshot extension)
+    red.extend_basis(d.solve(d.parse_parameter(0.3)))
+    check()
+    # grow past the bucket boundary (r_max 4 -> 8): layout remap + update
+    red.extend_basis_local(0, rng.normal(size=(4, d.space.N)))
+    assert max(red.basis_sizes()) > 4
+    check()
