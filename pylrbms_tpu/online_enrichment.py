@@ -84,17 +84,22 @@ class AdaptiveEnrichment:
                         and self._corrector.mesh is None):
                     self._corrector.prefetch_buckets()
             marked_sorted = sorted(marked)
-            W = self._corrector.solve(marked_sorted, mu,
-                                      current_solution=u_full)
-            for i, ii in enumerate(marked_sorted):
-                try:
-                    self.reductor.extend_basis_local(ii, np.asarray(W[i]))
-                except ExtensionError:
-                    pass
+            from .utils.timers import GLOBAL_TIMINGS as _T
+            with _T.span('enrich: corrector solve'):
+                W = self._corrector.solve(marked_sorted, mu,
+                                          current_solution=u_full)
+            with _T.span('enrich: basis extension'):
+                for i, ii in enumerate(marked_sorted):
+                    try:
+                        self.reductor.extend_basis_local(ii, np.asarray(W[i]))
+                    except ExtensionError:
+                        pass
         else:
             for ii in sorted(marked):
                 self.reductor.enrich_local(ii, u, mu, current_solution=u_full)
-        self.rd = self.reductor.reduce()
+        from .utils.timers import GLOBAL_TIMINGS as _T2
+        with _T2.span('enrich: re-reduction'):
+            self.rd = self.reductor.reduce()
         for ii in range(self.block_space.K):
             age_count[ii] = 1 if ii in marked else age_count[ii] + 1
         return len(marked)
@@ -105,14 +110,17 @@ class AdaptiveEnrichment:
         age_count = np.ones(self.block_space.K)
         local_problem_solves = 0
         rb_size = self.rd.solution_dim
+        from .utils.timers import GLOBAL_TIMINGS as _T
         while True:
-            if hasattr(self.rd, "online_step"):
-                # one jitted dispatch per round (solve + localized estimate);
-                # compiled code reused across rounds within an r_max bucket
-                u, eta, indicators = self.rd.online_step(mu)
-            else:
-                u = self.rd.solve(mu)
-                eta, _, indicators = self.estimate(u, mu, decompose=True)
+            with _T.span('enrich: ROM online step'):
+                if hasattr(self.rd, "online_step"):
+                    # one jitted dispatch per round (solve + localized
+                    # estimate); compiled code reused across rounds within
+                    # an r_max bucket
+                    u, eta, indicators = self.rd.online_step(mu)
+                else:
+                    u = self.rd.solve(mu)
+                    eta, _, indicators = self.estimate(u, mu, decompose=True)
             eta = float(eta)
             if callback:
                 callback(self.rd, u, mu, {
