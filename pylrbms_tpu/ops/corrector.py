@@ -170,25 +170,41 @@ class BatchedCorrector:
             rz0 = dot(r0, z0)
             bnorm2 = dot(b, b)
             atol2 = (tol ** 2) * jnp.maximum(bnorm2, 1e-300)
+            act0 = jnp.ones((B,), bool)
 
             def cond(state):
-                x, r, z, p, rz, it = state
-                return jnp.logical_and(jnp.any(dot(r, r) > atol2), it < maxiter)
+                x, r, z, p, rz, it, act = state
+                return jnp.logical_and(
+                    jnp.any(act & (dot(r, r) > atol2)), it < maxiter)
 
             def body(state):
-                x, r, z, p, rz, it = state
+                # truncated CG with a negative-curvature FREEZE: at extreme
+                # intra-cell coefficient contrast the one-sided-penalty
+                # patch system can be (marginally) INDEFINITE — a batch
+                # element that encounters p^T A p <= 0 keeps its current
+                # iterate (standard truncated-CG safeguard).  The maxiter
+                # cap is the practical regularizer in that regime:
+                # uncapped CG grows unbounded junk along near-null
+                # directions (measured |W| 4e-2 -> 5e4 between maxiter 300
+                # and 3000 at SPE10 contrast) while the 2-norm residual
+                # oscillates — keep maxiter at the default O(300) for
+                # enrichment corrections.
+                x, r, z, p, rz, it, act = state
                 Ap = apply(p)
                 pAp = dot(p, Ap)
-                alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+                act = act & (pAp > 0)
+                step = act.astype(x.dtype)
+                alpha = step * rz / jnp.where(pAp > 0, pAp, 1.0)
                 x = x + alpha[:, None, None] * p
                 r = r - alpha[:, None, None] * Ap
                 z = M(r)
-                rzn = dot(r, z)
-                beta = jnp.where(rz > 0, rzn / jnp.where(rz > 0, rz, 1.0), 0.0)
-                p = z + beta[:, None, None] * p
-                return (x, r, z, p, rzn, it + 1)
+                rzn = jnp.where(act, dot(r, z), rz)
+                beta = step * rzn / jnp.where(rz > 0, rz, 1.0)
+                p = z * step[:, None, None] + beta[:, None, None] * p
+                return (x, r, z, p, rzn, it + 1, act)
 
-            x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, 0))
+            x, *_ = jax.lax.while_loop(cond, body,
+                                       (x0, r0, z0, z0, rz0, 0, act0))
             # slice each patch's own subdomain
             return x[jnp.arange(B), marked, :]             # [B, N]
 
