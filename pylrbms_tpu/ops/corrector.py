@@ -75,12 +75,33 @@ class BatchedCorrector:
         self.U = {nm: jnp.stack([getattr(c, "U_" + nm)
                                  for c in comps]).astype(cdt)
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
+        # at scale, apply the patch operator MATRIX-FREE: the global stencil
+        # apply on the masked field + strip corrections for patch-crossing
+        # faces (one-sided Dirichlet penalty replaces the global in_in /
+        # out_out) — ~10x cheaper per CG iteration than the dense-block
+        # scatter apply (the measured online-enrichment bound at SPE10
+        # scale).  Small problems keep the dense path (same compile, no
+        # stencil assembly needed); force_stencil is the test hook.
+        self.stencils = None
+        if (d.estimator is not None
+                and getattr(d.estimator.data, "lambda_funcs", None)
+                and K * sp.N > 32768):
+            self.stencils = jax.tree.map(lambda a: a.astype(cdt),
+                                         d.mf_operator().stencils)
         self._jit_cache = {}
 
+    def enable_stencil(self):
+        """Test hook: use the matrix-free patch apply at any scale."""
+        self.stencils = jax.tree.map(lambda a: a.astype(self.dtype),
+                                     self.d.mf_operator().stencils)
+        return self
+
     # ------------------------------------------------------------------
-    def _make_solver(self, B: int, tol: float, maxiter: int):
+    def _make_solver(self, B: int, tol: float, maxiter: int,
+                     use_stencil: bool = False):
         st = self.st
         K, N, s, nb = st.K, st.N, st.s, st.nb
+        space = self.d.space
         nbr = jnp.asarray(self.nbr)
         side_rows = self.side_rows
         pm_table = self.patch_mask_table
@@ -127,7 +148,40 @@ class BatchedCorrector:
                 z = jnp.zeros(update.shape[:-1] + (N,), update.dtype)
                 return z.at[..., rows].add(update)
 
-            def apply(x):                                  # x [B, K, N]
+            if use_stencil:
+                from .matrixfree import StencilOperator
+                sA = StencilOperator(space, arrays["stencils"]).assemble(theta)
+
+                def apply(x):                              # x [B, K, N]
+                    xm = x * pmask[:, :, None]
+                    y = sA.apply(xm)
+                    # patch-crossing faces: the global stencil applied the
+                    # in_in/out_out coupling penalty; the patch problem
+                    # wants the one-sided Dirichlet penalty instead
+                    def cross(y, Cin, Dfull, ks, ko, rows, fam_idx):
+                        if ks.size == 0:
+                            return y
+                        gate = (pmask[:, ks]
+                                * (1.0 - pmask[:, ko]))[:, :, None]  # [B,E,1]
+                        strip = Dfull[ks] - Cin                # [E, s, nb, nb]
+                        xs = xm[:, ks][..., rows].reshape(B, -1, s, nb)
+                        upd = jnp.einsum("efij,befj->befi", strip,
+                                         xs).reshape(B, -1, s * nb)
+                        return y.at[:, ks].add(gate * emb(upd, rows))
+
+                    y = cross(y, Rq["in_in"], D["right"], left_k, right_k,
+                              side_rows["right"], 0)
+                    y = cross(y, Rq["out_out"], D["left"], right_k, left_k,
+                              side_rows["left"], 1)
+                    y = cross(y, Uq["in_in"], D["top"], low_k, up_k,
+                              side_rows["top"], 2)
+                    y = cross(y, Uq["out_out"], D["bottom"], up_k, low_k,
+                              side_rows["bottom"], 3)
+                    return y * pmask[:, :, None]
+            else:
+                apply = None
+
+            def apply_dense(x):                            # x [B, K, N]
                 y = jnp.einsum("knm,bkm->bkn", A_loc, x)
                 for i, sd in enumerate(self.SIDES):
                     rows = side_rows[sd]
@@ -155,6 +209,9 @@ class BatchedCorrector:
                 y = couple(y, Uq["in_in"], Uq["in_out"], Uq["out_in"], Uq["out_out"],
                            low_k, up_k, side_rows["top"], side_rows["bottom"])
                 return y * pmask[:, :, None]
+
+            if not use_stencil:
+                apply = apply_dense
 
             def M(r):
                 return jnp.einsum("knm,bkm->bkn", Minv, r) * pmask[:, :, None]
@@ -222,20 +279,23 @@ class BatchedCorrector:
         import threading
 
         d = self.d
+        use_stencil = self.stencils is not None
         arrays = {"A_loc": self.A_loc}
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
+        if use_stencil:
+            arrays["stencils"] = self.stencils
         theta_c = jnp.ones((self.A_loc.shape[0],), self.dtype)
         rhs_c = jnp.zeros((d.space.K, d.space.N), self.dtype)
 
         def work():
             for B in buckets:
-                key = (B, tol, maxiter)
+                key = (B, tol, maxiter, use_stencil)
                 if key in self._jit_cache:
                     continue
                 try:
-                    sol = self._make_solver(B, tol, maxiter)
+                    sol = self._make_solver(B, tol, maxiter, use_stencil)
                     marked_j = jnp.zeros((B,), jnp.int64 if
                                          jax.config.jax_enable_x64
                                          else jnp.int32)
@@ -272,13 +332,17 @@ class BatchedCorrector:
         B = 1 << (n_marked - 1).bit_length()
         marked = np.asarray(marked + [marked[0]] * (B - n_marked),
                             dtype=np.int64)
-        key = (B, tol, maxiter)
+        use_stencil = self.stencils is not None
+        key = (B, tol, maxiter, use_stencil)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._make_solver(B, tol, maxiter)
+            self._jit_cache[key] = self._make_solver(B, tol, maxiter,
+                                                     use_stencil)
         arrays = {"A_loc": self.A_loc}
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
+        if use_stencil:
+            arrays["stencils"] = self.stencils
         theta_c = theta.astype(self.dtype)
         rhs_c = rhs_full.astype(self.dtype)
         marked_j = jnp.asarray(marked)

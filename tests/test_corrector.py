@@ -41,3 +41,29 @@ def test_batched_corrector_f_mode(fom):
     W = np.asarray(bc.solve([4], mu, mode="reference", tol=1e-12, maxiter=500))
     w_ref = np.asarray(d.solve_for_local_correction(4, None, mu, mode="reference"))
     assert np.abs(W[0] - w_ref).max() / np.abs(w_ref).max() < 1e-7
+
+
+def test_stencil_patch_apply_matches_dense():
+    """The matrix-free patch apply (global stencil on the masked field +
+    strip corrections for patch-crossing faces) equals the dense-block
+    patch apply — the at-scale corrector path, ~10x cheaper per CG
+    iteration."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    from pylrbms_tpu.ops.corrector import BatchedCorrector
+    gpd = init_grid_and_problem({'num_subdomains': [4, 3],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(0.6)
+    U0 = 0.4 * d.solve(mu)
+    marked = [0, 5, 11]
+    W_d = BatchedCorrector(d).solve(marked, mu, current_solution=U0,
+                                    tol=1e-12, maxiter=2000)
+    W_s = BatchedCorrector(d).enable_stencil().solve(
+        marked, mu, current_solution=U0, tol=1e-12, maxiter=2000)
+    assert float(jnp.abs(W_d).max()) > 1e-3
+    np.testing.assert_allclose(np.asarray(W_s), np.asarray(W_d),
+                               rtol=1e-9, atol=1e-12)
