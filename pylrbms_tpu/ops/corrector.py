@@ -119,10 +119,15 @@ class BatchedCorrector:
             Uq = {nm: jnp.einsum("q,qefij->efij", theta, arrays["U_" + nm])
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
 
-            pmask = pm_table[marked]                      # [B, K]
+            # masks in the SOLVE dtype: the table is f64 under x64, and a
+            # single f64 mask multiply promotes the whole CG loop to
+            # emulated f64 on TPU (measured 158 ms/iteration vs ~4 ms in
+            # f32 at SPE10 scale)
+            pmask = pm_table[marked].astype(theta.dtype)  # [B, K]
             # neighbor-inside-patch [B, K, 4]
             nbr_safe = jnp.where(nbr >= 0, nbr, 0)
-            nbr_in = jnp.where(nbr[None] >= 0, pmask[:, nbr_safe], 0.0)
+            nbr_in = jnp.where(nbr[None] >= 0, pmask[:, nbr_safe],
+                               jnp.zeros((), theta.dtype))
             # Dirichlet on side i of member k iff k in patch and neighbor not
             dir_mask = pmask[:, :, None] * (1.0 - nbr_in)               # [B, K, 4]
 
@@ -151,33 +156,61 @@ class BatchedCorrector:
             if use_stencil:
                 from .matrixfree import StencilOperator
                 sA = StencilOperator(space, arrays["stencils"]).assemble(theta)
+                ky, kx = st.ky, st.kx
 
                 def apply(x):                              # x [B, K, N]
                     xm = x * pmask[:, :, None]
                     y = sA.apply(xm)
                     # patch-crossing faces: the global stencil applied the
                     # in_in/out_out coupling penalty; the patch problem
-                    # wants the one-sided Dirichlet penalty instead
-                    def cross(y, Cin, Dfull, ks, ko, rows, fam_idx):
-                        if ks.size == 0:
-                            return y
-                        gate = (pmask[:, ks]
-                                * (1.0 - pmask[:, ko]))[:, :, None]  # [B,E,1]
-                        strip = Dfull[ks] - Cin                # [E, s, nb, nb]
-                        xs = xm[:, ks][..., rows].reshape(B, -1, s, nb)
-                        upd = jnp.einsum("efij,befj->befi", strip,
-                                         xs).reshape(B, -1, s * nb)
-                        return y.at[:, ks].add(gate * emb(upd, rows))
+                    # wants the one-sided Dirichlet penalty instead.
+                    # Everything is expressed on the [B, ky, kx, N] view
+                    # with contiguous SLICE updates — index-array scatters
+                    # (.at[:, ks]) were the measured per-iteration bound
+                    # (~160 ms/iter at SPE10 scale; slice form ~5 ms).
+                    xm4 = xm.reshape(B, ky, kx, N)
+                    pm4 = pmask.reshape(B, ky, kx)
+                    y4 = y.reshape(B, ky, kx, N)
 
-                    y = cross(y, Rq["in_in"], D["right"], left_k, right_k,
-                              side_rows["right"], 0)
-                    y = cross(y, Rq["out_out"], D["left"], right_k, left_k,
-                              side_rows["left"], 1)
-                    y = cross(y, Uq["in_in"], D["top"], low_k, up_k,
-                              side_rows["top"], 2)
-                    y = cross(y, Uq["out_out"], D["bottom"], up_k, low_k,
-                              side_rows["bottom"], 3)
-                    return y * pmask[:, :, None]
+                    def cross(y4, Cin, Dfull, rows, sl_in, sl_out, eshape):
+                        # sl_in/sl_out: slices of the inside/outside
+                        # subdomains on the [ky, kx] grid; eshape = edge
+                        # grid shape the [E, ...] strips reshape to
+                        gate = (pm4[(slice(None),) + sl_in]
+                                * (1.0 - pm4[(slice(None),) + sl_out]))
+                        strip = (Dfull.reshape(ky, kx, s, nb, nb)
+                                 [sl_in]
+                                 - Cin.reshape(eshape + (s, nb, nb)))
+                        xs = xm4[(slice(None),) + sl_in][..., rows] \
+                            .reshape((B,) + eshape + (s, nb))
+                        upd = jnp.einsum("yxfij,byxfj->byxfi", strip, xs)
+                        upd = gate[..., None] * upd.reshape(
+                            (B,) + eshape + (s * nb,))
+                        return y4.at[(slice(None),) + sl_in + (rows,)].add(upd)
+
+                    if kx > 1:
+                        y4 = cross(y4, Rq["in_in"], D["right"],
+                                   side_rows["right"],
+                                   (slice(None), slice(None, -1)),
+                                   (slice(None), slice(1, None)),
+                                   (ky, kx - 1))
+                        y4 = cross(y4, Rq["out_out"], D["left"],
+                                   side_rows["left"],
+                                   (slice(None), slice(1, None)),
+                                   (slice(None), slice(None, -1)),
+                                   (ky, kx - 1))
+                    if ky > 1:
+                        y4 = cross(y4, Uq["in_in"], D["top"],
+                                   side_rows["top"],
+                                   (slice(None, -1), slice(None)),
+                                   (slice(1, None), slice(None)),
+                                   (ky - 1, kx))
+                        y4 = cross(y4, Uq["out_out"], D["bottom"],
+                                   side_rows["bottom"],
+                                   (slice(1, None), slice(None)),
+                                   (slice(None, -1), slice(None)),
+                                   (ky - 1, kx))
+                    return y4.reshape(B, K, N) * pmask[:, :, None]
             else:
                 apply = None
 
