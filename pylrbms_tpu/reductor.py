@@ -203,11 +203,15 @@ class ReducedModel:
         neighborhood table, which never change for a given model)."""
         import dataclasses
         mu = self.parse_parameter(mu)
-        # the reduced system is N-independent and SMALL — at scale run it on
-        # the host CPU so the chip's HBM stays reserved for FOM-scale work
-        # (assembly, snapshots, correctors, projections); the reduced
-        # tensors are copied to host once per reduce()
+        # Optional CPU-hosting of the reduced step (reductor.host_online):
+        # OFF by default — the reduced tensors are small (~30 MB at SPE10
+        # scale) so HBM pressure is negligible, while the per-reduce
+        # device->host copy is expensive when the chip is REMOTE (measured
+        # ~12 s/enrichment round over the tunnel vs a 0.04 s on-device
+        # step).  Set reductor.host_online = True to host the step on CPU
+        # (e.g. local chips with tight HBM).
         use_cpu = (jax.default_backend() != "cpu"
+                   and bool(getattr(self.reductor, "host_online", False))
                    and len(self.sizes) * self.r_max >= 2048)
         if use_cpu:
             arrays = getattr(self, "_host_arrays", None)
