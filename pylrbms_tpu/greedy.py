@@ -34,6 +34,9 @@ class GreedyResult:
     fom_solves: int
 
 
+_SWEEP_JIT_CACHE: dict = {}
+
+
 def _stack_mus(mus):
     """list of parameter dicts -> dict of stacked arrays (leading axis B)."""
     keys = mus[0].keys()
@@ -57,22 +60,40 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
         # the reductor skipped the algebraic-residual Gramians at scale
         criterion = "residual_fom"
     if criterion == "residual_fom":
+        import dataclasses
         d = rd.d
         V = jnp.asarray(rd.reductor._padded_bases(rd.r_max))   # [K, r_max, N]
         sop = d.mf_operator()
         from .utils.precision import hp as _hp
         from .ops.matrixfree import StencilOperator
 
-        def one_direct(mu, V, stencils, rhs_q):
-            c = rd.solve(mu)
-            U = jnp.einsum("kr,krn->kn", c.astype(V.dtype), V)
-            theta = d.theta(mu)
-            b = jnp.einsum("q,qkn->kn", d.theta_f(mu), rhs_q)
-            r = b - StencilOperator(d.space, stencils).assemble(theta).apply(U)
-            return jnp.linalg.norm(r.reshape(-1))
+        # the compiled sweep is cached by SHAPES with the mu-dependent
+        # reduced tensors as ARGUMENTS (the online_step pattern): a fresh
+        # jit per greedy iteration re-traced the whole FOM-residual graph
+        # every time (~40 s/iteration at SPE10 scale vs a 4 s steady call)
+        arrays = {"A_red": rd.A_red, "b_red": rd.b_red}
+        key = (id(d), "residual_fom",
+               tuple(map(int, V.shape)), str(V.dtype),
+               tuple((n, tuple(map(int, a.shape)), str(a.dtype))
+                     for n, a in sorted(arrays.items())))
+        fn = _SWEEP_JIT_CACHE.get(key)
+        if fn is None:
+            skeleton = rd
 
-        fn = jax.jit(_hp(jax.vmap(one_direct, in_axes=(0, None, None, None))))
-        return fn(mus_stacked, V, sop.stencils, d.rhs_q)
+            def one_direct(arrays, mu, V, stencils, rhs_q):
+                rdt = dataclasses.replace(skeleton, **arrays)
+                c = rdt.solve(mu)
+                U = jnp.einsum("kr,krn->kn", c.astype(V.dtype), V)
+                theta = d.theta(mu)
+                b = jnp.einsum("q,qkn->kn", d.theta_f(mu), rhs_q)
+                r = b - StencilOperator(d.space, stencils).assemble(
+                    theta).apply(U)
+                return jnp.linalg.norm(r.reshape(-1))
+
+            fn = jax.jit(_hp(jax.vmap(
+                one_direct, in_axes=(None, 0, None, None, None))))
+            _SWEEP_JIT_CACHE[key] = fn
+        return fn(arrays, mus_stacked, V, sop.stencils, d.rhs_q)
 
     def one(mu):
         c = rd.solve(mu)
