@@ -54,7 +54,10 @@ def main(cfg=None):
     # 2.43 vs 2.61 ms/query over the modal space at this config
     fn = make_online_step(d, tol=1e-6, maxiter=400,
                           coarse_space="harvested", coarse_modes=12)
-    B = 16
+    # serving batch: per-query time amortizes with B (measured 2.5 / 1.5 /
+    # 1.0 ms at B=16/32/64 — the preconditioner HBM stream and dispatch are
+    # shared across the batch); B=64 is a realistic parameter-study batch
+    B = 64
     mus = np.linspace(0.1, 1.0, B)
     args = []
     for m_ in mus:
