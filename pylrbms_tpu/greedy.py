@@ -93,6 +93,23 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
             fn = jax.jit(_hp(jax.vmap(
                 one_direct, in_axes=(None, 0, None, None, None))))
             _SWEEP_JIT_CACHE[key] = fn
+        if mesh is not None:
+            # shard the training batch over the device mesh (the sweep is
+            # embarrassingly parallel in mu; model tensors replicate)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            n = mesh.devices.size
+            B = next(iter(mus_stacked.values())).shape[0]
+            pad = (-B) % n
+            if pad:
+                mus_stacked = {k: jnp.concatenate([v, v[:pad]])
+                               for k, v in mus_stacked.items()}
+            mus_stacked = {k: jax.device_put(v, NamedSharding(
+                mesh, P(*((axis,) + (None,) * (v.ndim - 1)))))
+                for k, v in mus_stacked.items()}
+            with mesh:
+                out = fn(arrays, mus_stacked, V, sop.stencils, d.rhs_q)
+            return out[:B]
         return fn(arrays, mus_stacked, V, sop.stencils, d.rhs_q)
 
     def one(mu):

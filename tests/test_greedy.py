@@ -73,6 +73,11 @@ def test_batched_estimates_sharded_over_training_set(fom):
     mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
     out = np.asarray(batched_estimates(rd, stacked, "residual", mesh=mesh))
     np.testing.assert_allclose(out, ref, rtol=1e-10)
+    # the at-scale direct FOM-residual sweep shards the same way
+    ref_fom = np.asarray(batched_estimates(rd, stacked, "residual_fom"))
+    out_fom = np.asarray(batched_estimates(rd, stacked, "residual_fom",
+                                           mesh=mesh))
+    np.testing.assert_allclose(out_fom, ref_fom, rtol=1e-10)
 
 
 def test_initial_rb_order_one(fom):
