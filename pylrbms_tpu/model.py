@@ -152,7 +152,6 @@ class StationaryBlockModel:
             if key in cache:
                 return cache[key]
         options = inverse_options or self.solver_options
-        A = self.assemble(mu)
         b = self.rhs(mu)
         kind = (options or {}).get("type", "auto")
         if kind == "auto" and self.space.K * self.space.N > 32768 \
@@ -161,12 +160,19 @@ class StationaryBlockModel:
             # at scale the matrix-free two-level solve dominates everything
             # else (SPE10 98k dofs: 3.3 s block-Jacobi -> 1.1 s two-level)
             kind = "mf_pcg"
-        if kind == "mf_pcg":
+        A = None                 # assembled lazily: the mf path never needs
+        if kind == "mf_pcg":     # the dense-block operator (eagerly
+            # materializing it costs seconds of emulated-f64 einsums per
+            # solve at SPE10 scale) unless a post-check is requested
             U = self._mf_solve(self.theta(mu), b, options or {})
         else:
+            A = self.assemble(mu)
             U = A.solve(b, options)
 
         def _relres(U_):
+            nonlocal A
+            if A is None:
+                A = self.assemble(mu)
             r = float(jnp.linalg.norm((b - A.apply(U_)).reshape(-1)))
             bn = float(jnp.linalg.norm(b.reshape(-1)))
             return r / max(bn, 1e-300)
