@@ -9,20 +9,29 @@ functions, estimator values, reduced quantities) are basis-independent.
 Nodal bases make Oswald interpolation (vertex averaging), prolongation
 (point evaluation) and visualization trivial array programs.
 
-Element keys: "A"/"B" = the two triangles of a cell; "Q" = the whole cell as
+Element keys: "A"/"B" = the two triangles of a main-diagonal cell; "C"/"E" =
+the two triangles of an ANTI-diagonal cell (the 'crisscross' family — the
+mesh DUNE's ALU_2D_SIMPLEX_CONFORMING bisection produces from a Kuhn macro
+pair after an even number of halvings, see grid.py); "Q" = the whole cell as
 a single bilinear/biquadratic quad element.
 
 Unit-cell triangle vertices (see grid.py):
   A: a0=(0,0), a1=(1,0), a2=(1,1)      (below the (0,0)-(1,1) diagonal)
   B: b0=(0,0), b1=(0,1), b2=(1,1)      (above)
+  C: c0=(0,0), c1=(1,0), c2=(0,1)      (below the (1,0)-(0,1) anti-diagonal)
+  E: e0=(1,0), e1=(1,1), e2=(0,1)      (above)
 
 Barycentric coordinates (unit-cell coords xi, eta):
   A: l0 = 1-xi, l1 = xi-eta, l2 = eta
   B: l0 = 1-eta, l1 = eta-xi, l2 = xi
+  C: l0 = 1-xi-eta, l1 = xi, l2 = eta
+  E: l0 = 1-eta, l1 = xi+eta-1, l2 = 1-xi
 
 Local edges (edge k connects vertex k and k+1 mod 3):
   A: e0 = bottom (a0,a1), e1 = right (a1,a2), e2 = diagonal (a2,a0)
   B: e0 = left (b0,b1), e1 = top (b1,b2), e2 = diagonal (b2,b0)
+  C: e0 = bottom (c0,c1), e1 = anti-diagonal (c1,c2), e2 = left (c2,c0)
+  E: e0 = right (e0,e1), e1 = top (e1,e2), e2 = anti-diagonal (e2,e0)
 """
 from __future__ import annotations
 
@@ -34,12 +43,16 @@ import numpy as np
 TRI_VERTS_UNIT = {
     "A": np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]),
     "B": np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]]),
+    "C": np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+    "E": np.array([[1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]),
 }
 
 # unit-cell gradients of the barycentric coordinates: [3, 2]
 TRI_BARY_GRAD_UNIT = {
     "A": np.array([[-1.0, 0.0], [1.0, -1.0], [0.0, 1.0]]),
     "B": np.array([[0.0, -1.0], [-1.0, 1.0], [1.0, 0.0]]),
+    "C": np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]]),
+    "E": np.array([[0.0, -1.0], [1.0, 1.0], [-1.0, 0.0]]),
 }
 
 
@@ -50,6 +63,10 @@ def barycentric(tri: str, pts: np.ndarray) -> np.ndarray:
         return np.stack([1 - xi, xi - eta, eta], axis=-1)
     if tri == "B":
         return np.stack([1 - eta, eta - xi, xi], axis=-1)
+    if tri == "C":
+        return np.stack([1 - xi - eta, xi, eta], axis=-1)
+    if tri == "E":
+        return np.stack([1 - eta, xi + eta - 1, 1 - xi], axis=-1)
     raise ValueError(tri)
 
 
@@ -216,4 +233,56 @@ QUAD_BOUNDARY_EDGES_UNIT = {
     "right":  ("Q", EdgeGeom((1.0, 0.0), (0.0, 1.0))),
     "bottom": ("Q", EdgeGeom((0.0, 0.0), (1.0, 0.0))),
     "top":    ("Q", EdgeGeom((0.0, 1.0), (1.0, 0.0))),
+}
+
+# ---------------------------------------------------------------------------
+# 'crisscross' grid (the ALU-conform even-bisection family, grid.py):
+# cell parity p = (gx + gy) % 2; p=0 cells carry the main diagonal (A/B),
+# p=1 cells the anti-diagonal (C/E).  Interior face families are split by
+# the parity of the MINUS cell: "V0" couples an even cell's right edge (A)
+# to the odd right-neighbor's left edge (C), "V1" couples E to B, etc.
+CC_EDGES_UNIT = {
+    # in-cell diagonal of even cells: identical to the uniform-tri "D" family
+    "D0": (("A", EdgeGeom((0.0, 0.0), (1.0, 1.0))),
+           ("B", EdgeGeom((0.0, 0.0), (1.0, 1.0)))),
+    # in-cell ANTI-diagonal of odd cells; minus = C (contains (0,0))
+    "D1": (("C", EdgeGeom((1.0, 0.0), (-1.0, 1.0))),
+           ("E", EdgeGeom((1.0, 0.0), (-1.0, 1.0)))),
+    # V: even minus cell right edge (A e1) <-> odd plus cell left edge (C e2)
+    "V0": (("A", EdgeGeom((1.0, 0.0), (0.0, 1.0))),
+           ("C", EdgeGeom((0.0, 0.0), (0.0, 1.0)))),
+    # V: odd minus cell right edge (E e0) <-> even plus cell left edge (B e0)
+    "V1": (("E", EdgeGeom((1.0, 0.0), (0.0, 1.0))),
+           ("B", EdgeGeom((0.0, 0.0), (0.0, 1.0)))),
+    # H: even minus cell top edge (B e1) <-> odd plus cell bottom edge (C e0)
+    "H0": (("B", EdgeGeom((0.0, 1.0), (1.0, 0.0))),
+           ("C", EdgeGeom((0.0, 0.0), (1.0, 0.0)))),
+    # H: odd minus cell top edge (E e1) <-> even plus cell bottom edge (A e0)
+    "H1": (("E", EdgeGeom((0.0, 1.0), (1.0, 0.0))),
+           ("A", EdgeGeom((0.0, 0.0), (1.0, 0.0)))),
+}
+
+# boundary side -> per-parity (tri, edge geom); key suffix = cell parity
+CC_BOUNDARY_EDGES_UNIT = {
+    "left":   (("B", EdgeGeom((0.0, 0.0), (0.0, 1.0))),
+               ("C", EdgeGeom((0.0, 0.0), (0.0, 1.0)))),
+    "right":  (("A", EdgeGeom((1.0, 0.0), (0.0, 1.0))),
+               ("E", EdgeGeom((1.0, 0.0), (0.0, 1.0)))),
+    "bottom": (("A", EdgeGeom((0.0, 0.0), (1.0, 0.0))),
+               ("C", EdgeGeom((0.0, 0.0), (1.0, 0.0)))),
+    "top":    (("B", EdgeGeom((0.0, 1.0), (1.0, 0.0))),
+               ("E", EdgeGeom((0.0, 1.0), (1.0, 0.0)))),
+}
+
+# local edge index of each crisscross face family side (RT0 bookkeeping)
+CC_FACE_LOCAL_EDGE = {
+    "D0": (2, 2),      # diagonal: A e2 / B e2
+    "D1": (1, 2),      # anti-diagonal: C e1 / E e2
+    "V0": (1, 2),      # minus A right = e1; plus C left = e2
+    "V1": (0, 0),      # minus E right = e0; plus B left = e0
+    "H0": (1, 0),      # minus B top = e1; plus C bottom = e0
+    "H1": (1, 0),      # minus E top = e1; plus A bottom = e0
+}
+CC_BOUNDARY_LOCAL_EDGE = {
+    "left": (0, 2), "right": (1, 0), "bottom": (0, 0), "top": (1, 1),
 }

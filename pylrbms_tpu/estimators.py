@@ -248,28 +248,30 @@ class EllipticEstimator:
         lam_mu = jnp.einsum("q,q...->...", theta, lam_q)       # [K,s,s,T,nq]
         lam_hat_v = d.lambda_hat(xq).astype(dtype)
 
-        # grad u at quad points
+        # grad u at quad points (per-cell tables on 'crisscross')
+        ein = lambda e: asm._vol_ein(sp, e)
         dphi = jnp.asarray(sp.vol_dphi, dtype)                 # [T,nq,nb,2]
         Uc = U.reshape(U.shape[:-2] + (sp.K, sp.s, sp.s, sp.T, sp.nb))
-        gu = jnp.einsum("...kyxtj,tqja->...kyxtqa", Uc, dphi)
-        # t at quad points (RT0 basis, cell-invariant signed chi tab)
+        gu = jnp.einsum(ein("...kyxtj,tqja->...kyxtqa"), Uc, dphi)
+        # t at quad points (RT0 basis, signed chi tab; per-cell on crisscross)
         chi, idx, div = _chi_tab(sp)
         nf = idx.shape[-1]
         chi_j = jnp.asarray(chi, dtype)
         t_cell = t_loc[..., jnp.asarray(idx.reshape(-1))].reshape(
             t_loc.shape[:-1] + (sp.s, sp.s, sp.T, nf))
-        t_q = jnp.einsum("...kyxte,tqea->...kyxtqa", t_cell, chi_j)
+        t_q = jnp.einsum(ein("...kyxte,tqea->...kyxtqa"), t_cell, chi_j)
         z = lam_mu[..., None] * gu + t_q                       # kappa = I
         df_int = jnp.einsum("...kyxtqa,...kyxtqa->...kyxtq", z, z) / lam_hat_v
-        eta_df = area * jnp.einsum("tq,...kyxtq->...k", w, df_int)
+        eta_df = area * jnp.einsum(ein("tq,...kyxtq->...k"), w, df_int)
 
         # f(mu) - div t, elementwise
         f_q = jnp.stack([ff(xq).astype(dtype) for ff in d.f_funcs])
         f_mu = jnp.einsum("q,q...->...", theta_f, f_q)
-        div_t = jnp.einsum("...kyxte,te->...kyxt", t_cell, jnp.asarray(div, dtype))
+        div_t = jnp.einsum(ein("...kyxte,te->...kyxt"),
+                           t_cell, jnp.asarray(div, dtype))
         res = f_mu - div_t[..., None]
         scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
-        eta_r = area * jnp.einsum("tq,...kyxtq->...k", w, res * res) * scale
+        eta_r = area * jnp.einsum(ein("tq,...kyxtq->...k"), w, res * res) * scale
         return eta_nc, eta_r, eta_df
 
     @hp

@@ -16,6 +16,14 @@ Semantics (ours, grid-pointer-free):
   ``scripts/*.py: 'grid_type': 'alu'``) every quad cell is split into two
   triangles along the (0,0)-(1,1) diagonal (DUNE Kuhn triangulation):
   triangle A = {(0,0),(1,0),(1,1)} (below), B = {(0,0),(0,1),(1,1)} (above);
+* for ``grid_type='crisscross'`` the diagonal direction ALTERNATES per cell
+  (checkerboard, parity p = (gx+gy)%2: p=0 main diagonal A/B as above, p=1
+  ANTI-diagonal with triangles C = {(0,0),(1,0),(0,1)} below and
+  E = {(1,0),(1,1),(0,1)} above) — this is the triangulation that DUNE's
+  ``ALU_2D_SIMPLEX_CONFORMING`` newest-vertex bisection produces from a Kuhn
+  macro pair after an even number of halvings (verified against an
+  independent unstructured oracle, ``scripts/crisscross_oracle.py``), i.e.
+  the mesh family the reference's golden values were computed on;
 * oversampling neighborhoods are the 3x3 subdomain patch clipped at the
   domain boundary (1 oversampling layer, ``grid.py:28``) — this includes
   diagonal neighbors, which is required for the Oswald-interpolation block
@@ -46,7 +54,7 @@ class Grid:
     kx: int                      # subdomains in x
     ky: int                      # subdomains in y
     s: int                       # fine quad cells per subdomain per dim
-    grid_type: str = "tri"       # 'tri' (2 triangles per quad) or 'quad'
+    grid_type: str = "tri"       # 'tri' | 'crisscross' (2 tri/quad) | 'quad'
 
     # ------------------------------------------------------------------
     # sizes
@@ -57,7 +65,18 @@ class Grid:
 
     @property
     def tri_per_cell(self) -> int:
-        return 2 if self.grid_type == "tri" else 1
+        return 1 if self.grid_type == "quad" else 2
+
+    def cell_parity(self) -> np.ndarray:
+        """[s, s] per-cell diagonal parity within a subdomain (indexed
+        [cy, cx]; 0 = main diagonal, 1 = anti-diagonal).  Identical for
+        every subdomain since ``s`` is even for 'crisscross' (asserted in
+        BlockDGSpace), so the global checkerboard (gx+gy)%2 restricts to
+        (cx+cy)%2 locally."""
+        cy, cx = np.meshgrid(np.arange(self.s), np.arange(self.s), indexing="ij")
+        if self.grid_type != "crisscross":
+            return np.zeros((self.s, self.s), dtype=np.int64)
+        return (cy + cx) % 2
 
     @property
     def global_nx(self) -> int:
@@ -191,11 +210,14 @@ def make_grid(domain=((0.0, 0.0), (1.0, 1.0)),
     distribution is handled by jax.sharding rather than MPI.
     """
     ll, ur = tuple(map(float, domain[0])), tuple(map(float, domain[1]))
-    # accept the reference's grid-type tokens: ALU = simplex, Yasp = cube
+    # accept the reference's grid-type tokens: ALU = simplex, Yasp = cube.
+    # 'alu_conform'/'cc' select the crisscross family — the triangulation the
+    # reference's conforming ALU bisection actually produces (see Grid doc).
     grid_type = {"alu": "tri", "alu_grid": "tri", "simplex": "tri",
+                 "alu_conform": "crisscross", "cc": "crisscross",
                  "yasp": "quad", "yasp_grid": "quad", "cube": "quad"}.get(
         grid_type, grid_type)
-    assert grid_type in ("tri", "quad"), grid_type
+    assert grid_type in ("tri", "quad", "crisscross"), grid_type
     s = int(half_num_fine_elements_per_subdomain_and_dim) * (2 ** num_refinements)
     if num_subdomains is None:
         kx = ky = 1

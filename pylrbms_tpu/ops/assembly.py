@@ -96,8 +96,22 @@ def _vol_points(space: BlockDGSpace):
     org = (jnp.asarray(space.subdomain_origins)[:, None, None, :]
            + jnp.asarray(space.cell_origins_local)[None, :, :, :])  # [K, s, s, 2]
     scale = np.array([space.hx, space.hy])
-    qp = jnp.asarray(space.vol_qp * scale)                     # [T, nq, 2]
+    qp = jnp.asarray(space.vol_qp * scale)     # [T, nq, 2] | percell [s,s,T,nq,2]
+    if space.percell:
+        return org[:, :, :, None, None, :] + qp[None]
     return org[:, :, :, None, None, :] + qp[None, None, None]
+
+
+def _vol_ein(space: BlockDGSpace, expr: str) -> str:
+    """Rewrite a volume einsum for per-cell tables ('crisscross'): every
+    operand subscript that starts with 't' but lacks the cell axes gains the
+    'yx' prefix (the tables are [s, s, T, ...] there)."""
+    if not space.percell:
+        return expr
+    ins, out = expr.split("->")
+    ops = ins.split(",")
+    ops = [("yx" + o) if o.startswith("t") else o for o in ops]
+    return ",".join(ops) + "->" + out
 
 
 def volume_elliptic(space: BlockDGSpace, lam_fn, kappa_fn=None, dtype=jnp.float64):
@@ -111,10 +125,12 @@ def volume_elliptic(space: BlockDGSpace, lam_fn, kappa_fn=None, dtype=jnp.float6
     w = jnp.asarray(space.vol_w, dtype)                        # [T,nq]
     area = space.hx * space.hy
     if kappa_fn is None:
-        integ = jnp.einsum("tq,kyxtq,tqia,tqja->kyxtij", w, lam, dphi, dphi)
+        integ = jnp.einsum(_vol_ein(space, "tq,kyxtq,tqia,tqja->kyxtij"),
+                           w, lam, dphi, dphi)
     else:
         kap = kappa_fn(xq).astype(dtype)                       # [K,s,s,T,nq,2,2]
-        integ = jnp.einsum("tq,kyxtq,tqia,kyxtqab,tqjb->kyxtij", w, lam, dphi, kap, dphi)
+        integ = jnp.einsum(_vol_ein(space, "tq,kyxtq,tqia,kyxtqab,tqjb->kyxtij"),
+                           w, lam, dphi, kap, dphi)
     elem = area * integ                                        # [K,s,s,T,nb,nb]
     return _scatter_cell_blocks(space, elem, dtype)
 
@@ -125,12 +141,17 @@ def volume_mass(space: BlockDGSpace, weight_fn=None, dtype=jnp.float64):
     w = jnp.asarray(space.vol_w, dtype)
     area = space.hx * space.hy
     if weight_fn is None:
-        elem = area * jnp.einsum("tq,tqi,tqj->tij", w, phi, phi)
-        elem = jnp.broadcast_to(elem, (space.K, space.s, space.s) + elem.shape)
+        expr = ("yxtq,yxtqi,yxtqj->yxtij" if space.percell
+                else "tq,tqi,tqj->tij")
+        elem = area * jnp.einsum(expr, w, phi, phi)
+        shape = ((space.K,) + elem.shape if space.percell
+                 else (space.K, space.s, space.s) + elem.shape)
+        elem = jnp.broadcast_to(elem, shape)
     else:
         xq = jnp.asarray(_vol_points(space), dtype)
         lam = weight_fn(xq).astype(dtype)
-        elem = area * jnp.einsum("tq,kyxtq,tqi,tqj->kyxtij", w, lam, phi, phi)
+        elem = area * jnp.einsum(_vol_ein(space, "tq,kyxtq,tqi,tqj->kyxtij"),
+                                 w, lam, phi, phi)
     return _scatter_cell_blocks(space, elem, dtype)
 
 
@@ -142,7 +163,7 @@ def volume_functional(space: BlockDGSpace, f_fn, dtype=jnp.float64):
     phi = jnp.asarray(space.vol_phi, dtype)
     w = jnp.asarray(space.vol_w, dtype)
     area = space.hx * space.hy
-    elem = area * jnp.einsum("tq,kyxtq,tqi->kyxti", w, f, phi)
+    elem = area * jnp.einsum(_vol_ein(space, "tq,kyxtq,tqi->kyxti"), w, f, phi)
     vals = elem.reshape(space.K, space.N)                      # layout matches dof_index
     return vals
 
@@ -154,7 +175,7 @@ def volume_scalar(space: BlockDGSpace, f_fn, dtype=jnp.float64):
     f = f_fn(xq).astype(dtype)
     w = jnp.asarray(space.vol_w, dtype)
     area = space.hx * space.hy
-    return area * jnp.einsum("tq,kyxtq->k", w, f)
+    return area * jnp.einsum(_vol_ein(space, "tq,kyxtq->k"), w, f)
 
 
 def _scatter_cell_blocks(space: BlockDGSpace, elem, dtype):

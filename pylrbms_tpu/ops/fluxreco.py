@@ -97,10 +97,11 @@ class FluxReconstructor:
                      + pen * (uv_m - uv_p))
         return ell * jnp.einsum("q,...fq->...f", w, integrand)
 
-    def _face_moment_boundary(self, side, lam_fn, u, x):
-        """[..., F] boundary face dofs in the family-normal convention."""
+    def _face_moment_boundary(self, side, lam_fn, u, x, key=None):
+        """[..., F] boundary face dofs in the family-normal convention.
+        ``key`` overrides the tab lookup (crisscross parity tabs)."""
         sp = self.space
-        tab = sp.face_tabs["bnd_" + side]
+        tab = sp.face_tabs[key or ("bnd_" + side)]
         dt = self.dtype
         n_out = jnp.asarray(tab.normal, dt)
         w = jnp.asarray(tab.w, dt)
@@ -136,6 +137,8 @@ class FluxReconstructor:
         lead = uc.shape[:-4]
         org = self.cell_org                         # [Sy, Sx, 2] numpy
         scale = np.array([sp.hx, sp.hy])
+        if sp.grid.grid_type == "crisscross":
+            return self._apply_global_cc(lam_fn, uc, out_dt)
 
         def phys(tab, orgs):
             """orgs [F, 2] -> (x_m, x_p) [F, nqf, 2] one-sided eval points
@@ -208,6 +211,101 @@ class FluxReconstructor:
         dofH = dofH.at[..., Sy, :].set(self._face_moment_boundary("top", lam_fn, uT, xT))
         parts.append(dofH.reshape(lead + (-1,)))
 
+        return jnp.concatenate(parts, axis=-1)
+
+    def _phys_pts(self, tab, orgs):
+        """orgs [F, 2] -> one-sided eval points (standalone variant of the
+        ``phys`` closure in :meth:`apply_global`, for the crisscross path)."""
+        sp, dt = self.space, self.dtype
+        scale = np.array([sp.hx, sp.hy])
+        orgs_j = jnp.asarray(orgs, dt)[:, None, :]
+        x = orgs_j + jnp.asarray(tab.pts_unit_m * scale, dt)[None]
+        cen_m = orgs_j + jnp.asarray(tab.centroid_m * scale, dt)[None]
+        x_m = x + _EVAL_EPS * (cen_m - x)
+        if tab.centroid_p is None:
+            return x_m, None
+        if np.allclose(tab.normal, [1.0, 0.0]):
+            shift = np.array([sp.hx, 0.0])
+        elif np.allclose(tab.normal, [0.0, 1.0]):
+            shift = np.array([0.0, sp.hy])
+        else:
+            shift = np.zeros(2)
+        cen_p = orgs_j + jnp.asarray(shift + tab.centroid_p * scale, dt)[None]
+        x_p = x + _EVAL_EPS * (cen_p - x)
+        return x_m, x_p
+
+    def _apply_global_cc(self, lam_fn, uc, out_dt):
+        """Crisscross face moments: same integrands, face families split by
+        the minus cell's parity (basis.py CC_EDGES_UNIT).  The D dofs of odd
+        cells use the D1 family normal (hy, hx)/|d| (anti-diagonal)."""
+        sp = self.space
+        Sy, Sx = self.Sy, self.Sx
+        lead = uc.shape[:-4]
+        org = self.cell_org
+        gy, gx = np.meshgrid(np.arange(Sy), np.arange(Sx), indexing="ij")
+        P = (gy + gx) % 2
+
+        def u_at(cy, cx, t):
+            return uc[..., cy, cx, t, :]                      # [..., F, nb]
+
+        dofD = jnp.zeros(lead + (Sy * Sx,), out_dt)
+        for p in (0, 1):
+            cy, cx = np.nonzero(P == p)
+            tab = sp.face_tabs[f"D{p}"]
+            x_m, x_p = self._phys_pts(tab, org[cy, cx])
+            mom = self._face_moment_inner(f"D{p}", lam_fn,
+                                          u_at(cy, cx, tab.tri_m),
+                                          u_at(cy, cx, tab.tri_p), x_m, x_p)
+            dofD = dofD.at[..., cy * Sx + cx].set(mom)
+        parts = [dofD]
+
+        dofV = jnp.zeros(lead + (Sy, Sx + 1), out_dt)
+        for p in (0, 1):
+            cy, cx = np.nonzero((P == p) & (gx < Sx - 1))
+            if cy.size:
+                tab = sp.face_tabs[f"V{p}"]
+                x_m, x_p = self._phys_pts(tab, org[cy, cx])
+                mom = self._face_moment_inner(f"V{p}", lam_fn,
+                                              u_at(cy, cx, tab.tri_m),
+                                              u_at(cy, cx + 1, tab.tri_p),
+                                              x_m, x_p)
+                dofV = dofV.at[..., cy, cx + 1].set(mom)
+        for side, cxv, vxv in (("left", 0, 0), ("right", Sx - 1, Sx)):
+            cy_all = np.arange(Sy)
+            for p in (0, 1):
+                cys = cy_all[(cy_all + cxv) % 2 == p]
+                key = f"bnd_{side}_p{p}"
+                tab = sp.face_tabs[key]
+                x, _ = self._phys_pts(tab, org[cys, cxv])
+                mom = self._face_moment_boundary(
+                    side, lam_fn, u_at(cys, np.full_like(cys, cxv), tab.tri_m),
+                    x, key=key)
+                dofV = dofV.at[..., cys, vxv].set(mom)
+        parts.append(dofV.reshape(lead + (-1,)))
+
+        dofH = jnp.zeros(lead + (Sy + 1, Sx), out_dt)
+        for p in (0, 1):
+            cy, cx = np.nonzero((P == p) & (gy < Sy - 1))
+            if cy.size:
+                tab = sp.face_tabs[f"H{p}"]
+                x_m, x_p = self._phys_pts(tab, org[cy, cx])
+                mom = self._face_moment_inner(f"H{p}", lam_fn,
+                                              u_at(cy, cx, tab.tri_m),
+                                              u_at(cy + 1, cx, tab.tri_p),
+                                              x_m, x_p)
+                dofH = dofH.at[..., cy + 1, cx].set(mom)
+        for side, cyv, hyv in (("bottom", 0, 0), ("top", Sy - 1, Sy)):
+            cx_all = np.arange(Sx)
+            for p in (0, 1):
+                cxs = cx_all[(cyv + cx_all) % 2 == p]
+                key = f"bnd_{side}_p{p}"
+                tab = sp.face_tabs[key]
+                x, _ = self._phys_pts(tab, org[np.full_like(cxs, cyv), cxs])
+                mom = self._face_moment_boundary(
+                    side, lam_fn, u_at(np.full_like(cxs, cyv), cxs, tab.tri_m),
+                    x, key=key)
+                dofH = dofH.at[..., hyv, cxs].set(mom)
+        parts.append(dofH.reshape(lead + (-1,)))
         return jnp.concatenate(parts, axis=-1)
 
     def restrict(self, t_global):

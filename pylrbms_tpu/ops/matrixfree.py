@@ -49,6 +49,8 @@ class SwipdgStencil:
 def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
                             ipdg: IPDGParams = DEFAULT_IPDG,
                             dtype=jnp.float64) -> SwipdgStencil:
+    assert space.grid.grid_type != "crisscross", \
+        "stencil operator not implemented for 'crisscross' (dense path only)"
     s, nb, K, T = space.s, space.nb, space.K, space.T
     origins = space.subdomain_origins
 

@@ -46,6 +46,19 @@ class OswaldOperator:
             vid[:, :, 0, 1] = v(gy, gx + 1)
             vid[:, :, 0, 2] = v(gy + 1, gx)
             vid[:, :, 0, 3] = v(gy + 1, gx + 1)
+        elif g.grid_type == "crisscross":
+            # P1 nodes ARE the triangle vertices: read them off the per-cell
+            # node tables (parity checkerboard; spaces.py CC_ELEMS) — the
+            # vertex-incidence pattern this induces is exactly the ALU
+            # bisection mesh's (scripts/crisscross_oracle.py).
+            nodes = space.nodes_unit                   # [s, s, T, nb, 2]
+            s = space.s
+            tile = np.rint(nodes).astype(np.int64)     # vertex offsets {0,1}
+            ny_ = np.tile(tile[None, :, None, :, :, :, 1],
+                          (g.ky, 1, g.kx, 1, 1, 1)).reshape(Sy, Sx, space.T, space.nb)
+            nx_ = np.tile(tile[None, :, None, :, :, :, 0],
+                          (g.ky, 1, g.kx, 1, 1, 1)).reshape(Sy, Sx, space.T, space.nb)
+            vid = v(gy[:, :, None, None] + ny_, gx[:, :, None, None] + nx_)
         else:
             # A: (0,0), (1,0), (1,1);  B: (0,0), (0,1), (1,1)  (unit-cell coords)
             vid = np.zeros((Sy, Sx, 2, 3), dtype=np.int64)

@@ -84,8 +84,9 @@ def df_bb(space: BlockDGSpace, lam_hat, kappa_fn=None, dtype=jnp.float64):
     w = jnp.asarray(space.vol_w, dtype)
     area = space.hx * space.hy
     chi_j = jnp.asarray(chi, dtype)
-    blocks = area * jnp.einsum("tq,tqea,kyxtqab,tqfb->kyxtef",
-                               w, chi_j, Ki, chi_j)
+    blocks = area * jnp.einsum(
+        asm._vol_ein(space, "tq,tqea,kyxtqab,tqfb->kyxtef"),
+        w, chi_j, Ki, chi_j)
     K = space.K
     F = space.s * space.s * space.T
     blocks = blocks.reshape(K, F, nf, nf)
@@ -105,8 +106,9 @@ def df_ab(space: BlockDGSpace, lam_v, lam_hat, kappa_fn=None, dtype=jnp.float64)
     dphi = jnp.asarray(space.vol_dphi, dtype)                  # [T,nq,nb,2]
     area = space.hx * space.hy
     chi_j = jnp.asarray(chi, dtype)
-    blocks = area * jnp.einsum("tq,kyxtq,tqia,tqea->kyxtie",
-                               w, wgt, dphi, chi_j)
+    blocks = area * jnp.einsum(
+        asm._vol_ein(space, "tq,kyxtq,tqia,tqea->kyxtie"),
+        w, wgt, dphi, chi_j)
     K = space.K
     F = space.s * space.s * space.T
     blocks = blocks.reshape(K, F, space.nb, nf)
@@ -125,10 +127,16 @@ def divergence_matrix(space: BlockDGSpace, dtype=jnp.float64):
     _chi, idx, div = _chi_tab(space)
     nf = idx.shape[-1]
     F = space.s * space.s * space.T
-    blocks = jnp.broadcast_to(
-        jnp.asarray(div, dtype)[None, :, None, :],             # [1, T, 1, nf]
-        (space.s * space.s, space.T, space.nb, nf),
-    ).reshape(F, space.nb, nf)
+    if space.percell:                          # div [s, s, T, nf] (crisscross)
+        blocks = jnp.broadcast_to(
+            jnp.asarray(div, dtype)[:, :, :, None, :],
+            (space.s, space.s, space.T, space.nb, nf),
+        ).reshape(F, space.nb, nf)
+    else:
+        blocks = jnp.broadcast_to(
+            jnp.asarray(div, dtype)[None, :, None, :],         # [1, T, 1, nf]
+            (space.s * space.s, space.T, space.nb, nf),
+        ).reshape(F, space.nb, nf)
     rows = np.arange(space.N, dtype=np.int64).reshape(F, space.nb)
     cols = idx.reshape(F, nf)
     A = jnp.zeros((space.N, space.N_rt), dtype)
@@ -156,13 +164,13 @@ def penalty_product(space: BlockDGSpace, lam_fn, kappa_fn=None,
         A = asm.scatter_blocks(A, Mpm, rows_p, rows_m)
         A = asm.scatter_blocks(A, Mpp, rows_p, rows_p)
     for side in ("left", "right", "bottom", "top"):
-        tab = space.face_tabs["bnd_" + side]
-        cy, cx, t = space.side_cells(side)
-        _, x_m, _ = asm._face_phys_points(space, tab, cy, cx, origins)
-        blk = asm.penalty_face_blocks_boundary(
-            space, tab, lam_fn, kappa_fn, x_m, order, ipdg, dtype)
-        rows = space.cell_dofs(cy, cx, t)
-        A = asm.scatter_blocks(A, blk, rows, rows)
+        for key, cy, cx, t, _pos in space.boundary_face_groups(side):
+            tab = space.face_tabs[key]
+            _, x_m, _ = asm._face_phys_points(space, tab, cy, cx, origins)
+            blk = asm.penalty_face_blocks_boundary(
+                space, tab, lam_fn, kappa_fn, x_m, order, ipdg, dtype)
+            rows = space.cell_dofs(cy, cx, t)
+            A = asm.scatter_blocks(A, blk, rows, rows)
     return A
 
 

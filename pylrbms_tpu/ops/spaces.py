@@ -56,20 +56,25 @@ class FaceTab:
     centroid_p: np.ndarray | None
 
 
-TRI_ID = {"A": 0, "B": 1, "Q": 0}
+TRI_ID = {"A": 0, "B": 1, "C": 0, "E": 1, "Q": 0}
+
+# element types per cell parity for the crisscross family (t = 0 lower, 1 upper)
+CC_ELEMS = (("A", "B"), ("C", "E"))
 
 
 class BlockDGSpace:
     """All static metadata for assembly on the block DG space.
 
-    Supports both structured grid families of the reference ('tri' = the ALU
-    simplex grids, 'quad' = the Yasp cube grids; ``grid.py:17-42``): the only
-    difference is the per-cell element table (T elements x nb basis functions
-    and the face families — tri has the in-cell diagonal family "D").
+    Supports the structured grid families of the reference ('tri' = uniform
+    Kuhn diagonal, 'crisscross' = the ALU-conform bisection checkerboard,
+    'quad' = the Yasp cube grids; ``grid.py:17-42``): the differences are the
+    per-cell element tables (T elements x nb basis functions; per-cell for
+    'crisscross' where the diagonal direction alternates) and the face
+    families (tri/crisscross have in-cell diagonal families).
     """
 
     def __init__(self, grid: Grid, order: int = 1, vol_quad: int = 5, face_quad: int = 5):
-        assert grid.grid_type in ("tri", "quad"), grid.grid_type
+        assert grid.grid_type in ("tri", "quad", "crisscross"), grid.grid_type
         self.grid = grid
         self.order = order
         self.elem = "Q" if grid.grid_type == "quad" else "A"
@@ -83,13 +88,97 @@ class BlockDGSpace:
         self._face_quad = face_quad
         if grid.grid_type == "quad":
             self._tabulate_quad()
+        elif grid.grid_type == "crisscross":
+            assert self.s % 2 == 0, \
+                "crisscross needs an even cell count per subdomain side " \
+                "(s = half*2**num_refinements with num_refinements >= 1)"
+            self._tabulate_crisscross()
         else:
             self._tabulate()
 
     @property
+    def percell(self) -> bool:
+        """True when the volume tables carry a leading per-cell [s, s] axis
+        (the 'crisscross' family, where element shapes vary per cell)."""
+        return self.grid.grid_type == "crisscross"
+
+    @property
+    def cell_parity(self) -> np.ndarray:
+        """[s, s] diagonal parity per cell (0 everywhere except 'crisscross')."""
+        return self.grid.cell_parity()
+
+    @property
     def face_families(self):
-        """Interior face families: tri has the in-cell diagonal "D"."""
-        return ("D", "V", "H") if self.grid.grid_type == "tri" else ("V", "H")
+        """Interior face families: tri/crisscross have in-cell diagonals."""
+        if self.grid.grid_type == "tri":
+            return ("D", "V", "H")
+        if self.grid.grid_type == "crisscross":
+            return ("D0", "D1", "V0", "V1", "H0", "H1")
+        return ("V", "H")
+
+    # ------------------------------------------------------------------
+    # face enumeration (static numpy; family -> minus/plus cell coords)
+    # ------------------------------------------------------------------
+    def interior_face_sets(self):
+        """dict: family -> (cy_m, cx_m, cy_p, cx_p) flat cell-coord arrays of
+        the subdomain-interior faces (the "one grid walk" face lists;
+        <-> ``discretize_elliptic_block_swipdg.py:399-423``)."""
+        s = self.s
+        sets = {}
+        if self.grid.grid_type == "crisscross":
+            par = self.cell_parity
+            for p in (0, 1):
+                cy, cx = np.nonzero(par == p)
+                sets[f"D{p}"] = (cy, cx, cy, cx)
+                m = cx < s - 1
+                sets[f"V{p}"] = (cy[m], cx[m], cy[m], cx[m] + 1)
+                m = cy < s - 1
+                sets[f"H{p}"] = (cy[m], cx[m], cy[m] + 1, cx[m])
+            return sets
+        if "D" in self.face_families:
+            cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+            sets["D"] = (cy.ravel(), cx.ravel(), cy.ravel(), cx.ravel())
+        cy, cx = np.meshgrid(np.arange(s), np.arange(s - 1), indexing="ij")
+        sets["V"] = (cy.ravel(), cx.ravel(), cy.ravel(), cx.ravel() + 1)
+        cy, cx = np.meshgrid(np.arange(s - 1), np.arange(s), indexing="ij")
+        sets["H"] = (cy.ravel(), cx.ravel(), cy.ravel() + 1, cx.ravel())
+        return sets
+
+    def boundary_face_groups(self, side: str):
+        """List of (tab_key, cy, cx, t, pos) for the faces on a subdomain
+        side; ``pos`` is the index along the side (cy for left/right, cx for
+        bottom/top).  One group for tri/quad; two parity groups for
+        'crisscross' (the boundary-layer element type alternates)."""
+        cy, cx, t = self.side_cells(side)
+        pos = cy if side in ("left", "right") else cx
+        if self.grid.grid_type != "crisscross":
+            return [("bnd_" + side, cy, cx, t, pos)]
+        par = (cy + cx) % 2
+        out = []
+        for p in (0, 1):
+            m = par == p
+            out.append((f"bnd_{side}_p{p}", cy[m], cx[m], t[m], pos[m]))
+        return out
+
+    def interface_face_groups(self, orient: str):
+        """List of (family, cy_m, cx_m, pos) for the faces of a subdomain
+        INTERFACE: ``orient='V'`` = the right edge (minus cells (r, s-1)),
+        ``orient='H'`` = the top edge (minus cells (s-1, r)); ``pos`` = r,
+        the index along the interface.  One group for tri/quad; two parity
+        groups for 'crisscross'."""
+        s = self.s
+        r = np.arange(s)
+        if orient == "V":
+            cy, cx = r, np.full(s, s - 1, np.int64)
+        elif orient == "H":
+            cy, cx = np.full(s, s - 1, np.int64), r
+        else:
+            raise ValueError(orient)
+        if self.grid.grid_type != "crisscross":
+            return [(orient, cy, cx, r)]
+        par = (cy + cx) % 2
+        return [(f"{orient}{p}", cy[par == p], cx[par == p], r[par == p])
+                for p in (0, 1)]
 
     # ------------------------------------------------------------------
     def _phys_grad(self, dunit: np.ndarray) -> np.ndarray:
@@ -154,6 +243,88 @@ class BlockDGSpace:
                 tri_m=TRI_ID[tm], tri_p=None,
                 centroid_m=self.tri_centroids[TRI_ID[tm]], centroid_p=None,
             )
+
+    def _tabulate_crisscross(self):
+        """Crisscross tables: the element SHAPE varies per cell (checkerboard
+        parity), so the volume tables carry a leading per-cell [s, s] axis
+        (gathered from two per-parity stacks; O(s^2 nq nb) statics — same
+        order as the dof vector).  Face families are split by the minus
+        cell's parity (basis.py CC_EDGES_UNIT)."""
+        order = self.order
+        s = self.s
+        par = self.cell_parity                               # [s, s]
+        qp_t, w_t, phi_t, dphi_t, cen_t, nod_t = [], [], [], [], [], []
+        for elems in CC_ELEMS:                               # parity 0, 1
+            qps, ws, phis, dphis, cens, nods = [], [], [], [], [], []
+            for el in elems:                                 # t = 0, 1
+                qp, w = Q.triangle_rule_unit_cell(el, self._vol_quad)
+                qps.append(qp)
+                ws.append(w)
+                phis.append(B.eval_basis(el, order, qp))
+                dphis.append(self._phys_grad(B.eval_basis_grad_unit(el, order, qp)))
+                cens.append(B.TRI_VERTS_UNIT[el].mean(0))
+                nods.append(B.node_coords_unit(el, order))
+            qp_t.append(np.stack(qps))
+            w_t.append(np.stack(ws))
+            phi_t.append(np.stack(phis))
+            dphi_t.append(np.stack(dphis))
+            cen_t.append(np.stack(cens))
+            nod_t.append(np.stack(nods))
+        # per-cell weights for uniform einsum rewriting (assembly._vol_ein);
+        # mirrored rules share weights pointwise, so this is a broadcast copy
+        assert np.allclose(w_t[0], w_t[1])
+        self.vol_w = np.stack(w_t)[par]                      # [s, s, T, nq]
+        self.vol_qp = np.stack(qp_t)[par]                    # [s, s, T, nq, 2]
+        self.vol_phi = np.stack(phi_t)[par]                  # [s, s, T, nq, nb]
+        self.vol_dphi = np.stack(dphi_t)[par]                # [s, s, T, nq, nb, 2]
+        self.tri_centroids = np.stack(cen_t)[par]            # [s, s, T, 2]
+        self.nodes_unit = np.stack(nod_t)[par]               # [s, s, T, nb, 2]
+
+        # face tabulations (6 interior families + 2 per boundary side)
+        t, w = Q.edge_rule(self._face_quad)
+        self.face_tabs: Dict[str, FaceTab] = {}
+        diag_len = float(np.hypot(self.hx, self.hy))
+        lengths = {"D0": diag_len, "D1": diag_len,
+                   "V0": self.hy, "V1": self.hy, "H0": self.hx, "H1": self.hx}
+        normals = {
+            "D0": np.array([-self.hy, self.hx]) / diag_len,
+            "D1": np.array([self.hy, self.hx]) / diag_len,
+            "V0": np.array([1.0, 0.0]), "V1": np.array([1.0, 0.0]),
+            "H0": np.array([0.0, 1.0]), "H1": np.array([0.0, 1.0]),
+        }
+
+        def centroid(el):
+            return B.TRI_VERTS_UNIT[el].mean(0)
+
+        for fam, ((tm, em), (tp, ep)) in B.CC_EDGES_UNIT.items():
+            pm = em.points(t)
+            pp = ep.points(t)
+            self.face_tabs[fam] = FaceTab(
+                phi_m=B.eval_basis(tm, order, pm),
+                dphi_m=self._phys_grad(B.eval_basis_grad_unit(tm, order, pm)),
+                phi_p=B.eval_basis(tp, order, pp),
+                dphi_p=self._phys_grad(B.eval_basis_grad_unit(tp, order, pp)),
+                normal=normals[fam], length=lengths[fam], w=w,
+                pts_unit_m=pm, pts_unit_p=pp,
+                tri_m=TRI_ID[tm], tri_p=TRI_ID[tp],
+                centroid_m=centroid(tm), centroid_p=centroid(tp),
+            )
+        bnd_normals = {"left": np.array([-1.0, 0.0]), "right": np.array([1.0, 0.0]),
+                       "bottom": np.array([0.0, -1.0]), "top": np.array([0.0, 1.0])}
+        bnd_lengths = {"left": self.hy, "right": self.hy,
+                       "bottom": self.hx, "top": self.hx}
+        for side, per_parity in B.CC_BOUNDARY_EDGES_UNIT.items():
+            for p, (tm, em) in enumerate(per_parity):
+                pm = em.points(t)
+                self.face_tabs[f"bnd_{side}_p{p}"] = FaceTab(
+                    phi_m=B.eval_basis(tm, order, pm),
+                    dphi_m=self._phys_grad(B.eval_basis_grad_unit(tm, order, pm)),
+                    phi_p=None, dphi_p=None,
+                    normal=bnd_normals[side], length=bnd_lengths[side], w=w,
+                    pts_unit_m=pm, pts_unit_p=None,
+                    tri_m=TRI_ID[tm], tri_p=None,
+                    centroid_m=centroid(tm), centroid_p=None,
+                )
 
     def _tabulate_quad(self):
         """Same tables as :meth:`_tabulate` for the 'quad' grid: one "Q"
@@ -237,7 +408,9 @@ class BlockDGSpace:
         org = (self.subdomain_origins[:, None, None, :]
                + self.cell_origins_local[None, :, :, :])       # [K, s, s, 2]
         scale = np.array([self.hx, self.hy])
-        nodes = self.nodes_unit * scale                        # [T, nb, 2]
+        nodes = self.nodes_unit * scale        # [T, nb, 2] or [s, s, T, nb, 2]
+        if self.percell:
+            return org[:, :, :, None, None, :] + nodes[None]
         return org[:, :, :, None, None, :] + nodes[None, None, None, :, :, :]
 
     # ------------------------------------------------------------------
@@ -251,7 +424,7 @@ class BlockDGSpace:
         return 3 * s * s + 2 * s
 
     def rt_index_D(self, cy, cx):
-        assert self.grid.grid_type == "tri"
+        assert self.grid.grid_type in ("tri", "crisscross")
         return np.asarray(cy) * self.s + np.asarray(cx)
 
     def rt_index_V(self, cy, vx):
@@ -286,6 +459,44 @@ class BlockDGSpace:
             [[1.0, 1.0], [0.0, 0.0], [1.0, 0.0]],           # A: opp of e0,e1,e2
             [[1.0, 1.0], [0.0, 0.0], [0.0, 1.0]],           # B
         ])
+        return idx, sign, opp
+
+    def cc_face_dofs(self):
+        """Crisscross RT0 incidence in LOCAL-EDGE order (slot k = element
+        local edge k; basis.py CC_FACE_LOCAL_EDGE): returns per-cell
+        (idx [s,s,T,3], sign [s,s,T,3], opp [s,s,T,3,2])."""
+        s = self.s
+        cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        par = self.cell_parity                               # [s, s]
+        idx = np.zeros((s, s, 2, 3), dtype=np.int64)
+        # parity 0 (A/B) — same as tri_face_dofs
+        idx[:, :, 0, 0] = np.where(par == 0, self.rt_index_H(cy, cx),       # A e0 bottom / C e0 bottom
+                                   self.rt_index_H(cy, cx))
+        idx[:, :, 0, 1] = np.where(par == 0, self.rt_index_V(cy, cx + 1),   # A e1 right / C e1 anti-diag
+                                   self.rt_index_D(cy, cx))
+        idx[:, :, 0, 2] = np.where(par == 0, self.rt_index_D(cy, cx),       # A e2 diag / C e2 left
+                                   self.rt_index_V(cy, cx))
+        idx[:, :, 1, 0] = np.where(par == 0, self.rt_index_V(cy, cx),       # B e0 left / E e0 right
+                                   self.rt_index_V(cy, cx + 1))
+        idx[:, :, 1, 1] = np.where(par == 0, self.rt_index_H(cy + 1, cx),   # B e1 top / E e1 top
+                                   self.rt_index_H(cy + 1, cx))
+        idx[:, :, 1, 2] = self.rt_index_D(cy, cx)                           # diag both
+        # orientation w.r.t. family normals (V=(1,0), H=(0,1), D0/D1 per
+        # spaces-module docstring; derivation in basis.py CC_* comments)
+        sign_par = np.array([
+            [[-1.0, 1.0, 1.0],     # A: bottom H, right V, diag D
+             [-1.0, 1.0, -1.0]],   # B: left V, top H, diag D
+            [[-1.0, 1.0, -1.0],    # C: bottom H, anti-diag D, left V
+             [1.0, 1.0, -1.0]],    # E: right V, top H, anti-diag D
+        ])
+        opp_par = np.array([
+            [[[1.0, 1.0], [0.0, 0.0], [1.0, 0.0]],     # A
+             [[1.0, 1.0], [0.0, 0.0], [0.0, 1.0]]],    # B
+            [[[0.0, 1.0], [0.0, 0.0], [1.0, 0.0]],     # C
+             [[0.0, 1.0], [1.0, 0.0], [1.0, 1.0]]],    # E
+        ])
+        sign = sign_par[par]                                 # [s, s, T, 3]
+        opp = opp_par[par]                                   # [s, s, T, 3, 2]
         return idx, sign, opp
 
     def quad_face_dofs(self):
@@ -331,6 +542,14 @@ class BlockDGSpace:
             ], axis=1)[None]                                 # [1, nq, 4, 2]
             div = np.array([[-1.0, 1.0, -1.0, 1.0]]) / area  # [1, 4]
             return chi, self.quad_face_dofs(), div
+        if self.grid.grid_type == "crisscross":
+            idx, sign, opp = self.cc_face_dofs()             # per-cell
+            p = opp * scale                                  # [s, s, T, 3, 2]
+            # qp is per-cell [s, s, T, nq, 2] for crisscross
+            chi = (qp[:, :, :, :, None, :] - p[:, :, :, None, :, :]) / area
+            chi = chi * sign[:, :, :, None, :, None]         # [s,s,T,nq,3,2]
+            div = sign / (area / 2.0)                        # [s, s, T, 3]
+            return chi, idx, div
         idx, sign, opp = self.tri_face_dofs()
         p = opp * scale                          # [T, 3, 2]
         chi = (qp[:, :, None, :] - p[:, None, :, :]) / area  # (x-p)/(2|T|)
@@ -347,7 +566,7 @@ class BlockDGSpace:
         g = self.grid
         s = self.s
         Sy, Sx = g.global_ny, g.global_nx
-        has_D = g.grid_type == "tri"
+        has_D = g.grid_type in ("tri", "crisscross")
         offD = 0
         offV = Sy * Sx if has_D else 0
         offH = offV + Sy * (Sx + 1)
@@ -377,19 +596,26 @@ class BlockDGSpace:
     # interface dof lists (for couplings / patch boundary terms)
     # ------------------------------------------------------------------
     def side_cells(self, side: str):
-        """(cy, cx, t) arrays [s] of the cells+element touching a subdomain side."""
+        """(cy, cx, t) arrays [s] of the cells+element touching a subdomain
+        side.  For 'crisscross' the boundary-layer element alternates on the
+        left/right sides (B/C resp. A/E, both mapping to in-cell index
+        1-p resp. p with p the cell parity); bottom is always the lower
+        element (A/C, t=0) and top the upper (B/E, t=1)."""
         s = self.s
         r = np.arange(s)
         z = np.zeros(s, np.int64)
+        cc = self.grid.grid_type == "crisscross"
         tB = z if self.grid.grid_type == "quad" else np.ones(s, np.int64)
         if side == "left":
-            return r, np.zeros(s, np.int64), tB                          # B (tri)
+            t = (1 - (r % 2)) if cc else tB                  # B (p0) / C (p1)
+            return r, np.zeros(s, np.int64), t
         if side == "right":
-            return r, np.full(s, s - 1, np.int64), z                     # A
+            t = ((r + s - 1) % 2) if cc else z               # A (p0) / E (p1)
+            return r, np.full(s, s - 1, np.int64), t
         if side == "bottom":
-            return np.zeros(s, np.int64), r, z                           # A
+            return np.zeros(s, np.int64), r, z               # A / C
         if side == "top":
-            return np.full(s, s - 1, np.int64), r, tB                    # B
+            return np.full(s, s - 1, np.int64), r, tB        # B / E
         raise ValueError(side)
 
     def side_dofs(self, side: str) -> np.ndarray:

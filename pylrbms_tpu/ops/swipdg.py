@@ -51,16 +51,10 @@ class SwipdgComponent:
 
 
 def _interior_face_sets(space: BlockDGSpace):
-    s = space.s
-    sets = {}
-    if "D" in space.face_families:           # in-cell diagonal (tri grids only)
-        cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
-        sets["D"] = (cy.ravel(), cx.ravel(), cy.ravel(), cx.ravel())
-    cy, cx = np.meshgrid(np.arange(s), np.arange(s - 1), indexing="ij")
-    sets["V"] = (cy.ravel(), cx.ravel(), cy.ravel(), cx.ravel() + 1)
-    cy, cx = np.meshgrid(np.arange(s - 1), np.arange(s), indexing="ij")
-    sets["H"] = (cy.ravel(), cx.ravel(), cy.ravel() + 1, cx.ravel())
-    return sets
+    """Family -> (cy_m, cx_m, cy_p, cx_p); see
+    :meth:`BlockDGSpace.interior_face_sets` (kept as a module function for
+    the existing consumers)."""
+    return space.interior_face_sets()
 
 
 def assemble_swipdg_component(space: BlockDGSpace, lam_fn, kappa_fn=None,
@@ -89,35 +83,43 @@ def assemble_swipdg_component(space: BlockDGSpace, lam_fn, kappa_fn=None,
         A_loc = asm.scatter_blocks(A_loc, Mpp, rows_p, rows_p)
 
     # ---------------- Dirichlet side blocks (all subdomains, all sides) -----
+    # assembled per boundary group (one for tri/quad, two parity groups for
+    # 'crisscross') and interleaved into the [K, s, nb, nb] side strips
     D_side = {}
     for side in ("left", "right", "bottom", "top"):
-        tab = space.face_tabs["bnd_" + side]
-        cy, cx, _t = space.side_cells(side)
-        _, x_m, _ = asm._face_phys_points(space, tab, cy, cx, origins)
-        D_side[side] = asm.boundary_face_blocks(
-            space, tab, lam_fn, kappa_fn, x_m, order, ipdg, dtype)  # [K, s, nb, nb]
+        strip = jnp.zeros((K, s, nb, nb), dtype)
+        for key, cy, cx, _t, pos in space.boundary_face_groups(side):
+            tab = space.face_tabs[key]
+            _, x_m, _ = asm._face_phys_points(space, tab, cy, cx, origins)
+            blk = asm.boundary_face_blocks(
+                space, tab, lam_fn, kappa_fn, x_m, order, ipdg, dtype)
+            strip = strip.at[:, pos].set(blk)
+        D_side[side] = strip                                   # [K, s, nb, nb]
 
     # ---------------- interface quadruples ----------------
     kx, ky = grid.kx, grid.ky
     org = origins.reshape(ky, kx, 2)
 
-    def _interface(fam: str, left_org: np.ndarray, cy_m, cx_m):
-        tab = space.face_tabs[fam]
-        E = left_org.shape[0]
-        _, x_m, x_p = asm._face_phys_points(space, tab, cy_m, cx_m, left_org)
-        return asm.inner_face_blocks(space, tab, lam_fn, kappa_fn, x_m, x_p,
-                                     order, ipdg, dtype)
+    def _interface(orient: str, minus_org: np.ndarray):
+        """Quadruple [E, s, nb, nb], assembled per face group (one for
+        tri/quad, two parity groups for 'crisscross') and interleaved."""
+        E = minus_org.shape[0]
+        out = [jnp.zeros((E, s, nb, nb), dtype) for _ in range(4)]
+        for fam, cy_m, cx_m, pos in space.interface_face_groups(orient):
+            tab = space.face_tabs[fam]
+            _, x_m, x_p = asm._face_phys_points(space, tab, cy_m, cx_m, minus_org)
+            blocks = asm.inner_face_blocks(space, tab, lam_fn, kappa_fn,
+                                           x_m, x_p, order, ipdg, dtype)
+            out = [o.at[:, pos].set(b) for o, b in zip(out, blocks)]
+        return tuple(out)
 
-    r = np.arange(s)
     if kx > 1:
-        left_org = org[:, :-1].reshape(-1, 2)           # [E_R, 2]
-        Rii, Rio, Roi, Roo = _interface("V", left_org, r, np.full(s, s - 1))
+        Rii, Rio, Roi, Roo = _interface("V", org[:, :-1].reshape(-1, 2))
     else:
         z = jnp.zeros((0, s, nb, nb), dtype)
         Rii = Rio = Roi = Roo = z
     if ky > 1:
-        low_org = org[:-1, :].reshape(-1, 2)            # [E_U, 2]
-        Uii, Uio, Uoi, Uoo = _interface("H", low_org, np.full(s, s - 1), r)
+        Uii, Uio, Uoi, Uoo = _interface("H", org[:-1, :].reshape(-1, 2))
     else:
         z = jnp.zeros((0, s, nb, nb), dtype)
         Uii = Uio = Uoi = Uoo = z

@@ -38,6 +38,10 @@ def triangle_rule_unit_cell(tri: str, n: int = 5):
         pts = np.stack([xi, eta], axis=-1)
     elif tri == "B":
         pts = np.stack([eta, xi], axis=-1)  # mirror across the diagonal
+    elif tri == "C":
+        pts = np.stack([1.0 - xi, eta], axis=-1)   # mirror A at x = 1/2
+    elif tri == "E":
+        pts = np.stack([1.0 - eta, xi], axis=-1)   # mirror B at x = 1/2
     else:
         raise ValueError(tri)
     return pts, w
