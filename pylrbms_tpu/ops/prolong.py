@@ -33,8 +33,12 @@ def prolongation_gather(coarse: BlockDGSpace, fine: BlockDGSpace):
     # fine triangle centroids decide which coarse cell/triangle we are in
     org = (fine.subdomain_origins[:, None, None, :]
            + fine.cell_origins_local[None, :, :, :])          # [Kf, s, s, 2]
-    cen = (org[:, :, :, None, :]
-           + fine.tri_centroids[None, None, None, :, :] * np.array([fine.hx, fine.hy]))
+    scale = np.array([fine.hx, fine.hy])
+    if fine.percell:   # crisscross: centroids are per-cell [s, s, T, 2]
+        cen = org[:, :, :, None, :] + fine.tri_centroids[None] * scale
+    else:
+        cen = (org[:, :, :, None, :]
+               + fine.tri_centroids[None, None, None, :, :] * scale)
     cen = np.broadcast_to(cen[:, :, :, :, None, :],
                           (fine.K, fine.s, fine.s, fine.T, fine.nb, 2)).reshape(Mf, 2)
 
@@ -52,6 +56,20 @@ def prolongation_gather(coarse: BlockDGSpace, fine: BlockDGSpace):
     if gc.grid_type == "quad":
         tri = np.zeros(Mf, dtype=np.int64)
         weights = B.eval_basis("Q", coarse.order, pts)
+    elif gc.grid_type == "crisscross":
+        # per-cell alternating diagonal: parity 0 cells split along the main
+        # diagonal into A/B, parity 1 cells along the ANTI-diagonal into C/E
+        # (t = 0 lower, 1 upper).  Refinement is nested: the coarse diagonal
+        # line is a union of fine edges of matching parity, so one-sided
+        # nodal evaluation remains an exact embedding.
+        par = (cgx + cgy) % 2
+        tri = np.where(par == 0,
+                       (eta > xi).astype(np.int64),          # A | B
+                       (xi + eta > 1.0).astype(np.int64))    # C | E
+        w = {t: B.eval_basis(t, coarse.order, pts) for t in "ABCE"}
+        weights = np.where((par == 0)[:, None],
+                           np.where(tri[:, None] == 0, w["A"], w["B"]),
+                           np.where(tri[:, None] == 0, w["C"], w["E"]))
     else:
         tri = (eta > xi).astype(np.int64)        # 0 = A (below diag), 1 = B
         wA = B.eval_basis("A", coarse.order, pts)  # [Mf, nb_c]

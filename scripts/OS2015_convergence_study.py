@@ -28,6 +28,10 @@ config = {'num_subdomains': [2, 2],
           'num_refinements': 0,
           'grid_type': 'tri'}
 
+if '--crisscross' in __import__('sys').argv:
+    # the ALU-conform bisection family the reference actually computed on
+    config['grid_type'] = 'crisscross'
+
 
 def main(max_levels=2, paper_convention=False):
     print('M. Ohlberger, F. Schindler, 2015, Error control for the Localized Reduced')

@@ -137,6 +137,54 @@ def test_cc_reproduces_reference_golden_triple():
     assert paper["df"] == pytest.approx(3.548075e-01, rel=1e-4)
 
 
+def test_cc_online_enrichment_reduces_eta():
+    """Adaptive online enrichment runs on the crisscross family (corrector
+    dense-patch path) and reduces the estimator."""
+    from pylrbms_tpu.reductor import LRBMSReductor
+    from pylrbms_tpu.online_enrichment import AdaptiveEnrichment
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    gpd = init_grid_and_problem({
+        "num_subdomains": [2, 2],
+        "half_num_fine_elements_per_subdomain_and_dim": 1,
+        "num_refinements": 1, "grid_type": "crisscross"})
+    d, _ = discretize(gpd)
+    red = LRBMSReductor(d, order=0)
+    rd = red.reduce()
+    mu = d.parse_parameter(0.3)
+    loop = AdaptiveEnrichment(gpd, d, d.space, red, rd, target_error=1e-12,
+                              marking_doerfler_theta=0.5, marking_max_age=100)
+    etas = []
+    loop.solve(mu, enrichment_steps=3,
+               callback=lambda rd_, u, mu_, info: etas.append(info["eta"]))
+    assert etas[-1] < 0.6 * etas[0], f"no reduction: {etas}"
+
+
+def test_cc_prolongation_is_exact_embedding():
+    """Crisscross refinement is nested (the coarse diagonal of either parity
+    is a union of fine edges of matching parity), so prolongation must embed
+    exactly — checked via L2-norm preservation, coarse P1 -> fine P1/P2."""
+    from pylrbms_tpu.grid import make_grid
+    from pylrbms_tpu.ops.spaces import BlockDGSpace
+    from pylrbms_tpu.ops.prolong import prolong
+    from pylrbms_tpu.ops import assembly as asm
+    coarse_grid = make_grid(((-1, -1), (1, 1)), [2, 2], 1,
+                            num_refinements=1, grid_type="crisscross")
+    fine_grid = make_grid(((-1, -1), (1, 1)), [2, 2], 1,
+                          num_refinements=2, grid_type="crisscross")
+    coarse = BlockDGSpace(coarse_grid, order=1)
+    rng = np.random.default_rng(5)
+    Uc = jnp.asarray(rng.normal(size=(coarse.K, coarse.N)))
+    Mc = asm.volume_mass(coarse)
+    nc = float(jnp.einsum("kn,knm,km->", Uc, Mc, Uc))
+    for order in (1, 2):
+        fine = BlockDGSpace(fine_grid, order=order)
+        Uf = prolong(coarse, Uc, fine)
+        Mf = asm.volume_mass(fine)
+        nf = float(jnp.einsum("kn,knm,km->", Uf, Mf, Uf))
+        assert abs(nc - nf) < 1e-12 * max(abs(nc), 1.0)
+
+
 def test_cc_mor_roundtrip():
     """Reduction on the crisscross family: ROM reproduces FOM estimates."""
     d, _ = _cc_model([2, 2], 1, 1)
