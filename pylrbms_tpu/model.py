@@ -155,7 +155,6 @@ class StationaryBlockModel:
         b = self.rhs(mu)
         kind = (options or {}).get("type", "auto")
         if kind == "auto" and self.space.K * self.space.N > 32768 \
-                and self.grid.grid_type != "crisscross" \
                 and self.estimator is not None \
                 and getattr(self.estimator.data, "lambda_funcs", None):
             # at scale the matrix-free two-level solve dominates everything

@@ -52,6 +52,9 @@ def _interface_offsets_and_rows(space: BlockDGSpace, which: str):
     face-independent because the in-block index is affine in the face index.
     """
     g = space.grid
+    assert not space.percell, \
+        "banded layout assumes a per-side-constant boundary element " \
+        "('crisscross' alternates; use the stencil/dense paths there)"
     s, T, nb, N = space.s, space.T, space.nb, space.N
     kx, ky = g.kx, g.ky
 

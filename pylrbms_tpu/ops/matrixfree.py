@@ -49,8 +49,8 @@ class SwipdgStencil:
 def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
                             ipdg: IPDGParams = DEFAULT_IPDG,
                             dtype=jnp.float64) -> SwipdgStencil:
-    assert space.grid.grid_type != "crisscross", \
-        "stencil operator not implemented for 'crisscross' (dense path only)"
+    if space.percell:            # 'crisscross': parity-split face families
+        return _assemble_swipdg_stencil_cc(space, lam_fn, kappa_fn, ipdg, dtype)
     s, nb, K, T = space.s, space.nb, space.K, space.T
     origins = space.subdomain_origins
 
@@ -109,6 +109,84 @@ def assemble_swipdg_stencil(space: BlockDGSpace, lam_fn, kappa_fn=None,
         _, x_m, _ = asm._face_phys_points(space, tab, cy, cx, origins)
         D_side[side] = asm.boundary_face_blocks(space, tab, lam_fn, kappa_fn,
                                                 x_m, space.order, ipdg, dtype)
+    return SwipdgStencil(vol=vol, D=Dq, V=Vq, H=Hq, R=Rq, U=Uq, D_side=D_side)
+
+
+def _assemble_swipdg_stencil_cc(space: BlockDGSpace, lam_fn, kappa_fn,
+                                ipdg: IPDGParams, dtype) -> SwipdgStencil:
+    """Crisscross variant: the same stencil layout, with each face-family
+    grid position filled from its parity family (D0/D1, V0/V1, H0/H1 and the
+    per-parity boundary tabs).  Which t-plane a block couples is resolved at
+    APPLY time from the static cell-parity checkerboard (see
+    :meth:`AssembledStencil.apply`); the storage layout is parity-agnostic."""
+    s, nb, K = space.s, space.nb, space.K
+    origins = space.subdomain_origins
+
+    xq = jnp.asarray(asm._vol_points(space), dtype)
+    lam = lam_fn(xq).astype(dtype)
+    dphi = jnp.asarray(space.vol_dphi, dtype)        # [s,s,T,nq,nb,2]
+    w = jnp.asarray(space.vol_w, dtype)              # [s,s,T,nq]
+    area = space.hx * space.hy
+    if kappa_fn is None:
+        vol = area * jnp.einsum("yxtq,kyxtq,yxtqia,yxtqja->kyxtij",
+                                w, lam, dphi, dphi)
+    else:
+        kap = kappa_fn(xq).astype(dtype)
+        vol = area * jnp.einsum("yxtq,kyxtq,yxtqia,kyxtqab,yxtqjb->kyxtij",
+                                w, lam, dphi, kap, dphi)
+
+    sets = _interior_face_sets(space)
+
+    def fam_blocks(fam, cy_m, cx_m, origs):
+        tab = space.face_tabs[fam]
+        _, x_m, x_p = asm._face_phys_points(space, tab, cy_m, cx_m, origs)
+        return asm.inner_face_blocks(space, tab, lam_fn, kappa_fn, x_m, x_p,
+                                     space.order, ipdg, dtype)
+
+    def interleave(shape, fams):
+        outs = [jnp.zeros((K,) + shape + (nb, nb), dtype) for _ in range(4)]
+        for fam, cy, cx in fams:
+            if len(cy) == 0:
+                continue
+            blocks = fam_blocks(fam, cy, cx, origins)
+            outs = [o.at[:, cy, cx].set(b) for o, b in zip(outs, blocks)]
+        return tuple(outs)
+
+    Dq = interleave((s, s), [("D0",) + sets["D0"][:2], ("D1",) + sets["D1"][:2]])
+    Vq = (interleave((s, s - 1), [("V0",) + sets["V0"][:2],
+                                  ("V1",) + sets["V1"][:2]]) if s > 1 else
+          tuple(jnp.zeros((K, s, 0, nb, nb), dtype) for _ in range(4)))
+    Hq = (interleave((s - 1, s), [("H0",) + sets["H0"][:2],
+                                  ("H1",) + sets["H1"][:2]]) if s > 1 else
+          tuple(jnp.zeros((K, 0, s, nb, nb), dtype) for _ in range(4)))
+
+    grid = space.grid
+    org = origins.reshape(grid.ky, grid.kx, 2)
+
+    def iface(orient, left_org, E):
+        outs = [jnp.zeros((E, s, nb, nb), dtype) for _ in range(4)]
+        for fam, cy_m, cx_m, pos in space.interface_face_groups(orient):
+            blocks = fam_blocks(fam, cy_m, cx_m, left_org)
+            outs = [o.at[:, pos].set(b) for o, b in zip(outs, blocks)]
+        return tuple(outs)
+
+    Rq = (iface("V", org[:, :-1].reshape(-1, 2), grid.ky * (grid.kx - 1))
+          if grid.kx > 1 else
+          tuple(jnp.zeros((0, s, nb, nb), dtype) for _ in range(4)))
+    Uq = (iface("H", org[:-1, :].reshape(-1, 2), (grid.ky - 1) * grid.kx)
+          if grid.ky > 1 else
+          tuple(jnp.zeros((0, s, nb, nb), dtype) for _ in range(4)))
+
+    D_side = {}
+    for side in ("left", "right", "bottom", "top"):
+        acc = jnp.zeros((K, s, nb, nb), dtype)
+        for tab_key, cy, cx, _t, pos in space.boundary_face_groups(side):
+            tab = space.face_tabs[tab_key]
+            _, x_m, _ = asm._face_phys_points(space, tab, cy, cx, origins)
+            b = asm.boundary_face_blocks(space, tab, lam_fn, kappa_fn, x_m,
+                                         space.order, ipdg, dtype)
+            acc = acc.at[:, pos].set(b)
+        D_side[side] = acc
     return SwipdgStencil(vol=vol, D=Dq, V=Vq, H=Hq, R=Rq, U=Uq, D_side=D_side)
 
 
@@ -181,17 +259,42 @@ class AssembledStencil:
             # no penalty energy)
             dA = self.vol[..., 0, :, :] + Dmm
             dB = self.vol[..., 1, :, :] + Dpp
+            cdt = dA.dtype
             if s > 1:
                 Vmm, _, _, Vpp = self.V
                 Hmm, _, _, Hpp = self.H
-                dA = dA.at[:, :, :-1].add(Vmm)     # A minus side of V at (cy, cx)
-                dB = dB.at[:, :, 1:].add(Vpp)      # B plus side of V at (cy, cx-1)
-                dB = dB.at[:, :-1, :].add(Hmm)     # B minus side of H at (cy, cx)
-                dA = dA.at[:, 1:, :].add(Hpp)      # A plus side of H below
+                if sp.percell:
+                    # V faces live on t = parity of the minus cell (see apply)
+                    parv = sp.cell_parity[:, :-1]
+                    v0 = jnp.asarray((parv == 0)[..., None, None]).astype(cdt)
+                    v1 = jnp.asarray((parv == 1)[..., None, None]).astype(cdt)
+                    dA = dA.at[:, :, :-1].add(v0 * Vmm)
+                    dB = dB.at[:, :, :-1].add(v1 * Vmm)
+                    dA = dA.at[:, :, 1:].add(v0 * Vpp)
+                    dB = dB.at[:, :, 1:].add(v1 * Vpp)
+                else:
+                    dA = dA.at[:, :, :-1].add(Vmm)   # A minus side of V at (cy, cx)
+                    dB = dB.at[:, :, 1:].add(Vpp)    # B plus side of V at (cy, cx-1)
+                # H faces couple t1 (below) to t0 (above) for all families
+                dB = dB.at[:, :-1, :].add(Hmm)     # t1 minus side of H at (cy, cx)
+                dA = dA.at[:, 1:, :].add(Hpp)      # t0 plus side of H below
             # subdomain-side penalty (one-sided Dirichlet blocks; on interfaces
             # the in_in strips differ slightly — fine for a preconditioner)
-            dB = dB.at[:, :, 0].add(self.D_side["left"])
-            dA = dA.at[:, :, s - 1].add(self.D_side["right"])
+            if sp.percell:
+                # left/right boundary-layer element alternates (side_cells)
+                pl = np.arange(s) % 2
+                l1 = jnp.asarray((pl == 0)[:, None, None]).astype(cdt)
+                l0 = jnp.asarray((pl == 1)[:, None, None]).astype(cdt)
+                dB = dB.at[:, :, 0].add(l1 * self.D_side["left"])
+                dA = dA.at[:, :, 0].add(l0 * self.D_side["left"])
+                prr = (np.arange(s) + s - 1) % 2
+                g0 = jnp.asarray((prr == 0)[:, None, None]).astype(cdt)
+                g1 = jnp.asarray((prr == 1)[:, None, None]).astype(cdt)
+                dA = dA.at[:, :, s - 1].add(g0 * self.D_side["right"])
+                dB = dB.at[:, :, s - 1].add(g1 * self.D_side["right"])
+            else:
+                dB = dB.at[:, :, 0].add(self.D_side["left"])
+                dA = dA.at[:, :, s - 1].add(self.D_side["right"])
             dA = dA.at[:, 0, :].add(self.D_side["bottom"])
             dB = dB.at[:, s - 1, :].add(self.D_side["top"])
             top = jnp.concatenate([dA, Dmp], axis=-1)
@@ -338,16 +441,35 @@ class AssembledStencil:
             yA = yA + jnp.einsum(e, Dmm, xA) + jnp.einsum(e, Dmp, xB)
             yB = yB + jnp.einsum(e, Dpm, xA) + jnp.einsum(e, Dpp, xB)
 
-            # V interior faces: minus (cy,cx,A), plus (cy,cx+1,B)
+            # V interior faces.  tri: minus (cy,cx,A=t0), plus (cy,cx+1,B=t1).
+            # crisscross: both sides live on the SAME t-plane, t = parity of
+            # the minus cell (V0: A<->C both t0; V1: E<->B both t1) — select
+            # and scatter via the static checkerboard mask.
             if s > 1:
                 Vmm, Vmp, Vpm, Vpp = self.V
-                yA = yA.at[..., :, :-1, :].add(
-                    jnp.einsum(ev, Vmm, xA[..., :, :-1, :])
-                    + jnp.einsum(ev, Vmp, xB[..., :, 1:, :]))
-                yB = yB.at[..., :, 1:, :].add(
-                    jnp.einsum(ev, Vpm, xA[..., :, :-1, :])
-                    + jnp.einsum(ev, Vpp, xB[..., :, 1:, :]))
-                # H interior: minus (cy,cx,B), plus (cy+1,cx,A)
+                if sp.percell:
+                    parv = sp.cell_parity[:, :-1]          # [s, s-1]
+                    m0 = jnp.asarray((parv == 0)[..., None]).astype(x.dtype)
+                    m1 = jnp.asarray((parv == 1)[..., None]).astype(x.dtype)
+                    xm_sel = m0 * xA[..., :, :-1, :] + m1 * xB[..., :, :-1, :]
+                    xp_sel = m0 * xA[..., :, 1:, :] + m1 * xB[..., :, 1:, :]
+                    ym = jnp.einsum(ev, Vmm, xm_sel) + jnp.einsum(ev, Vmp, xp_sel)
+                    yp = jnp.einsum(ev, Vpm, xm_sel) + jnp.einsum(ev, Vpp, xp_sel)
+                    yA = yA.at[..., :, :-1, :].add(m0 * ym)
+                    yB = yB.at[..., :, :-1, :].add(m1 * ym)
+                    yA = yA.at[..., :, 1:, :].add(m0 * yp)
+                    yB = yB.at[..., :, 1:, :].add(m1 * yp)
+                else:
+                    yA = yA.at[..., :, :-1, :].add(
+                        jnp.einsum(ev, Vmm, xA[..., :, :-1, :])
+                        + jnp.einsum(ev, Vmp, xB[..., :, 1:, :]))
+                    yB = yB.at[..., :, 1:, :].add(
+                        jnp.einsum(ev, Vpm, xA[..., :, :-1, :])
+                        + jnp.einsum(ev, Vpp, xB[..., :, 1:, :]))
+                # H interior: minus (cy,cx,t1), plus (cy+1,cx,t0) — the lower
+                # element of any crisscross cell owns the bottom edge and the
+                # upper one the top edge, so this holds for BOTH parities
+                # (H0: B->C, H1: E->A) and the tri code path is shared.
                 Hmm, Hmp, Hpm, Hpp = self.H
                 yB = yB.at[..., :-1, :, :].add(
                     jnp.einsum(ev, Hmm, xB[..., :-1, :, :])
@@ -359,7 +481,9 @@ class AssembledStencil:
             y = jnp.stack([yA, yB], axis=-2)         # [..., K, s, s, T, nb]
 
         # ---- subdomain interfaces (reshape K -> [ky, kx]) ----
-        # boundary-layer element per side (tri: A/B; quad: the single element)
+        # boundary-layer element per side (tri: A/B; quad: the single
+        # element; crisscross: alternates on left/right — handled by masks)
+        cc = sp.percell
         tL = int(sp.side_cells("left")[2][0])
         tR = int(sp.side_cells("right")[2][0])
         tB = int(sp.side_cells("bottom")[2][0])
@@ -369,13 +493,30 @@ class AssembledStencil:
         xg = xc.reshape(lead + (ky, kx, s, s, T, nb))
         if kx > 1:
             Rii, Rio, Roi, Roo = (b.reshape((ky, kx - 1, s, nb, nb)) for b in self.R)
-            xm = xg[..., :, :-1, :, s - 1, tR, :]     # [..., ky, kx-1, s(cy), nb]
-            xp = xg[..., :, 1:, :, 0, tL, :]
             em = "YXfij,...YXfj->...YXfi"
-            yg = yg.at[..., :, :-1, :, s - 1, tR, :].add(
-                jnp.einsum(em, Rii, xm) + jnp.einsum(em, Rio, xp))
-            yg = yg.at[..., :, 1:, :, 0, tL, :].add(
-                jnp.einsum(em, Roi, xm) + jnp.einsum(em, Roo, xp))
+            if cc:
+                # face parity p = parity of the minus cell (cy, s-1); both
+                # sides couple on t = p (V0: A<->C t0, V1: E<->B t1)
+                pr = (np.arange(s) + s - 1) % 2
+                r0 = jnp.asarray((pr == 0)[:, None]).astype(x.dtype)
+                r1 = jnp.asarray((pr == 1)[:, None]).astype(x.dtype)
+                xm = (r0 * xg[..., :, :-1, :, s - 1, 0, :]
+                      + r1 * xg[..., :, :-1, :, s - 1, 1, :])
+                xp = (r0 * xg[..., :, 1:, :, 0, 0, :]
+                      + r1 * xg[..., :, 1:, :, 0, 1, :])
+                ym = jnp.einsum(em, Rii, xm) + jnp.einsum(em, Rio, xp)
+                yp = jnp.einsum(em, Roi, xm) + jnp.einsum(em, Roo, xp)
+                yg = yg.at[..., :, :-1, :, s - 1, 0, :].add(r0 * ym)
+                yg = yg.at[..., :, :-1, :, s - 1, 1, :].add(r1 * ym)
+                yg = yg.at[..., :, 1:, :, 0, 0, :].add(r0 * yp)
+                yg = yg.at[..., :, 1:, :, 0, 1, :].add(r1 * yp)
+            else:
+                xm = xg[..., :, :-1, :, s - 1, tR, :]  # [..., ky, kx-1, s(cy), nb]
+                xp = xg[..., :, 1:, :, 0, tL, :]
+                yg = yg.at[..., :, :-1, :, s - 1, tR, :].add(
+                    jnp.einsum(em, Rii, xm) + jnp.einsum(em, Rio, xp))
+                yg = yg.at[..., :, 1:, :, 0, tL, :].add(
+                    jnp.einsum(em, Roi, xm) + jnp.einsum(em, Roo, xp))
         if ky > 1:
             Uii, Uio, Uoi, Uoo = (b.reshape((ky - 1, kx, s, nb, nb)) for b in self.U)
             xm = xg[..., :-1, :, s - 1, :, tT, :]     # [..., ky-1, kx, s(cx), nb]
@@ -388,12 +529,34 @@ class AssembledStencil:
 
         # ---- physical Dirichlet boundary ----
         eb = "Xfij,...Xfj->...Xfi"
-        yg = yg.at[..., :, 0, :, 0, tL, :].add(
-            jnp.einsum(eb, self.D_side["left"].reshape(ky, kx, s, nb, nb)[:, 0],
-                       xg[..., :, 0, :, 0, tL, :]))
-        yg = yg.at[..., :, kx - 1, :, s - 1, tR, :].add(
-            jnp.einsum(eb, self.D_side["right"].reshape(ky, kx, s, nb, nb)[:, -1],
-                       xg[..., :, kx - 1, :, s - 1, tR, :]))
+        if cc:
+            # left: cell (cy, 0), parity cy%2 -> element t = 1-p (B/C);
+            # right: cell (cy, s-1), parity (cy+1)%2 -> element t = p (A/E)
+            pl = np.arange(s) % 2
+            l1 = jnp.asarray((pl == 0)[:, None]).astype(x.dtype)   # t=1 (B)
+            l0 = jnp.asarray((pl == 1)[:, None]).astype(x.dtype)   # t=0 (C)
+            DL = self.D_side["left"].reshape(ky, kx, s, nb, nb)[:, 0]
+            xl = (l1 * xg[..., :, 0, :, 0, 1, :]
+                  + l0 * xg[..., :, 0, :, 0, 0, :])
+            yl = jnp.einsum(eb, DL, xl)
+            yg = yg.at[..., :, 0, :, 0, 1, :].add(l1 * yl)
+            yg = yg.at[..., :, 0, :, 0, 0, :].add(l0 * yl)
+            prr = (np.arange(s) + s - 1) % 2
+            g0 = jnp.asarray((prr == 0)[:, None]).astype(x.dtype)  # t=0 (A)
+            g1 = jnp.asarray((prr == 1)[:, None]).astype(x.dtype)  # t=1 (E)
+            DR = self.D_side["right"].reshape(ky, kx, s, nb, nb)[:, -1]
+            xr = (g0 * xg[..., :, kx - 1, :, s - 1, 0, :]
+                  + g1 * xg[..., :, kx - 1, :, s - 1, 1, :])
+            yr = jnp.einsum(eb, DR, xr)
+            yg = yg.at[..., :, kx - 1, :, s - 1, 0, :].add(g0 * yr)
+            yg = yg.at[..., :, kx - 1, :, s - 1, 1, :].add(g1 * yr)
+        else:
+            yg = yg.at[..., :, 0, :, 0, tL, :].add(
+                jnp.einsum(eb, self.D_side["left"].reshape(ky, kx, s, nb, nb)[:, 0],
+                           xg[..., :, 0, :, 0, tL, :]))
+            yg = yg.at[..., :, kx - 1, :, s - 1, tR, :].add(
+                jnp.einsum(eb, self.D_side["right"].reshape(ky, kx, s, nb, nb)[:, -1],
+                           xg[..., :, kx - 1, :, s - 1, tR, :]))
         yg = yg.at[..., 0, :, 0, :, tB, :].add(
             jnp.einsum(eb, self.D_side["bottom"].reshape(ky, kx, s, nb, nb)[0],
                        xg[..., 0, :, 0, :, tB, :]))

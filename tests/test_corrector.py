@@ -43,7 +43,11 @@ def test_batched_corrector_f_mode(fom):
     assert np.abs(W[0] - w_ref).max() / np.abs(w_ref).max() < 1e-7
 
 
-def test_stencil_patch_apply_matches_dense():
+import pytest
+
+
+@pytest.mark.parametrize("grid_type", ["tri", "crisscross"])
+def test_stencil_patch_apply_matches_dense(grid_type):
     """The matrix-free patch apply (global stencil on the masked field +
     strip corrections for patch-crossing faces) equals the dense-block
     patch apply — the at-scale corrector path, ~10x cheaper per CG
@@ -55,7 +59,7 @@ def test_stencil_patch_apply_matches_dense():
     from pylrbms_tpu.ops.corrector import BatchedCorrector
     gpd = init_grid_and_problem({'num_subdomains': [4, 3],
                                  'half_num_fine_elements_per_subdomain_and_dim': 1,
-                                 'num_refinements': 1})
+                                 'num_refinements': 1, 'grid_type': grid_type})
     d, _ = discretize(gpd)
     mu = d.parse_parameter(0.6)
     U0 = 0.4 * d.solve(mu)

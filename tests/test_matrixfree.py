@@ -8,11 +8,13 @@ from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
 from pylrbms_tpu.ops.matrixfree import assemble_swipdg_stencil, StencilOperator
 
 
-@pytest.mark.parametrize("kx,ky", [(2, 2), (3, 2)])
-def test_stencil_apply_matches_dense(kx, ky):
+@pytest.mark.parametrize("kx,ky,grid_type", [(2, 2, 'tri'), (3, 2, 'tri'),
+                                             (2, 2, 'crisscross'),
+                                             (3, 2, 'crisscross')])
+def test_stencil_apply_matches_dense(kx, ky, grid_type):
     gpd = init_grid_and_problem({'num_subdomains': [kx, ky],
                                  'half_num_fine_elements_per_subdomain_and_dim': 1,
-                                 'num_refinements': 1})
+                                 'num_refinements': 1, 'grid_type': grid_type})
     d, _ = discretize(gpd)
     stencils = tuple(assemble_swipdg_stencil(d.space, lf, None)
                      for lf in d.estimator.data.lambda_funcs)
@@ -66,6 +68,27 @@ def test_matrixfree_pcg_block_preconditioner():
         block_factors=A_dense.block_jacobi_factors())
     err = float(jnp.abs(x - x_ref).max() / jnp.abs(x_ref).max())
     assert err < 1e-8, err
+
+
+def test_matrixfree_model_solve_crisscross():
+    """The model-level matrix-free two-level solve (cell-Jacobi/block-Jacobi
+    + modal/harvested coarse) runs on the crisscross family and matches the
+    dense solve — the at-scale FOM path is family-complete."""
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1,
+                                 'grid_type': 'crisscross'})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(0.7)
+    U_ref = np.asarray(d.op.assemble(d.theta(mu)).solve_dense(d.rhs(mu)))
+    for cs in ("modal", "harvested"):
+        U = np.asarray(d.solve(mu, inverse_options={
+            "type": "mf_pcg", "precision": 1e-12,
+            "coarse_space": cs, "coarse_modes": 3}))
+        err = np.abs(U - U_ref).max() / np.abs(U_ref).max()
+        assert err < 1e-8, (cs, err)
+        if getattr(d, "_solution_cache", None):
+            d._solution_cache.clear()       # force a fresh solve per variant
 
 
 def test_matrixfree_pcg_two_level_coarse():
