@@ -48,15 +48,19 @@ def _affine(obj):
 
 def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
                ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64,
-               lean: bool = False):
+               lean: bool = False, order: int = 1):
     """``lean=True`` skips the O(Q^2 K N^2) matrix-form estimator tensors
     (M_aa / M_ab / BB / R_dd); the positive-form estimator path
     (``local_quantities_positive`` / ``make_online_step``) stays fully
     functional.  Use for large-scale FOM runs; the MOR reduction path needs
-    the full tensors."""
+    the full tensors.
+
+    ``order=2`` builds the full pipeline on the P2 block space with the
+    degree-matched RT1 flux reconstruction and order-2 Oswald interpolation
+    (``ops/rt1.py`` — beyond the reference, whose estimator is P1-only)."""
     gpd = grid_and_problem_data
     grid: Grid = gpd["grid"]
-    space = BlockDGSpace(grid, order=1)
+    space = BlockDGSpace(grid, order=order)
 
     lambda_funcs, lambda_coeffs = _affine(gpd["lambda"])
     f_funcs, f_coeffs = _affine(gpd["f"])
@@ -152,7 +156,11 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     diam = jnp.full((space.K,), grid.subdomain_diameter(), dtype)
 
     oswald = OswaldOperator(space)
-    flux = FluxReconstructor(space, kappa, ipdg, dtype)
+    if order == 1:
+        flux = FluxReconstructor(space, kappa, ipdg, dtype)
+    else:
+        from .ops.rt1 import FluxReconstructorRT1
+        flux = FluxReconstructorRT1(space, kappa, ipdg, dtype)
 
     est_data = EstimatorData(
         E_bar=E_bar_est, L2=L2, M_aa=M_aa, BB=BB, M_ab=M_ab, A_div=A_div,

@@ -229,7 +229,7 @@ class EllipticEstimator:
         kappa = I supported (all reference problems).
         """
         from .ops import assembly as asm
-        from .ops.products import _chi_tab
+        from .ops.rt1 import rt_tab_any_order
         d = self.data
         sp = d.flux.space
         theta = evaluate_coefficients(d.lambda_coeffs, mu)
@@ -253,8 +253,10 @@ class EllipticEstimator:
         dphi = jnp.asarray(sp.vol_dphi, dtype)                 # [T,nq,nb,2]
         Uc = U.reshape(U.shape[:-2] + (sp.K, sp.s, sp.s, sp.T, sp.nb))
         gu = jnp.einsum(ein("...kyxtj,tqja->...kyxtqa"), Uc, dphi)
-        # t at quad points (RT0 basis, signed chi tab; per-cell on crisscross)
-        chi, idx, div = _chi_tab(sp)
+        # t at quad points (degree-matched RT basis: RT0 for P1 — signed chi
+        # tab, per-cell on crisscross — or RT1 for P2; div uniformly given at
+        # the quadrature points, elementwise linear for RT1)
+        chi, idx, div_q, _nrt = rt_tab_any_order(sp)
         nf = idx.shape[-1]
         chi_j = jnp.asarray(chi, dtype)
         t_cell = t_loc[..., jnp.asarray(idx.reshape(-1))].reshape(
@@ -267,9 +269,9 @@ class EllipticEstimator:
         # f(mu) - div t, elementwise
         f_q = jnp.stack([ff(xq).astype(dtype) for ff in d.f_funcs])
         f_mu = jnp.einsum("q,q...->...", theta_f, f_q)
-        div_t = jnp.einsum(ein("...kyxte,te->...kyxt"),
-                           t_cell, jnp.asarray(div, dtype))
-        res = f_mu - div_t[..., None]
+        div_t = jnp.einsum(ein("...kyxte,tqe->...kyxtq"),
+                           t_cell, jnp.asarray(div_q, dtype))
+        res = f_mu - div_t
         scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
         eta_r = area * jnp.einsum(ein("tq,...kyxtq->...k"), w, res * res) * scale
         return eta_nc, eta_r, eta_df

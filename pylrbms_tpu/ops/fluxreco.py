@@ -31,20 +31,43 @@ from .assembly import IPDGParams, DEFAULT_IPDG, _EVAL_EPS
 
 
 class FluxReconstructor:
-    """Precomputes face geometry; `apply(lam_fn, U)` -> global RT dofs."""
+    """Precomputes face geometry; `apply(lam_fn, U)` -> global RT dofs.
+
+    The machinery is shared with the RT1 reconstruction for P2 spaces
+    (:class:`pylrbms_tpu.ops.rt1` / :class:`FluxReconstructorRT1` below):
+    every face-moment function carries a trailing moment axis of size
+    ``nm`` (1 for RT0: the mean flux moment; 2 for RT1: + the linear
+    moment against 2 tau - 1), and the flat global dof layout interleaves
+    the ``nm`` moments per edge (edge e -> dofs nm*e .. nm*e+nm-1),
+    followed by any interior dofs (``_extra_parts``)."""
+
+    nm = 1          # moments per edge
+    required_order = 1
 
     def __init__(self, space: BlockDGSpace, kappa_fn=None,
                  ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64):
-        assert space.order == 1, "flux reconstruction implemented for P1 DG"
+        assert space.order == self.required_order, \
+            f"this flux reconstruction expects P{self.required_order} DG"
         self.space = space
         self.kappa_fn = kappa_fn
         self.ipdg = ipdg
         self.dtype = dtype
         g = space.grid
         self.Sy, self.Sx = g.global_ny, g.global_nx
-        self.rt_l2g = jnp.asarray(space.rt_local_to_global())
+        self.rt_l2g = self._make_l2g(space)
         # physical cell origins in global order [Sy, Sx, 2]
         self.cell_org = g.cell_origins()
+
+    def _make_l2g(self, space):
+        return jnp.asarray(space.rt_local_to_global())
+
+    def _edge_moments(self, w, integrand, ell):
+        """[..., F, nqf] integrand -> [..., F, nm] edge moments."""
+        return (ell * jnp.einsum("q,...fq->...f", w, integrand))[..., None]
+
+    def _extra_parts(self, lam_fn, uc, out_dt):
+        """Non-edge (interior) dof blocks appended after the edge parts."""
+        return []
 
     # ------------------------------------------------------------------
     def _u_block_to_cells(self, U):
@@ -95,7 +118,7 @@ class FluxReconstructor:
         uv_p = jnp.einsum("...fj,qj->...fq", u_p, phi_p)
         integrand = (-(om_m * lam_m * gun_m + om_p * lam_p * gun_p)
                      + pen * (uv_m - uv_p))
-        return ell * jnp.einsum("q,...fq->...f", w, integrand)
+        return self._edge_moments(w, integrand, ell)
 
     def _face_moment_boundary(self, side, lam_fn, u, x, key=None):
         """[..., F] boundary face dofs in the family-normal convention.
@@ -118,7 +141,7 @@ class FluxReconstructor:
             gun = jnp.einsum("...fj,...fqab,qjb,a->...fq", u, kap, dphi, n_out)
         pen = self.ipdg.sigma_boundary(sp.order) * delta * lam / ell ** self.ipdg.beta
         uv = jnp.einsum("...fj,qj->...fq", u, phi)
-        t_dot_nout = ell * jnp.einsum("q,...fq->...f", w, -lam * gun + pen * uv)
+        t_dot_nout = self._edge_moments(w, -lam * gun + pen * uv, ell)
         # family normal: V=(1,0), H=(0,1); sign +1 where n_out == n_family
         sign = +1.0 if side in ("right", "top") else -1.0
         return sign * t_dot_nout
@@ -172,45 +195,49 @@ class FluxReconstructor:
             parts.append(dofD.reshape(lead + (-1,)))
 
         # ---- V faces ----
+        nm = self.nm
         tab = sp.face_tabs["V"]
         tVm, tVp = tab.tri_m, tab.tri_p
-        dofV = jnp.zeros(lead + (Sy, Sx + 1), out_dt)
+        dofV = jnp.zeros(lead + (Sy, Sx + 1, nm), out_dt)
         if Sx > 1:
             x_m, x_p = phys(tab, org[:, :-1].reshape(-1, 2))
             um = uc[..., :, :-1, tVm, :].reshape(lead + (Sy * (Sx - 1), sp.nb))
             up = uc[..., :, 1:, tVp, :].reshape(lead + (Sy * (Sx - 1), sp.nb))
             inner = self._face_moment_inner("V", lam_fn, um, up, x_m, x_p)
-            dofV = dofV.at[..., :, 1:Sx].set(inner.reshape(lead + (Sy, Sx - 1)))
+            dofV = dofV.at[..., :, 1:Sx, :].set(
+                inner.reshape(lead + (Sy, Sx - 1, nm)))
         tabL = sp.face_tabs["bnd_left"]
         xL, _ = phys(tabL, org[:, 0].reshape(-1, 2))
         uL = uc[..., :, 0, tabL.tri_m, :].reshape(lead + (Sy, sp.nb))
-        dofV = dofV.at[..., :, 0].set(self._face_moment_boundary("left", lam_fn, uL, xL))
+        dofV = dofV.at[..., :, 0, :].set(self._face_moment_boundary("left", lam_fn, uL, xL))
         tabR = sp.face_tabs["bnd_right"]
         xR, _ = phys(tabR, org[:, Sx - 1].reshape(-1, 2))
         uR = uc[..., :, Sx - 1, tabR.tri_m, :].reshape(lead + (Sy, sp.nb))
-        dofV = dofV.at[..., :, Sx].set(self._face_moment_boundary("right", lam_fn, uR, xR))
+        dofV = dofV.at[..., :, Sx, :].set(self._face_moment_boundary("right", lam_fn, uR, xR))
         parts.append(dofV.reshape(lead + (-1,)))
 
         # ---- H faces ----
         tab = sp.face_tabs["H"]
         tHm, tHp = tab.tri_m, tab.tri_p
-        dofH = jnp.zeros(lead + (Sy + 1, Sx), out_dt)
+        dofH = jnp.zeros(lead + (Sy + 1, Sx, nm), out_dt)
         if Sy > 1:
             x_m, x_p = phys(tab, org[:-1, :].reshape(-1, 2))
             um = uc[..., :-1, :, tHm, :].reshape(lead + ((Sy - 1) * Sx, sp.nb))
             up = uc[..., 1:, :, tHp, :].reshape(lead + ((Sy - 1) * Sx, sp.nb))
             inner = self._face_moment_inner("H", lam_fn, um, up, x_m, x_p)
-            dofH = dofH.at[..., 1:Sy, :].set(inner.reshape(lead + (Sy - 1, Sx)))
+            dofH = dofH.at[..., 1:Sy, :, :].set(
+                inner.reshape(lead + (Sy - 1, Sx, nm)))
         tabB = sp.face_tabs["bnd_bottom"]
         xB, _ = phys(tabB, org[0, :].reshape(-1, 2))
         uB = uc[..., 0, :, tabB.tri_m, :].reshape(lead + (Sx, sp.nb))
-        dofH = dofH.at[..., 0, :].set(self._face_moment_boundary("bottom", lam_fn, uB, xB))
+        dofH = dofH.at[..., 0, :, :].set(self._face_moment_boundary("bottom", lam_fn, uB, xB))
         tabT = sp.face_tabs["bnd_top"]
         xT, _ = phys(tabT, org[Sy - 1, :].reshape(-1, 2))
         uT = uc[..., Sy - 1, :, tabT.tri_m, :].reshape(lead + (Sx, sp.nb))
-        dofH = dofH.at[..., Sy, :].set(self._face_moment_boundary("top", lam_fn, uT, xT))
+        dofH = dofH.at[..., Sy, :, :].set(self._face_moment_boundary("top", lam_fn, uT, xT))
         parts.append(dofH.reshape(lead + (-1,)))
 
+        parts += self._extra_parts(lam_fn, uc, out_dt)
         return jnp.concatenate(parts, axis=-1)
 
     def _phys_pts(self, tab, orgs):
@@ -239,6 +266,7 @@ class FluxReconstructor:
         the minus cell's parity (basis.py CC_EDGES_UNIT).  The D dofs of odd
         cells use the D1 family normal (hy, hx)/|d| (anti-diagonal)."""
         sp = self.space
+        nm = self.nm
         Sy, Sx = self.Sy, self.Sx
         lead = uc.shape[:-4]
         org = self.cell_org
@@ -248,7 +276,7 @@ class FluxReconstructor:
         def u_at(cy, cx, t):
             return uc[..., cy, cx, t, :]                      # [..., F, nb]
 
-        dofD = jnp.zeros(lead + (Sy * Sx,), out_dt)
+        dofD = jnp.zeros(lead + (Sy * Sx, nm), out_dt)
         for p in (0, 1):
             cy, cx = np.nonzero(P == p)
             tab = sp.face_tabs[f"D{p}"]
@@ -256,10 +284,10 @@ class FluxReconstructor:
             mom = self._face_moment_inner(f"D{p}", lam_fn,
                                           u_at(cy, cx, tab.tri_m),
                                           u_at(cy, cx, tab.tri_p), x_m, x_p)
-            dofD = dofD.at[..., cy * Sx + cx].set(mom)
-        parts = [dofD]
+            dofD = dofD.at[..., cy * Sx + cx, :].set(mom)
+        parts = [dofD.reshape(lead + (-1,))]
 
-        dofV = jnp.zeros(lead + (Sy, Sx + 1), out_dt)
+        dofV = jnp.zeros(lead + (Sy, Sx + 1, nm), out_dt)
         for p in (0, 1):
             cy, cx = np.nonzero((P == p) & (gx < Sx - 1))
             if cy.size:
@@ -269,7 +297,7 @@ class FluxReconstructor:
                                               u_at(cy, cx, tab.tri_m),
                                               u_at(cy, cx + 1, tab.tri_p),
                                               x_m, x_p)
-                dofV = dofV.at[..., cy, cx + 1].set(mom)
+                dofV = dofV.at[..., cy, cx + 1, :].set(mom)
         for side, cxv, vxv in (("left", 0, 0), ("right", Sx - 1, Sx)):
             cy_all = np.arange(Sy)
             for p in (0, 1):
@@ -280,10 +308,10 @@ class FluxReconstructor:
                 mom = self._face_moment_boundary(
                     side, lam_fn, u_at(cys, np.full_like(cys, cxv), tab.tri_m),
                     x, key=key)
-                dofV = dofV.at[..., cys, vxv].set(mom)
+                dofV = dofV.at[..., cys, vxv, :].set(mom)
         parts.append(dofV.reshape(lead + (-1,)))
 
-        dofH = jnp.zeros(lead + (Sy + 1, Sx), out_dt)
+        dofH = jnp.zeros(lead + (Sy + 1, Sx, nm), out_dt)
         for p in (0, 1):
             cy, cx = np.nonzero((P == p) & (gy < Sy - 1))
             if cy.size:
@@ -293,7 +321,7 @@ class FluxReconstructor:
                                               u_at(cy, cx, tab.tri_m),
                                               u_at(cy + 1, cx, tab.tri_p),
                                               x_m, x_p)
-                dofH = dofH.at[..., cy + 1, cx].set(mom)
+                dofH = dofH.at[..., cy + 1, cx, :].set(mom)
         for side, cyv, hyv in (("bottom", 0, 0), ("top", Sy - 1, Sy)):
             cx_all = np.arange(Sx)
             for p in (0, 1):
@@ -304,8 +332,9 @@ class FluxReconstructor:
                 mom = self._face_moment_boundary(
                     side, lam_fn, u_at(np.full_like(cxs, cyv), cxs, tab.tri_m),
                     x, key=key)
-                dofH = dofH.at[..., hyv, cxs].set(mom)
+                dofH = dofH.at[..., hyv, cxs, :].set(mom)
         parts.append(dofH.reshape(lead + (-1,)))
+        parts += self._extra_parts(lam_fn, uc, out_dt)
         return jnp.concatenate(parts, axis=-1)
 
     def restrict(self, t_global):

@@ -16,8 +16,14 @@ as one vertex scatter/gather over the whole mesh.  The per-source-block
 structure needed by the reductor (``reductor.py:36-46``) is recovered by
 applying this operator to basis vectors supported on a single subdomain.
 
-Only order 1 is supported (the reference applies Oswald on the P1 block
-space only; the P2 space is used solely as EOC reference without estimator).
+Order 1 uses hand-built per-family vertex tables.  Order 2 (beyond the
+reference, which applies Oswald on the P1 block space only) uses a generic
+builder: all Lagrange nodes of the structured families live on the
+half-step lattice (vertices, edge midpoints, cell centers), so global node
+identity is recovered by quantizing physical node coordinates to half-cell
+units — the same vertex scatter/average then enforces C^0 continuity of
+the full order-2 nodal set (vertices + edge midpoints, + face/center nodes
+for Q2).
 """
 from __future__ import annotations
 
@@ -29,11 +35,13 @@ from .spaces import BlockDGSpace
 
 class OswaldOperator:
     def __init__(self, space: BlockDGSpace):
-        assert space.order == 1, "Oswald interpolation implemented for P1"
         self.space = space
         g = space.grid
         Sy, Sx = g.global_ny, g.global_nx
         self.Sy, self.Sx = Sy, Sx
+        if space.order != 1:
+            self._init_generic()
+            return
         # vertex ids per (global cell, element, node): [Sy, Sx, T, nb]
         gy, gx = np.meshgrid(np.arange(Sy), np.arange(Sx), indexing="ij")
 
@@ -75,6 +83,40 @@ class OswaldOperator:
         self.counts = counts
         iy, ix = np.meshgrid(np.arange(Sy + 1), np.arange(Sx + 1), indexing="ij")
         self.interior_mask = ((iy > 0) & (iy < Sy) & (ix > 0) & (ix < Sx)).reshape(-1)
+
+    def _init_generic(self):
+        """Generic node-identity builder (order 2, any family): quantize
+        physical node coordinates to the half-cell lattice
+        (2*Sy+1) x (2*Sx+1); lattice points on the domain boundary are the
+        Dirichlet nodes."""
+        sp = self.space
+        g = sp.grid
+        Sy, Sx = self.Sy, self.Sx
+        org = g.cell_origins()                              # [Sy, Sx, 2]
+        scale = np.array([sp.hx, sp.hy])
+        nodes = sp.nodes_unit * scale       # [T, nb, 2] | percell [s,s,T,nb,2]
+        if sp.percell:
+            nodes = np.tile(nodes[None, :, None],
+                            (g.ky, 1, g.kx, 1, 1, 1, 1)
+                            ).reshape(Sy, Sx, sp.T, sp.nb, 2)
+        else:
+            nodes = np.broadcast_to(nodes[None, None],
+                                    (Sy, Sx, sp.T, sp.nb, 2))
+        coords = org[:, :, None, None, :] + nodes           # [Sy,Sx,T,nb,2]
+        x0 = org[0, 0]                                      # domain lower-left
+        ix2 = np.rint((coords[..., 0] - x0[0]) / (sp.hx / 2)).astype(np.int64)
+        iy2 = np.rint((coords[..., 1] - x0[1]) / (sp.hy / 2)).astype(np.int64)
+        assert ix2.min() >= 0 and ix2.max() <= 2 * Sx
+        assert iy2.min() >= 0 and iy2.max() <= 2 * Sy
+        self.vertex_ids = (iy2 * (2 * Sx + 1) + ix2).reshape(-1)
+        self.n_vertices = (2 * Sy + 1) * (2 * Sx + 1)
+        counts = np.zeros(self.n_vertices)
+        np.add.at(counts, self.vertex_ids, 1.0)
+        self.counts = np.maximum(counts, 1.0)   # unused lattice points
+        iy, ix = np.meshgrid(np.arange(2 * Sy + 1), np.arange(2 * Sx + 1),
+                             indexing="ij")
+        self.interior_mask = ((iy > 0) & (iy < 2 * Sy)
+                              & (ix > 0) & (ix < 2 * Sx)).reshape(-1)
 
     # ------------------------------------------------------------------
     def _block_to_global_cells(self, U):

@@ -75,7 +75,13 @@ def df_aa(space: BlockDGSpace, lam_u, lam_v, lam_hat, kappa_fn=None, dtype=jnp.f
 
 
 def df_bb(space: BlockDGSpace, lam_hat, kappa_fn=None, dtype=jnp.float64):
-    """[K, N_rt, N_rt]: int t . (lam_hat kappa)^{-1} s  over the subdomain."""
+    """[K, N_rt, N_rt]: int t . (lam_hat kappa)^{-1} s  over the subdomain.
+
+    Dispatches to the degree-matched RT space: RT0 for order-1 DG, RT1 for
+    order-2 (``ops/rt1.py`` — beyond-reference P2 estimation)."""
+    if space.order == 2:
+        from .rt1 import df_bb_rt1
+        return df_bb_rt1(space, lam_hat, kappa_fn, dtype)
     chi, idx, _div = _chi_tab(space)
     nf = idx.shape[-1]
     kinv = _kinv_fn(lam_hat, kappa_fn)
@@ -98,6 +104,9 @@ def df_bb(space: BlockDGSpace, lam_hat, kappa_fn=None, dtype=jnp.float64):
 def df_ab(space: BlockDGSpace, lam_v, lam_hat, kappa_fn=None, dtype=jnp.float64):
     """[K, N, N_rt]: int (lam_v / lam_hat) grad(phi_i) . chi_e
     (kappa^T kappa^{-1} = I for spd kappa)."""
+    if space.order == 2:
+        from .rt1 import df_ab_rt1
+        return df_ab_rt1(space, lam_v, lam_hat, kappa_fn, dtype)
     chi, idx, _div = _chi_tab(space)
     nf = idx.shape[-1]
     xq = jnp.asarray(asm._vol_points(space), dtype)
@@ -124,6 +133,9 @@ def divergence_matrix(space: BlockDGSpace, dtype=jnp.float64):
     div chi_e is elementwise constant (both element families), so the DG
     nodal coefficients on an element are all equal to the div constant.
     """
+    if space.order == 2:
+        from .rt1 import divergence_matrix_rt1
+        return divergence_matrix_rt1(space, dtype)
     _chi, idx, div = _chi_tab(space)
     nf = idx.shape[-1]
     F = space.s * space.s * space.T

@@ -208,6 +208,7 @@ class BlockDGSpace:
 
         # face tabulations
         t, w = Q.edge_rule(self._face_quad)
+        self.face_t = t                 # 1d face parameter (RT1 edge moments)
         self.face_tabs: Dict[str, FaceTab] = {}
         lengths = {"D": float(np.hypot(self.hx, self.hy)), "V": self.hy, "H": self.hx}
         normals = {
@@ -282,6 +283,7 @@ class BlockDGSpace:
 
         # face tabulations (6 interior families + 2 per boundary side)
         t, w = Q.edge_rule(self._face_quad)
+        self.face_t = t
         self.face_tabs: Dict[str, FaceTab] = {}
         diag_len = float(np.hypot(self.hx, self.hy))
         lengths = {"D0": diag_len, "D1": diag_len,
@@ -340,6 +342,7 @@ class BlockDGSpace:
         self.nodes_unit = B.node_coords_unit("Q", order)[None]  # [1, nb, 2]
 
         t, w = Q.edge_rule(self._face_quad)
+        self.face_t = t
         self.face_tabs: Dict[str, FaceTab] = {}
         lengths = {"V": self.hy, "H": self.hx}
         normals = {"V": np.array([1.0, 0.0]), "H": np.array([0.0, 1.0])}
