@@ -295,10 +295,10 @@ class FluxReconstructorRT1(FluxReconstructor):
         return jnp.asarray(rt1_local_to_global(space))
 
     def _edge_moments(self, w, integrand, ell):
-        tau = self.space.face_t
-        W = np.stack([np.asarray(w), np.asarray(w) * (2 * tau - 1)])  # [2, nqf]
-        return ell * jnp.einsum("mq,...fq->...fm",
-                                jnp.asarray(W, integrand.dtype), integrand)
+        tau = jnp.asarray(self.space.face_t, integrand.dtype)
+        wj = jnp.asarray(w, integrand.dtype)
+        W = jnp.stack([wj, wj * (2 * tau - 1)])              # [2, nqf]
+        return ell * jnp.einsum("mq,...fq->...fm", W, integrand)
 
     def _extra_parts(self, lam_fn, uc, out_dt):
         """Interior moments  m_i = -int_T lam kappa grad(u) . e_i dx

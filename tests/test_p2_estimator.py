@@ -209,3 +209,39 @@ def test_p2_estimator_eoc_second_order_and_constant_efficiency():
     eff = etas / errs
     assert np.ptp(eff) / eff.mean() < 0.1, eff     # level-constant
     assert np.all(eff > 1.0), eff                  # reliable on this config
+
+
+def test_p2_mor_and_online_enrichment():
+    """The MOR layer is generic over the space order: reduce / ROM solve /
+    N-independent online estimate / online enrichment all run on the P2
+    model, with the ROM estimator equal to the FOM estimator of the
+    reconstructed solution (the defining consistency of the projected
+    estimator tensors, here over RT1-sized tensors)."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    from pylrbms_tpu.reductor import LRBMSReductor
+    from pylrbms_tpu.online_enrichment import AdaptiveEnrichment
+    cfg = dict(num_subdomains=[2, 2],
+               half_num_fine_elements_per_subdomain_and_dim=1,
+               num_refinements=1)
+    gpd = os2015(cfg)
+    m, data = discretize(gpd, order=2)
+    red = LRBMSReductor(m, order=1)
+    for mu in ({"diffusion": 0.1}, {"diffusion": 1.0}):
+        red.extend_basis(m.solve(mu))
+    rom = red.reduce()
+    mu = {"diffusion": 0.4}
+    u_r = rom.solve(mu)
+    eta_rom = float(rom.estimate(u_r, mu))
+    eta_rec = float(m.estimator.estimate(red.reconstruct(u_r), mu))
+    assert abs(eta_rom - eta_rec) / eta_rec < 1e-8
+    # enrichment drives eta down on a fresh one-snapshot ROM
+    red2 = LRBMSReductor(m, order=1)
+    red2.extend_basis(m.solve({"diffusion": 1.0}))
+    rom2 = red2.reduce()
+    loop = AdaptiveEnrichment(gpd, m, data["block_space"], red2, rom2,
+                              target_error=1e-12, marking_doerfler_theta=0.5,
+                              marking_max_age=100)
+    etas = []
+    loop.solve({"diffusion": 0.27}, enrichment_steps=3,
+               callback=lambda rd_, u, mu_, info: etas.append(info["eta"]))
+    assert etas[-1] < 0.2 * etas[0], etas
