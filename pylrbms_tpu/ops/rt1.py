@@ -94,6 +94,47 @@ def _tri_edge_slots(space: BlockDGSpace):
     return out
 
 
+def _cc_edge_slots(space: BlockDGSpace):
+    """Crisscross: per element type in {A, B, C, E}, slot k = LOCAL edge k
+    (the cc incidence order of :meth:`BlockDGSpace.cc_face_dofs`):
+    (EdgeGeom, family normal, length).  The boundary-side parametrizations
+    of ``basis.CC_BOUNDARY_EDGES_UNIT`` coincide with the interior-family
+    ones per element edge, so one table serves both."""
+    from .. import basis as B
+    out = {name: [None] * 3 for name in ("A", "B", "C", "E")}
+    for fam, ((tm, em), (tp, ep)) in B.CC_EDGES_UNIT.items():
+        km, kp = B.CC_FACE_LOCAL_EDGE[fam]
+        tab = space.face_tabs[fam]
+        n, ell = np.asarray(tab.normal), float(tab.length)
+        out[tm][km] = (em, n, ell)
+        out[tp][kp] = (ep, n, ell)
+    assert all(all(s is not None for s in v) for v in out.values())
+    return out
+
+
+def _moment_dual(space, slots, qp_unit, vol_w):
+    """Moment matrix -> (Minv, chi [nq, 8, 2], div [nq, 8]) for one element
+    type with unit-cell quadrature ``qp_unit`` [nq, 2], weights ``vol_w``."""
+    from ..quadrature import edge_rule
+    scale = np.array([space.hx, space.hy])
+    area = space.hx * space.hy
+    tau, wf = edge_rule(space._face_quad)
+    M = np.zeros((NB_RT1, NB_RT1))
+    for k, (geom, n, ell) in enumerate(slots):
+        xe = geom.points(tau) * scale
+        Vn = _coeff_basis_vals(xe) @ n
+        M[2 * k] = ell * np.einsum("q,qc->c", wf, Vn)
+        M[2 * k + 1] = ell * np.einsum("q,q,qc->c", wf, 2 * tau - 1, Vn)
+    qp_phys = qp_unit * scale
+    Vq = _coeff_basis_vals(qp_phys)                      # [nq, 8, 2]
+    M[6] = area * np.einsum("q,qc->c", vol_w, Vq[..., 0])
+    M[7] = area * np.einsum("q,qc->c", vol_w, Vq[..., 1])
+    Minv = np.linalg.inv(M)
+    chi = np.einsum("qca,cj->qja", Vq, Minv)
+    div = np.einsum("qc,cj->qj", _coeff_basis_div(qp_phys), Minv)
+    return Minv, chi, div
+
+
 def rt1_cell_tab(space: BlockDGSpace):
     """(chi1 [T, nq, 8, 2], idx1 [s, s, T, 8], div1 [T, nq, 8]).
 
@@ -106,36 +147,48 @@ def rt1_cell_tab(space: BlockDGSpace):
     tab = getattr(space, "_rt1_tab", None)
     if tab is not None:
         return tab
-    assert space.grid.grid_type == "tri", \
-        "RT1 tabulated for the uniform 'tri' family"
-    scale = np.array([space.hx, space.hy])
-    area = space.hx * space.hy
-    from ..quadrature import edge_rule
-    tau, wf = edge_rule(space._face_quad)                # == space.face_t
-    qp_phys = space.vol_qp * scale                       # [T, nq, 2]
-    vol_w = space.vol_w                                  # [T, nq] (sum 1/2)
-
-    slots = _tri_edge_slots(space)
-    Minvs, chis, divs = [], [], []
-    for ti, name in enumerate(("A", "B")):
-        M = np.zeros((NB_RT1, NB_RT1))
-        for k, (geom, n, ell) in enumerate(slots[name]):
-            xe = geom.points(tau) * scale                # [nqf, 2] physical
-            Vn = _coeff_basis_vals(xe) @ n               # [nqf, 8]
-            M[2 * k] = ell * np.einsum("q,qc->c", wf, Vn)
-            M[2 * k + 1] = ell * np.einsum("q,q,qc->c", wf, 2 * tau - 1, Vn)
-        Vq = _coeff_basis_vals(qp_phys[ti])              # [nq, 8, 2]
-        M[6] = area * np.einsum("q,qc->c", vol_w[ti], Vq[..., 0])
-        M[7] = area * np.einsum("q,qc->c", vol_w[ti], Vq[..., 1])
-        Minv = np.linalg.inv(M)
-        Minvs.append(Minv)
-        chis.append(np.einsum("qca,cj->qja", Vq, Minv))
-        divs.append(np.einsum("qc,cj->qj", _coeff_basis_div(qp_phys[ti]), Minv))
-    chi1 = np.stack(chis)                                # [T, nq, 8, 2]
-    div1 = np.stack(divs)                                # [T, nq, 8]
-
-    idx0, _sign, _opp = space.tri_face_dofs()            # [s, s, T, 3]
+    gt = space.grid.grid_type
+    assert gt in ("tri", "crisscross"), \
+        "RT1 tabulated for the triangular families"
     s, T = space.s, space.T
+    if gt == "tri":
+        slots = _tri_edge_slots(space)
+        Minvs, chis, divs = [], [], []
+        for ti, name in enumerate(("A", "B")):
+            Minv, chi, div = _moment_dual(space, slots[name],
+                                          space.vol_qp[ti], space.vol_w[ti])
+            Minvs.append(Minv)
+            chis.append(chi)
+            divs.append(div)
+        chi1 = np.stack(chis)                            # [T, nq, 8, 2]
+        div1 = np.stack(divs)                            # [T, nq, 8]
+        space._rt1_minv = np.stack(Minvs)
+        idx0, _sign, _opp = space.tri_face_dofs()        # [s, s, T, 3]
+    else:
+        # crisscross: 4 element types on the parity checkerboard; per-cell
+        # tables gathered by parity (same layout rule as the space's own
+        # volume tables, spaces._tabulate_crisscross)
+        from ..quadrature import triangle_rule_unit_cell
+        from ..ops.spaces import CC_ELEMS
+        slots = _cc_edge_slots(space)
+        chi_p, div_p, minv_p = [], [], []
+        for elems in CC_ELEMS:                           # parity 0, 1
+            cs, ds, ms = [], [], []
+            for el in elems:                             # t = 0, 1
+                qp, w = triangle_rule_unit_cell(el, space._vol_quad)
+                Minv, chi, div = _moment_dual(space, slots[el], qp, w)
+                cs.append(chi)
+                ds.append(div)
+                ms.append(Minv)
+            chi_p.append(np.stack(cs))                   # [T, nq, 8, 2]
+            div_p.append(np.stack(ds))
+            minv_p.append(np.stack(ms))
+        par = space.cell_parity
+        chi1 = np.stack(chi_p)[par]                      # [s, s, T, nq, 8, 2]
+        div1 = np.stack(div_p)[par]                      # [s, s, T, nq, 8]
+        space._rt1_minv = np.stack(minv_p)               # [2, T, 8, 8]
+        idx0, _sign, _opp = space.cc_face_dofs()         # [s, s, T, 3]
+
     idx1 = np.zeros((s, s, T, NB_RT1), dtype=np.int64)
     for k in range(3):
         idx1[..., 2 * k] = 2 * idx0[..., k]
@@ -145,7 +198,6 @@ def rt1_cell_tab(space: BlockDGSpace):
     idx1[..., 6] = 2 * space.N_rt + 2 * elem
     idx1[..., 7] = 2 * space.N_rt + 2 * elem + 1
     space._rt1_tab = (chi1, idx1, div1)
-    space._rt1_minv = np.stack(Minvs)
     return space._rt1_tab
 
 
@@ -232,17 +284,24 @@ def divergence_matrix_rt1(space: BlockDGSpace, dtype=jnp.float64):
     """[N, N_rt1]: RT1 coeffs -> DG nodal coeffs of div t (exact: div t is
     elementwise linear, the order-2 nodal basis interpolates it exactly)."""
     rt1_cell_tab(space)                                  # ensure Minv cached
-    Minv = space._rt1_minv                               # [T, 8, 8]
     _chi, idx, _div = space._rt1_tab
     nf = idx.shape[-1]
     scale = np.array([space.hx, space.hy])
-    nodes_phys = space.nodes_unit * scale                # [T, nb, 2]
-    div_nodal = np.einsum("tic,tcj->tij",
-                          _coeff_basis_div(nodes_phys), Minv)   # [T, nb, 8]
     F = space.s * space.s * space.T
-    blocks = jnp.broadcast_to(
-        jnp.asarray(div_nodal, dtype)[None],
-        (space.s * space.s, space.T, space.nb, nf)).reshape(F, space.nb, nf)
+    if space.percell:                                    # crisscross
+        Minv_cell = space._rt1_minv[space.cell_parity]   # [s, s, T, 8, 8]
+        nodes_phys = space.nodes_unit * scale            # [s, s, T, nb, 2]
+        div_nodal = np.einsum("yxtic,yxtcj->yxtij",
+                              _coeff_basis_div(nodes_phys), Minv_cell)
+        blocks = jnp.asarray(div_nodal, dtype).reshape(F, space.nb, nf)
+    else:
+        Minv = space._rt1_minv                           # [T, 8, 8]
+        nodes_phys = space.nodes_unit * scale            # [T, nb, 2]
+        div_nodal = np.einsum("tic,tcj->tij",
+                              _coeff_basis_div(nodes_phys), Minv)
+        blocks = jnp.broadcast_to(
+            jnp.asarray(div_nodal, dtype)[None],
+            (space.s * space.s, space.T, space.nb, nf)).reshape(F, space.nb, nf)
     rows = np.arange(space.N, dtype=np.int64).reshape(F, space.nb)
     cols = idx.reshape(F, nf)
     A = jnp.zeros((space.N, N_rt1(space)), dtype)
@@ -286,8 +345,8 @@ class FluxReconstructorRT1(FluxReconstructor):
 
     def __init__(self, space: BlockDGSpace, kappa_fn=None,
                  ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64):
-        assert space.grid.grid_type == "tri", \
-            "RT1 reconstruction implemented for the uniform 'tri' family"
+        assert space.grid.grid_type in ("tri", "crisscross"), \
+            "RT1 reconstruction implemented for the triangular families"
         super().__init__(space, kappa_fn, ipdg, dtype)
         rt1_cell_tab(space)
 
@@ -299,6 +358,57 @@ class FluxReconstructorRT1(FluxReconstructor):
         wj = jnp.asarray(w, integrand.dtype)
         W = jnp.stack([wj, wj * (2 * tau - 1)])              # [2, nqf]
         return ell * jnp.einsum("mq,...fq->...fm", W, integrand)
+
+    # -- SIPG jump lifting helpers -------------------------------------
+    def _lift_inner(self, lam_fn, tab, x_m, x_p, u_m, u_p):
+        """(corr_minus, corr_plus) [..., F, 2]: the per-side lifting
+        omega_T int_e lam_T [u] (kappa_T n_e)_i ds (family normal/jump)."""
+        dt = self.dtype
+        n = jnp.asarray(tab.normal, dt)
+        wq = jnp.asarray(tab.w, dt)
+        ell = tab.length
+        uv_m = jnp.einsum("...fj,qj->...fq", u_m, jnp.asarray(tab.phi_m, dt))
+        uv_p = jnp.einsum("...fj,qj->...fq", u_p, jnp.asarray(tab.phi_p, dt))
+        jump = uv_m - uv_p
+        lam_m = lam_fn(x_m).astype(dt)
+        lam_p = lam_fn(x_p).astype(dt)
+        if self.kappa_fn is None:
+            cm = ell * jnp.einsum("q,...fq,a->...fa", wq,
+                                  0.5 * lam_m * jump, n)
+            cp = ell * jnp.einsum("q,...fq,a->...fa", wq,
+                                  0.5 * lam_p * jump, n)
+        else:
+            kap_m = self.kappa_fn(x_m).astype(dt)            # [F, nqf, 2, 2]
+            kap_p = self.kappa_fn(x_p).astype(dt)
+            delta_m = jnp.einsum("...ab,a,b->...", kap_m, n, n)
+            delta_p = jnp.einsum("...ab,a,b->...", kap_p, n, n)
+            ssum = delta_m + delta_p
+            nz = ssum != 0
+            om_m = jnp.where(nz, delta_p / jnp.where(nz, ssum, 1.0), 0.5)
+            om_p = jnp.where(nz, delta_m / jnp.where(nz, ssum, 1.0), 0.5)
+            kn_m = jnp.einsum("...ab,b->...a", kap_m, n)     # [F, nqf, 2]
+            kn_p = jnp.einsum("...ab,b->...a", kap_p, n)
+            cm = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
+                                  om_m * lam_m * jump, kn_m)
+            cp = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
+                                  om_p * lam_p * jump, kn_p)
+        return cm, cp
+
+    def _lift_boundary(self, lam_fn, tab, x, u):
+        """[..., F, 2]: full-weight boundary lifting int_e lam u
+        (kappa n_out)_i ds ([u] = u, g = 0 all-Dirichlet)."""
+        dt = self.dtype
+        n_out = jnp.asarray(tab.normal, dt)
+        wq = jnp.asarray(tab.w, dt)
+        uv = jnp.einsum("...fj,qj->...fq", u, jnp.asarray(tab.phi_m, dt))
+        lam = lam_fn(x).astype(dt)
+        if self.kappa_fn is None:
+            return tab.length * jnp.einsum("q,...fq,a->...fa", wq,
+                                           lam * uv, n_out)
+        kap = self.kappa_fn(x).astype(dt)
+        kn = jnp.einsum("...ab,b->...a", kap, n_out)
+        return tab.length * jnp.einsum("q,...fq,fqa->...fa", wq,
+                                       lam * uv, kn)
 
     def _extra_parts(self, lam_fn, uc, out_dt):
         """Interior moments  m_i = -int_T lam kappa grad(u) . e_i dx
@@ -319,64 +429,54 @@ class FluxReconstructorRT1(FluxReconstructor):
         Sy, Sx = self.Sy, self.Sx
         scale = np.array([sp.hx, sp.hy])
         org = jnp.asarray(self.cell_org, dt)                 # [Sy, Sx, 2]
-        qp = jnp.asarray(sp.vol_qp * scale, dt)              # [T, nq, 2]
-        xq = org[:, :, None, None, :] + qp[None, None]       # [Sy,Sx,T,nq,2]
-        w = jnp.asarray(sp.vol_w, dt)
-        dphi = jnp.asarray(sp.vol_dphi, dt)                  # [T, nq, nb, 2]
-        gu = jnp.einsum("...yxtj,tqja->...yxtqa", uc, dphi)
-        lam = lam_fn(xq).astype(dt)
-        if self.kappa_fn is not None:
-            kap = self.kappa_fn(xq).astype(dt)
-            gu = jnp.einsum("yxtqab,...yxtqb->...yxtqa", kap, gu)
-        area = sp.hx * sp.hy
-        m = -area * jnp.einsum("tq,yxtq,...yxtqa->...yxta", w, lam, gu)
+        g = sp.grid
+        if sp.percell:
+            # global per-cell tables: tile the subdomain-parity tables over
+            # the (ky, kx) subdomain grid (s is even, so parity lines up)
+            qp_u = np.tile(sp.vol_qp, (g.ky, g.kx, 1, 1, 1))
+            w_u = np.tile(sp.vol_w, (g.ky, g.kx, 1, 1))
+            dphi_u = np.tile(sp.vol_dphi, (g.ky, g.kx, 1, 1, 1, 1))
+            qp = jnp.asarray(qp_u * scale, dt)               # [Sy,Sx,T,nq,2]
+            xq = org[:, :, None, None, :] + qp
+            w = jnp.asarray(w_u, dt)
+            dphi = jnp.asarray(dphi_u, dt)                   # [Sy,Sx,T,nq,nb,2]
+            gu = jnp.einsum("...yxtj,yxtqja->...yxtqa", uc, dphi)
+            lam = lam_fn(xq).astype(dt)
+            if self.kappa_fn is not None:
+                kap = self.kappa_fn(xq).astype(dt)
+                gu = jnp.einsum("yxtqab,...yxtqb->...yxtqa", kap, gu)
+            area = sp.hx * sp.hy
+            m = -area * jnp.einsum("yxtq,yxtq,...yxtqa->...yxta", w, lam, gu)
+            m = m + self._lift_cc(lam_fn, uc, m.dtype)
+        else:
+            qp = jnp.asarray(sp.vol_qp * scale, dt)          # [T, nq, 2]
+            xq = org[:, :, None, None, :] + qp[None, None]   # [Sy,Sx,T,nq,2]
+            w = jnp.asarray(sp.vol_w, dt)
+            dphi = jnp.asarray(sp.vol_dphi, dt)              # [T, nq, nb, 2]
+            gu = jnp.einsum("...yxtj,tqja->...yxtqa", uc, dphi)
+            lam = lam_fn(xq).astype(dt)
+            if self.kappa_fn is not None:
+                kap = self.kappa_fn(xq).astype(dt)
+                gu = jnp.einsum("yxtqab,...yxtqb->...yxtqa", kap, gu)
+            area = sp.hx * sp.hy
+            m = -area * jnp.einsum("tq,yxtq,...yxtqa->...yxta", w, lam, gu)
+            m = m + self._lift_tri(lam_fn, uc, m.dtype)
+        return [m.reshape(lead + (-1,)).astype(out_dt)]
 
-        # ---- jump lifting over the three interior families + boundary ----
-        def face_corr(tab, x_m, x_p, u_m, u_p):
-            """(corr_minus, corr_plus) [..., F, 2]."""
-            n = jnp.asarray(tab.normal, dt)
-            wq = jnp.asarray(tab.w, dt)
-            ell = tab.length
-            uv_m = jnp.einsum("...fj,qj->...fq", u_m,
-                              jnp.asarray(tab.phi_m, dt))
-            uv_p = jnp.einsum("...fj,qj->...fq", u_p,
-                              jnp.asarray(tab.phi_p, dt))
-            jump = uv_m - uv_p
-            lam_m = lam_fn(x_m).astype(dt)
-            lam_p = lam_fn(x_p).astype(dt)
-            if self.kappa_fn is None:
-                om_m = om_p = 0.5
-                kn_m = kn_p = n                              # [2]
-                cm = ell * jnp.einsum("q,...fq,a->...fa", wq,
-                                      om_m * lam_m * jump, kn_m)
-                cp = ell * jnp.einsum("q,...fq,a->...fa", wq,
-                                      om_p * lam_p * jump, kn_p)
-            else:
-                kap_m = self.kappa_fn(x_m).astype(dt)        # [F, nqf, 2, 2]
-                kap_p = self.kappa_fn(x_p).astype(dt)
-                delta_m = jnp.einsum("...ab,a,b->...", kap_m, n, n)
-                delta_p = jnp.einsum("...ab,a,b->...", kap_p, n, n)
-                ssum = delta_m + delta_p
-                nz = ssum != 0
-                om_m = jnp.where(nz, delta_p / jnp.where(nz, ssum, 1.0), 0.5)
-                om_p = jnp.where(nz, delta_m / jnp.where(nz, ssum, 1.0), 0.5)
-                kn_m = jnp.einsum("...ab,b->...a", kap_m, n) # [F, nqf, 2]
-                kn_p = jnp.einsum("...ab,b->...a", kap_p, n)
-                cm = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
-                                      om_m * lam_m * jump, kn_m)
-                cp = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
-                                      om_p * lam_p * jump, kn_p)
-            return cm, cp
-
-        corr = jnp.zeros(lead + (Sy, Sx, sp.T, 2), m.dtype)
+    def _lift_tri(self, lam_fn, uc, mdt):
+        sp = self.space
+        lead = uc.shape[:-4]
+        Sy, Sx = self.Sy, self.Sx
+        corr = jnp.zeros(lead + (Sy, Sx, sp.T, 2), mdt)
         org_np = self.cell_org
 
         # D: minus = (cell, A), plus = (cell, B)
         tab = sp.face_tabs["D"]
         x_m, x_p = self._phys_pts(tab, org_np.reshape(-1, 2))
-        cm, cp = face_corr(tab, x_m, x_p,
-                           uc[..., tab.tri_m, :].reshape(lead + (Sy * Sx, sp.nb)),
-                           uc[..., tab.tri_p, :].reshape(lead + (Sy * Sx, sp.nb)))
+        cm, cp = self._lift_inner(
+            lam_fn, tab, x_m, x_p,
+            uc[..., tab.tri_m, :].reshape(lead + (Sy * Sx, sp.nb)),
+            uc[..., tab.tri_p, :].reshape(lead + (Sy * Sx, sp.nb)))
         corr = corr.at[..., tab.tri_m, :].add(cm.reshape(lead + (Sy, Sx, 2)))
         corr = corr.at[..., tab.tri_p, :].add(cp.reshape(lead + (Sy, Sx, 2)))
 
@@ -385,9 +485,10 @@ class FluxReconstructorRT1(FluxReconstructor):
             tab = sp.face_tabs["V"]
             x_m, x_p = self._phys_pts(tab, org_np[:, :-1].reshape(-1, 2))
             F = Sy * (Sx - 1)
-            cm, cp = face_corr(tab, x_m, x_p,
-                               uc[..., :, :-1, tab.tri_m, :].reshape(lead + (F, sp.nb)),
-                               uc[..., :, 1:, tab.tri_p, :].reshape(lead + (F, sp.nb)))
+            cm, cp = self._lift_inner(
+                lam_fn, tab, x_m, x_p,
+                uc[..., :, :-1, tab.tri_m, :].reshape(lead + (F, sp.nb)),
+                uc[..., :, 1:, tab.tri_p, :].reshape(lead + (F, sp.nb)))
             corr = corr.at[..., :, :-1, tab.tri_m, :].add(
                 cm.reshape(lead + (Sy, Sx - 1, 2)))
             corr = corr.at[..., :, 1:, tab.tri_p, :].add(
@@ -398,46 +499,95 @@ class FluxReconstructorRT1(FluxReconstructor):
             tab = sp.face_tabs["H"]
             x_m, x_p = self._phys_pts(tab, org_np[:-1, :].reshape(-1, 2))
             F = (Sy - 1) * Sx
-            cm, cp = face_corr(tab, x_m, x_p,
-                               uc[..., :-1, :, tab.tri_m, :].reshape(lead + (F, sp.nb)),
-                               uc[..., 1:, :, tab.tri_p, :].reshape(lead + (F, sp.nb)))
+            cm, cp = self._lift_inner(
+                lam_fn, tab, x_m, x_p,
+                uc[..., :-1, :, tab.tri_m, :].reshape(lead + (F, sp.nb)),
+                uc[..., 1:, :, tab.tri_p, :].reshape(lead + (F, sp.nb)))
             corr = corr.at[..., :-1, :, tab.tri_m, :].add(
                 cm.reshape(lead + (Sy - 1, Sx, 2)))
             corr = corr.at[..., 1:, :, tab.tri_p, :].add(
                 cp.reshape(lead + (Sy - 1, Sx, 2)))
 
-        # boundary: full weight, n_out, [u] = u (g = 0 all-Dirichlet)
-        def bnd_corr(side, orgs, u):
-            tab = sp.face_tabs["bnd_" + side]
-            x, _ = self._phys_pts(tab, orgs)
-            n_out = jnp.asarray(tab.normal, dt)
-            wq = jnp.asarray(tab.w, dt)
-            uv = jnp.einsum("...fj,qj->...fq", u, jnp.asarray(tab.phi_m, dt))
-            lam = lam_fn(x).astype(dt)
-            if self.kappa_fn is None:
-                return tab.length * jnp.einsum("q,...fq,a->...fa", wq,
-                                               lam * uv, n_out)
-            kap = self.kappa_fn(x).astype(dt)
-            kn = jnp.einsum("...ab,b->...a", kap, n_out)
-            return tab.length * jnp.einsum("q,...fq,fqa->...fa", wq,
-                                           lam * uv, kn)
+        # boundary sides
+        for side, sel in (
+                ("left", lambda tb: (org_np[:, 0], uc[..., :, 0, tb.tri_m, :],
+                                     (slice(None), 0))),
+                ("right", lambda tb: (org_np[:, Sx - 1],
+                                      uc[..., :, Sx - 1, tb.tri_m, :],
+                                      (slice(None), Sx - 1))),
+                ("bottom", lambda tb: (org_np[0, :], uc[..., 0, :, tb.tri_m, :],
+                                       (0, slice(None)))),
+                ("top", lambda tb: (org_np[Sy - 1, :],
+                                    uc[..., Sy - 1, :, tb.tri_m, :],
+                                    (Sy - 1, slice(None))))):
+            tb = sp.face_tabs["bnd_" + side]
+            orgs, u, pos = sel(tb)
+            x, _ = self._phys_pts(tb, orgs.reshape(-1, 2))
+            Fb = orgs.reshape(-1, 2).shape[0]
+            c = self._lift_boundary(lam_fn, tb, x,
+                                    u.reshape(lead + (Fb, sp.nb)))
+            corr = corr.at[(Ellipsis,) + pos + (tb.tri_m, slice(None))].add(c)
+        return corr
 
-        tb = sp.face_tabs["bnd_left"]
-        c = bnd_corr("left", org_np[:, 0].reshape(-1, 2),
-                     uc[..., :, 0, tb.tri_m, :].reshape(lead + (Sy, sp.nb)))
-        corr = corr.at[..., :, 0, tb.tri_m, :].add(c)
-        tb = sp.face_tabs["bnd_right"]
-        c = bnd_corr("right", org_np[:, Sx - 1].reshape(-1, 2),
-                     uc[..., :, Sx - 1, tb.tri_m, :].reshape(lead + (Sy, sp.nb)))
-        corr = corr.at[..., :, Sx - 1, tb.tri_m, :].add(c)
-        tb = sp.face_tabs["bnd_bottom"]
-        c = bnd_corr("bottom", org_np[0, :].reshape(-1, 2),
-                     uc[..., 0, :, tb.tri_m, :].reshape(lead + (Sx, sp.nb)))
-        corr = corr.at[..., 0, :, tb.tri_m, :].add(c)
-        tb = sp.face_tabs["bnd_top"]
-        c = bnd_corr("top", org_np[Sy - 1, :].reshape(-1, 2),
-                     uc[..., Sy - 1, :, tb.tri_m, :].reshape(lead + (Sx, sp.nb)))
-        corr = corr.at[..., Sy - 1, :, tb.tri_m, :].add(c)
+    def _lift_cc(self, lam_fn, uc, mdt):
+        """Crisscross jump lifting: 6 parity-split interior families +
+        per-parity boundary groups (same face enumeration as
+        ``FluxReconstructor._apply_global_cc``)."""
+        sp = self.space
+        lead = uc.shape[:-4]
+        Sy, Sx = self.Sy, self.Sx
+        corr = jnp.zeros(lead + (Sy, Sx, sp.T, 2), mdt)
+        org = self.cell_org
+        gy, gx = np.meshgrid(np.arange(Sy), np.arange(Sx), indexing="ij")
+        P = (gy + gx) % 2
 
-        m = m + corr
-        return [m.reshape(lead + (-1,)).astype(out_dt)]
+        def u_at(cy, cx, t):
+            return uc[..., cy, cx, t, :]
+
+        for p in (0, 1):
+            cy, cx = np.nonzero(P == p)
+            tab = sp.face_tabs[f"D{p}"]
+            x_m, x_p = self._phys_pts(tab, org[cy, cx])
+            cm, cp = self._lift_inner(lam_fn, tab, x_m, x_p,
+                                      u_at(cy, cx, tab.tri_m),
+                                      u_at(cy, cx, tab.tri_p))
+            corr = corr.at[..., cy, cx, tab.tri_m, :].add(cm)
+            corr = corr.at[..., cy, cx, tab.tri_p, :].add(cp)
+
+            cy, cx = np.nonzero((P == p) & (gx < Sx - 1))
+            if cy.size:
+                tab = sp.face_tabs[f"V{p}"]
+                x_m, x_p = self._phys_pts(tab, org[cy, cx])
+                cm, cp = self._lift_inner(lam_fn, tab, x_m, x_p,
+                                          u_at(cy, cx, tab.tri_m),
+                                          u_at(cy, cx + 1, tab.tri_p))
+                corr = corr.at[..., cy, cx, tab.tri_m, :].add(cm)
+                corr = corr.at[..., cy, cx + 1, tab.tri_p, :].add(cp)
+
+            cy, cx = np.nonzero((P == p) & (gy < Sy - 1))
+            if cy.size:
+                tab = sp.face_tabs[f"H{p}"]
+                x_m, x_p = self._phys_pts(tab, org[cy, cx])
+                cm, cp = self._lift_inner(lam_fn, tab, x_m, x_p,
+                                          u_at(cy, cx, tab.tri_m),
+                                          u_at(cy + 1, cx, tab.tri_p))
+                corr = corr.at[..., cy, cx, tab.tri_m, :].add(cm)
+                corr = corr.at[..., cy + 1, cx, tab.tri_p, :].add(cp)
+
+        for side, cells in (
+                ("left", (np.arange(Sy), np.zeros(Sy, np.int64))),
+                ("right", (np.arange(Sy), np.full(Sy, Sx - 1, np.int64))),
+                ("bottom", (np.zeros(Sx, np.int64), np.arange(Sx))),
+                ("top", (np.full(Sx, Sy - 1, np.int64), np.arange(Sx)))):
+            cy_all, cx_all = cells
+            for p in (0, 1):
+                msk = (cy_all + cx_all) % 2 == p
+                cys, cxs = cy_all[msk], cx_all[msk]
+                if not cys.size:
+                    continue
+                tab = sp.face_tabs[f"bnd_{side}_p{p}"]
+                x, _ = self._phys_pts(tab, org[cys, cxs])
+                c = self._lift_boundary(lam_fn, tab, x,
+                                        u_at(cys, cxs, tab.tri_m))
+                corr = corr.at[..., cys, cxs, tab.tri_m, :].add(c)
+        return corr
