@@ -23,13 +23,16 @@ two edge moments pin the trace exactly -> the global space is
 H(div)-conforming, and div t = const + 3 q(x) is elementwise linear.
 
 Local dof layout per subdomain: edge dofs first (local RT0 edge e ->
-dofs 2e, 2e+1), then 2 interior dofs per element
-(2*N_rt + 2*((cy*s+cx)*T+t) + i).  Global layout likewise: doubled RT0
+dofs 2e, 2e+1), then n_int interior dofs per element
+(2*N_rt + n_int*((cy*s+cx)*T+t) + i).  Global layout likewise: doubled RT0
 edge layout (D, V, H flat order of ``spaces.rt_local_to_global``)
-followed by 2 dofs per global element.
+followed by n_int dofs per global element.
 
-Only the uniform 'tri' family is tabulated (the production family); the
-crisscross/quad extensions follow the same pattern when needed.
+All three grid families are tabulated: 'tri' (A/B element types),
+'crisscross' (A/B/C/E, parity-gathered per-cell tables), and 'quad'
+(rectangle RT_[1] = Q_{2,1} x Q_{1,2}, dim 12: 2 moments per edge + 4
+interior moments against grad(Q1); div in Q_{1,1}, exactly interpolated
+by the Q2 nodal basis).
 """
 from __future__ import annotations
 
@@ -40,7 +43,18 @@ from .spaces import BlockDGSpace
 from . import assembly as asm
 
 
-NB_RT1 = 8   # dofs per triangle
+NB_RT1 = 8    # dofs per triangle (RT1 simplex)
+NB_RT1Q = 12  # dofs per rectangle (RT_[1] = Q_{2,1} x Q_{1,2})
+
+
+def _n_int(space) -> int:
+    """Interior dofs per element: 2 on triangles ((P0)^2 moments), 4 on
+    rectangles (Q_{0,1} x Q_{1,0} moments)."""
+    return 4 if space.grid.grid_type == "quad" else 2
+
+
+def nb_rt1(space) -> int:
+    return NB_RT1Q if space.grid.grid_type == "quad" else NB_RT1
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +85,43 @@ def _coeff_basis_div(x):
     z = np.zeros_like(xs)
     o = np.ones_like(xs)
     return np.stack([z, o, z, z, z, o, 3 * xs, 3 * ys], axis=-1)
+
+
+def _coeff_basis_vals_q(x):
+    """Rectangle RT_[1] coefficient basis at x [..., 2] -> [..., 12, 2]:
+    comp-x spans Q_{2,1} = {1,x,y,xy,x^2,x^2 y}, comp-y spans
+    Q_{1,2} = {1,x,y,xy,y^2,x y^2}."""
+    xs, ys = x[..., 0], x[..., 1]
+    z = np.zeros_like(xs)
+    o = np.ones_like(xs)
+    cx = [o, xs, ys, xs * ys, xs * xs, xs * xs * ys]
+    cy = [o, xs, ys, xs * ys, ys * ys, xs * ys * ys]
+    V = ([np.stack([c, z], -1) for c in cx]
+         + [np.stack([z, c], -1) for c in cy])
+    return np.stack(V, axis=-2)
+
+
+def _coeff_basis_div_q(x):
+    """[..., 12] divergences of the rectangle coefficient basis."""
+    xs, ys = x[..., 0], x[..., 1]
+    z = np.zeros_like(xs)
+    o = np.ones_like(xs)
+    dx = [z, o, z, ys, 2 * xs, 2 * xs * ys]
+    dy = [z, z, o, xs, 2 * ys, 2 * xs * ys]
+    return np.stack(dx + dy, axis=-1)
+
+
+def _int_test_basis_q(space, x):
+    """Interior test fields on the rectangle at x [..., 2] -> [..., 4, 2]:
+    r = (1,0), (ybar,0), (0,1), (0,xbar) with centered xbar = 2x/hx - 1,
+    ybar = 2y/hy - 1 — the span of grad(Q1), which is what the jump
+    lifting needs (see FluxReconstructorRT1._extra_parts)."""
+    xb = 2 * x[..., 0] / space.hx - 1
+    yb = 2 * x[..., 1] / space.hy - 1
+    z = np.zeros_like(xb)
+    o = np.ones_like(xb)
+    return np.stack([np.stack([o, z], -1), np.stack([yb, z], -1),
+                     np.stack([z, o], -1), np.stack([z, xb], -1)], axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +186,43 @@ def _moment_dual(space, slots, qp_unit, vol_w):
     return Minv, chi, div
 
 
+def _quad_edge_slots(space: BlockDGSpace):
+    """Rectangle: 4 slots in the quad_face_dofs order [left V, right V,
+    bottom H, top H] — (EdgeGeom, family normal, length).  Left/bottom are
+    the PLUS side of their family, right/top the MINUS side; boundary
+    parametrizations coincide per edge."""
+    from .. import basis as B
+    (vm_t, vm_e), (vp_t, vp_e) = B.QUAD_EDGES_UNIT["V"]
+    (hm_t, hm_e), (hp_t, hp_e) = B.QUAD_EDGES_UNIT["H"]
+    nV, lV = np.asarray(space.face_tabs["V"].normal), float(space.face_tabs["V"].length)
+    nH, lH = np.asarray(space.face_tabs["H"].normal), float(space.face_tabs["H"].length)
+    return [(vp_e, nV, lV), (vm_e, nV, lV), (hp_e, nH, lH), (hm_e, nH, lH)]
+
+
+def _moment_dual_q(space, qp_unit, vol_w):
+    """Rectangle RT_[1] moment-dual basis:
+    (Minv [12, 12], chi [nq, 12, 2], div [nq, 12])."""
+    from ..quadrature import edge_rule
+    scale = np.array([space.hx, space.hy])
+    area = space.hx * space.hy
+    tau, wf = edge_rule(space._face_quad)
+    M = np.zeros((NB_RT1Q, NB_RT1Q))
+    for k, (geom, n, ell) in enumerate(_quad_edge_slots(space)):
+        xe = geom.points(tau) * scale
+        Vn = _coeff_basis_vals_q(xe) @ n
+        M[2 * k] = ell * np.einsum("q,qc->c", wf, Vn)
+        M[2 * k + 1] = ell * np.einsum("q,q,qc->c", wf, 2 * tau - 1, Vn)
+    qp_phys = qp_unit * scale
+    Vq = _coeff_basis_vals_q(qp_phys)                    # [nq, 12, 2]
+    R = _int_test_basis_q(space, qp_phys)                # [nq, 4, 2]
+    for j in range(4):
+        M[8 + j] = area * np.einsum("q,qca,qa->c", vol_w, Vq, R[:, j])
+    Minv = np.linalg.inv(M)
+    chi = np.einsum("qca,cj->qja", Vq, Minv)
+    div = np.einsum("qc,cj->qj", _coeff_basis_div_q(qp_phys), Minv)
+    return Minv, chi, div
+
+
 def rt1_cell_tab(space: BlockDGSpace):
     """(chi1 [T, nq, 8, 2], idx1 [s, s, T, 8], div1 [T, nq, 8]).
 
@@ -148,9 +236,24 @@ def rt1_cell_tab(space: BlockDGSpace):
     if tab is not None:
         return tab
     gt = space.grid.grid_type
-    assert gt in ("tri", "crisscross"), \
-        "RT1 tabulated for the triangular families"
     s, T = space.s, space.T
+    if gt == "quad":
+        # rectangle RT_[1]: one element type, 4 edge slots + 4 interior
+        Minv, chi, div = _moment_dual_q(space, space.vol_qp[0], space.vol_w[0])
+        chi1 = chi[None]                                 # [1, nq, 12, 2]
+        div1 = div[None]                                 # [1, nq, 12]
+        space._rt1_minv = Minv[None]
+        idx0 = space.quad_face_dofs()                    # [s, s, 1, 4]
+        idx1 = np.zeros((s, s, T, NB_RT1Q), dtype=np.int64)
+        for k in range(4):
+            idx1[..., 2 * k] = 2 * idx0[..., k]
+            idx1[..., 2 * k + 1] = 2 * idx0[..., k] + 1
+        cy, cx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        elem = (cy * s + cx)[:, :, None] * T + np.arange(T)[None, None, :]
+        for j in range(4):
+            idx1[..., 8 + j] = 2 * space.N_rt + 4 * elem + j
+        space._rt1_tab = (chi1, idx1, div1)
+        return space._rt1_tab
     if gt == "tri":
         slots = _tri_edge_slots(space)
         Minvs, chis, divs = [], [], []
@@ -202,12 +305,13 @@ def rt1_cell_tab(space: BlockDGSpace):
 
 
 def N_rt1(space: BlockDGSpace) -> int:
-    return 2 * space.N_rt + 2 * space.s * space.s * space.T
+    return 2 * space.N_rt + _n_int(space) * space.s * space.s * space.T
 
 
 def N_rt1_global(space: BlockDGSpace) -> int:
     g = space.grid
-    return 2 * space.N_rt_global + 2 * g.global_ny * g.global_nx * space.T
+    return (2 * space.N_rt_global
+            + _n_int(space) * g.global_ny * g.global_nx * space.T)
 
 
 def rt1_local_to_global(space: BlockDGSpace) -> np.ndarray:
@@ -220,14 +324,15 @@ def rt1_local_to_global(space: BlockDGSpace) -> np.ndarray:
     out[:, 0:2 * space.N_rt:2] = 2 * l2g0
     out[:, 1:2 * space.N_rt:2] = 2 * l2g0 + 1
     off = 2 * space.N_rt_global
+    ni = _n_int(space)
     cy, cx, tt = np.meshgrid(np.arange(s), np.arange(s), np.arange(T),
                              indexing="ij")
-    loc = 2 * space.N_rt + 2 * ((cy * s + cx) * T + tt)
+    loc = 2 * space.N_rt + ni * ((cy * s + cx) * T + tt)
     for ii in range(space.K):
         sx, sy = g.subdomain_coords(ii)
         ge = ((sy * s + cy) * Sx + (sx * s + cx)) * T + tt
-        out[ii, loc.ravel()] = (off + 2 * ge).ravel()
-        out[ii, loc.ravel() + 1] = (off + 2 * ge).ravel() + 1
+        for j in range(ni):
+            out[ii, loc.ravel() + j] = (off + ni * ge).ravel() + j
     return out
 
 
@@ -295,10 +400,11 @@ def divergence_matrix_rt1(space: BlockDGSpace, dtype=jnp.float64):
                               _coeff_basis_div(nodes_phys), Minv_cell)
         blocks = jnp.asarray(div_nodal, dtype).reshape(F, space.nb, nf)
     else:
-        Minv = space._rt1_minv                           # [T, 8, 8]
+        Minv = space._rt1_minv                           # [T, nf, nf]
         nodes_phys = space.nodes_unit * scale            # [T, nb, 2]
-        div_nodal = np.einsum("tic,tcj->tij",
-                              _coeff_basis_div(nodes_phys), Minv)
+        divf = (_coeff_basis_div_q if space.grid.grid_type == "quad"
+                else _coeff_basis_div)
+        div_nodal = np.einsum("tic,tcj->tij", divf(nodes_phys), Minv)
         blocks = jnp.broadcast_to(
             jnp.asarray(div_nodal, dtype)[None],
             (space.s * space.s, space.T, space.nb, nf)).reshape(F, space.nb, nf)
@@ -345,8 +451,6 @@ class FluxReconstructorRT1(FluxReconstructor):
 
     def __init__(self, space: BlockDGSpace, kappa_fn=None,
                  ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64):
-        assert space.grid.grid_type in ("tri", "crisscross"), \
-            "RT1 reconstruction implemented for the triangular families"
         super().__init__(space, kappa_fn, ipdg, dtype)
         rt1_cell_tab(space)
 
@@ -360,9 +464,13 @@ class FluxReconstructorRT1(FluxReconstructor):
         return ell * jnp.einsum("mq,...fq->...fm", W, integrand)
 
     # -- SIPG jump lifting helpers -------------------------------------
-    def _lift_inner(self, lam_fn, tab, x_m, x_p, u_m, u_p):
-        """(corr_minus, corr_plus) [..., F, 2]: the per-side lifting
-        omega_T int_e lam_T [u] (kappa_T n_e)_i ds (family normal/jump)."""
+    def _lift_inner(self, lam_fn, tab, x_m, x_p, u_m, u_p, R_m=None, R_p=None):
+        """(corr_minus, corr_plus) [..., F, n_int]: the per-side lifting
+        omega_T int_e lam_T [u] (kappa_T r_j)·n_e ds (family normal/jump).
+
+        On triangles the interior test fields r are the constants e_0, e_1
+        (R_m/R_p None); on rectangles they vary along the edge and are
+        passed as R_m/R_p [nqf, n_int, 2] (cell-local per side)."""
         dt = self.dtype
         n = jnp.asarray(tab.normal, dt)
         wq = jnp.asarray(tab.w, dt)
@@ -373,10 +481,15 @@ class FluxReconstructorRT1(FluxReconstructor):
         lam_m = lam_fn(x_m).astype(dt)
         lam_p = lam_fn(x_p).astype(dt)
         if self.kappa_fn is None:
-            cm = ell * jnp.einsum("q,...fq,a->...fa", wq,
-                                  0.5 * lam_m * jump, n)
-            cp = ell * jnp.einsum("q,...fq,a->...fa", wq,
-                                  0.5 * lam_p * jump, n)
+            om_lam_m, om_lam_p = 0.5 * lam_m, 0.5 * lam_p
+            if R_m is None:
+                cm = ell * jnp.einsum("q,...fq,a->...fa", wq, om_lam_m * jump, n)
+                cp = ell * jnp.einsum("q,...fq,a->...fa", wq, om_lam_p * jump, n)
+            else:
+                Rn_m = jnp.asarray(R_m, dt) @ n              # [nqf, n_int]
+                Rn_p = jnp.asarray(R_p, dt) @ n
+                cm = ell * jnp.einsum("q,...fq,qj->...fj", wq, om_lam_m * jump, Rn_m)
+                cp = ell * jnp.einsum("q,...fq,qj->...fj", wq, om_lam_p * jump, Rn_p)
         else:
             kap_m = self.kappa_fn(x_m).astype(dt)            # [F, nqf, 2, 2]
             kap_p = self.kappa_fn(x_p).astype(dt)
@@ -388,27 +501,43 @@ class FluxReconstructorRT1(FluxReconstructor):
             om_p = jnp.where(nz, delta_m / jnp.where(nz, ssum, 1.0), 0.5)
             kn_m = jnp.einsum("...ab,b->...a", kap_m, n)     # [F, nqf, 2]
             kn_p = jnp.einsum("...ab,b->...a", kap_p, n)
-            cm = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
-                                  om_m * lam_m * jump, kn_m)
-            cp = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
-                                  om_p * lam_p * jump, kn_p)
+            if R_m is None:
+                cm = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
+                                      om_m * lam_m * jump, kn_m)
+                cp = ell * jnp.einsum("q,...fq,fqa->...fa", wq,
+                                      om_p * lam_p * jump, kn_p)
+            else:
+                Rn_m = jnp.einsum("qja,fqa->fqj", jnp.asarray(R_m, dt), kn_m)
+                Rn_p = jnp.einsum("qja,fqa->fqj", jnp.asarray(R_p, dt), kn_p)
+                cm = ell * jnp.einsum("q,...fq,fqj->...fj", wq,
+                                      om_m * lam_m * jump, Rn_m)
+                cp = ell * jnp.einsum("q,...fq,fqj->...fj", wq,
+                                      om_p * lam_p * jump, Rn_p)
         return cm, cp
 
-    def _lift_boundary(self, lam_fn, tab, x, u):
-        """[..., F, 2]: full-weight boundary lifting int_e lam u
-        (kappa n_out)_i ds ([u] = u, g = 0 all-Dirichlet)."""
+    def _lift_boundary(self, lam_fn, tab, x, u, R=None):
+        """[..., F, n_int]: full-weight boundary lifting int_e lam u
+        (kappa r_j)·n_out ds ([u] = u, g = 0 all-Dirichlet)."""
         dt = self.dtype
         n_out = jnp.asarray(tab.normal, dt)
         wq = jnp.asarray(tab.w, dt)
         uv = jnp.einsum("...fj,qj->...fq", u, jnp.asarray(tab.phi_m, dt))
         lam = lam_fn(x).astype(dt)
         if self.kappa_fn is None:
-            return tab.length * jnp.einsum("q,...fq,a->...fa", wq,
-                                           lam * uv, n_out)
+            if R is None:
+                return tab.length * jnp.einsum("q,...fq,a->...fa", wq,
+                                               lam * uv, n_out)
+            Rn = jnp.asarray(R, dt) @ n_out
+            return tab.length * jnp.einsum("q,...fq,qj->...fj", wq,
+                                           lam * uv, Rn)
         kap = self.kappa_fn(x).astype(dt)
         kn = jnp.einsum("...ab,b->...a", kap, n_out)
-        return tab.length * jnp.einsum("q,...fq,fqa->...fa", wq,
-                                       lam * uv, kn)
+        if R is None:
+            return tab.length * jnp.einsum("q,...fq,fqa->...fa", wq,
+                                           lam * uv, kn)
+        Rn = jnp.einsum("qja,fqa->fqj", jnp.asarray(R, dt), kn)
+        return tab.length * jnp.einsum("q,...fq,fqj->...fj", wq,
+                                       lam * uv, Rn)
 
     def _extra_parts(self, lam_fn, uc, out_dt):
         """Interior moments  m_i = -int_T lam kappa grad(u) . e_i dx
@@ -430,6 +559,22 @@ class FluxReconstructorRT1(FluxReconstructor):
         scale = np.array([sp.hx, sp.hy])
         org = jnp.asarray(self.cell_org, dt)                 # [Sy, Sx, 2]
         g = sp.grid
+        area = sp.hx * sp.hy
+        if g.grid_type == "quad":
+            qp = jnp.asarray(sp.vol_qp * scale, dt)          # [1, nq, 2]
+            xq = org[:, :, None, None, :] + qp[None, None]   # [Sy,Sx,1,nq,2]
+            w = jnp.asarray(sp.vol_w, dt)
+            dphi = jnp.asarray(sp.vol_dphi, dt)              # [1, nq, nb, 2]
+            gu = jnp.einsum("...yxtj,tqja->...yxtqa", uc, dphi)
+            lam = lam_fn(xq).astype(dt)
+            if self.kappa_fn is not None:
+                kap = self.kappa_fn(xq).astype(dt)
+                gu = jnp.einsum("yxtqab,...yxtqb->...yxtqa", kap, gu)
+            R = jnp.asarray(_int_test_basis_q(sp, sp.vol_qp[0] * scale), dt)
+            m = -area * jnp.einsum("tq,yxtq,...yxtqa,qja->...yxtj",
+                                   w, lam, gu, R)
+            m = m + self._lift_quad(lam_fn, uc, m.dtype)
+            return [m.reshape(lead + (-1,)).astype(out_dt)]
         if sp.percell:
             # global per-cell tables: tile the subdomain-parity tables over
             # the (ky, kx) subdomain grid (s is even, so parity lines up)
@@ -590,4 +735,73 @@ class FluxReconstructorRT1(FluxReconstructor):
                 c = self._lift_boundary(lam_fn, tab, x,
                                         u_at(cys, cxs, tab.tri_m))
                 corr = corr.at[..., cys, cxs, tab.tri_m, :].add(c)
+        return corr
+
+    def _lift_quad(self, lam_fn, uc, mdt):
+        """Rectangle jump lifting: V/H interior families + 4 boundary
+        sides, with the interior test fields r (grad Q1 span) evaluated at
+        the per-side cell-local edge points."""
+        from .. import basis as B
+        from ..quadrature import edge_rule
+        sp = self.space
+        lead = uc.shape[:-4]
+        Sy, Sx = self.Sy, self.Sx
+        scale = np.array([sp.hx, sp.hy])
+        tau, _ = edge_rule(sp._face_quad)
+        corr = jnp.zeros(lead + (Sy, Sx, 1, 4), mdt)
+        org_np = self.cell_org
+
+        def R_of(geom):
+            return _int_test_basis_q(sp, geom.points(tau) * scale)
+
+        # V: minus = (cy, cx) right edge, plus = (cy, cx+1) left edge
+        if Sx > 1:
+            (_, em), (_, ep) = B.QUAD_EDGES_UNIT["V"]
+            tab = sp.face_tabs["V"]
+            x_m, x_p = self._phys_pts(tab, org_np[:, :-1].reshape(-1, 2))
+            F = Sy * (Sx - 1)
+            cm, cp = self._lift_inner(
+                lam_fn, tab, x_m, x_p,
+                uc[..., :, :-1, 0, :].reshape(lead + (F, sp.nb)),
+                uc[..., :, 1:, 0, :].reshape(lead + (F, sp.nb)),
+                R_m=R_of(em), R_p=R_of(ep))
+            corr = corr.at[..., :, :-1, 0, :].add(
+                cm.reshape(lead + (Sy, Sx - 1, 4)))
+            corr = corr.at[..., :, 1:, 0, :].add(
+                cp.reshape(lead + (Sy, Sx - 1, 4)))
+
+        # H: minus = (cy, cx) top edge, plus = (cy+1, cx) bottom edge
+        if Sy > 1:
+            (_, em), (_, ep) = B.QUAD_EDGES_UNIT["H"]
+            tab = sp.face_tabs["H"]
+            x_m, x_p = self._phys_pts(tab, org_np[:-1, :].reshape(-1, 2))
+            F = (Sy - 1) * Sx
+            cm, cp = self._lift_inner(
+                lam_fn, tab, x_m, x_p,
+                uc[..., :-1, :, 0, :].reshape(lead + (F, sp.nb)),
+                uc[..., 1:, :, 0, :].reshape(lead + (F, sp.nb)),
+                R_m=R_of(em), R_p=R_of(ep))
+            corr = corr.at[..., :-1, :, 0, :].add(
+                cm.reshape(lead + (Sy - 1, Sx, 4)))
+            corr = corr.at[..., 1:, :, 0, :].add(
+                cp.reshape(lead + (Sy - 1, Sx, 4)))
+
+        for side, sel in (
+                ("left", (org_np[:, 0], lambda: uc[..., :, 0, 0, :],
+                          (slice(None), 0))),
+                ("right", (org_np[:, Sx - 1], lambda: uc[..., :, Sx - 1, 0, :],
+                           (slice(None), Sx - 1))),
+                ("bottom", (org_np[0, :], lambda: uc[..., 0, :, 0, :],
+                            (0, slice(None)))),
+                ("top", (org_np[Sy - 1, :], lambda: uc[..., Sy - 1, :, 0, :],
+                         (Sy - 1, slice(None))))):
+            orgs, uget, pos = sel
+            tb = sp.face_tabs["bnd_" + side]
+            _, geom = B.QUAD_BOUNDARY_EDGES_UNIT[side]
+            x, _2 = self._phys_pts(tb, orgs.reshape(-1, 2))
+            Fb = orgs.reshape(-1, 2).shape[0]
+            c = self._lift_boundary(lam_fn, tb, x,
+                                    uget().reshape(lead + (Fb, sp.nb)),
+                                    R=R_of(geom))
+            corr = corr.at[(Ellipsis,) + pos + (0, slice(None))].add(c)
         return corr
