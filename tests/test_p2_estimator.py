@@ -359,3 +359,19 @@ def test_q2_quad_eoc():
     for a, b in ((nc, nc2), (r, r2), (df, df2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-7, atol=1e-13)
+
+
+def test_p2_parabolic_estimate_runs():
+    """order=2 flows through the parabolic discretizer (**kw) and the
+    parabolic estimator operates on the RT1/P2 tensors unchanged."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    from pylrbms_tpu.discretize_parabolic_block_swipdg import discretize as dpar
+    cfg = dict(num_subdomains=[2, 2],
+               half_num_fine_elements_per_subdomain_and_dim=1,
+               num_refinements=1)
+    im, _ = dpar(os2015(cfg), T=1.0, nt=4, order=2)
+    mu = {"diffusion": 0.5}
+    U = im.solve(mu)
+    assert U.shape[0] == 5
+    est, parts = im.estimate(U, mu)
+    assert np.isfinite(float(est)) and float(est) > 0
