@@ -21,20 +21,34 @@ def _vtu_header(n_points, n_cells):
 
 
 def write_dg_vtu(space, U, filename: str, name: str = "u"):
-    """U [K, N] nodal P1/Q1 DG coefficients -> filename.vtu"""
+    """U [K, N] nodal DG coefficients -> filename.vtu.
+
+    Order 1 writes one linear cell per element; order 2 subdivides each
+    element at its midpoint nodes (4 linear sub-cells per P2 triangle /
+    Q2 quad — exact at every nodal point)."""
     if not filename.endswith(".vtu"):
         filename += ".vtu"
-    assert space.order == 1, "vtu writer supports P1/Q1 output (project first)"
+    assert space.order in (1, 2), "vtu writer supports P1/P2/Q1/Q2 output"
     xn = space.node_coords_phys().reshape(-1, 2)        # [K*s*s*T*nb, 2]
     vals = np.asarray(U).reshape(-1)
     nb = space.nb
-    n_cells = xn.shape[0] // nb
+    n_elems = xn.shape[0] // nb
     if nb == 3:
-        vtk_type, perm = 5, (0, 1, 2)                   # VTK_TRIANGLE
-    else:
-        vtk_type, perm = 9, (0, 1, 3, 2)                # VTK_QUAD (ccw order)
-    conn = (np.arange(n_cells)[:, None] * nb
-            + np.asarray(perm)[None, :]).reshape(-1)
+        vtk_type, subcells = 5, ((0, 1, 2),)            # VTK_TRIANGLE
+    elif nb == 4:
+        vtk_type, subcells = 9, ((0, 1, 3, 2),)         # VTK_QUAD (ccw)
+    elif nb == 6:                                       # P2 tri: v0 v1 v2 +
+        vtk_type, subcells = 5, ((0, 3, 5), (3, 1, 4),  # midpoints m01 m12 m20
+                                 (5, 4, 2), (3, 4, 5))
+    else:                                               # Q2: 3x3, x fastest
+        vtk_type, subcells = 9, ((0, 1, 4, 3), (1, 2, 5, 4),
+                                 (3, 4, 7, 6), (4, 5, 8, 7))
+    sub = np.asarray(subcells)                          # [nsub, nv]
+    n_cells = n_elems * sub.shape[0]
+    nb_out = sub.shape[1]
+    conn = (np.arange(n_elems)[:, None, None] * nb
+            + sub[None, :, :]).reshape(-1)
+    nb = nb_out                                         # offsets stride below
     with open(filename, "w") as f:
         f.write(_vtu_header(xn.shape[0], n_cells))
         f.write('<Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">\n')

@@ -375,3 +375,24 @@ def test_p2_parabolic_estimate_runs():
     assert U.shape[0] == 5
     est, parts = im.estimate(U, mu)
     assert np.isfinite(float(est)) and float(est) > 0
+
+
+def test_p2_vtu_subdivision_output(tmp_path):
+    """Order-2 VTU output: 4 linear sub-cells per element, exact values at
+    every nodal point (all families)."""
+    import re
+    from pylrbms_tpu.utils.vtk import write_dg_vtu
+    for gt in ("tri", "quad", "crisscross"):
+        g = make_grid(((0, 0), (1, 1)), [2, 2], 1, num_refinements=1,
+                      grid_type=gt)
+        sp = BlockDGSpace(g, order=2)
+        U = np.random.default_rng(0).normal(size=(sp.K, sp.N))
+        f = write_dg_vtu(sp, U, str(tmp_path / f"u_{gt}"))
+        text = open(f).read()
+        m = re.search(r'NumberOfPoints="(\d+)" NumberOfCells="(\d+)"', text)
+        assert int(m.group(1)) == sp.K * sp.N
+        assert int(m.group(2)) == sp.K * sp.s * sp.s * sp.T * 4
+        field = re.search(r'Name="u" format="ascii">\n([\s\S]*?)</DataArray>',
+                          text).group(1)
+        np.testing.assert_allclose(np.sort(np.fromstring(field, sep=" ")),
+                                   np.sort(U.reshape(-1)))
