@@ -55,9 +55,10 @@ def main(cfg=None):
     fn = make_online_step(d, tol=1e-6, maxiter=400,
                           coarse_space="harvested", coarse_modes=12)
     # serving batch: per-query time amortizes with B (measured 2.5 / 1.5 /
-    # 1.0 ms at B=16/32/64 — the preconditioner HBM stream and dispatch are
-    # shared across the batch); B=64 is a realistic parameter-study batch
-    B = 64
+    # 1.0 / 0.56 / 0.39 / 0.39 ms at B=16/32/64/128/256/512 — the
+    # preconditioner HBM stream and dispatch are shared across the batch and
+    # saturate at B=256); B=256 is a realistic parameter-study batch
+    B = 256
     mus = np.linspace(0.1, 1.0, B)
     args = []
     for m_ in mus:
