@@ -34,13 +34,30 @@ class GreedyResult:
     fom_solves: int
 
 
-_SWEEP_JIT_CACHE: dict = {}
-
-
 def _stack_mus(mus):
     """list of parameter dicts -> dict of stacked arrays (leading axis B)."""
     keys = mus[0].keys()
     return {k: jnp.stack([jnp.asarray(mu[k]) for mu in mus]) for k in keys}
+
+
+def _shard_batch(mesh, mus_stacked):
+    """Pad the leading mu axis to a device-count multiple — by TILING, so
+    batches smaller than the pad still land on an even split — and place
+    each leaf with its batch axis on the mesh axis.  Returns
+    (sharded dict, original B)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    B = next(iter(mus_stacked.values())).shape[0]
+    pad = (-B) % n
+    if pad:
+        reps = 1 + (-(-pad // B))
+        mus_stacked = {k: jnp.concatenate([v] * reps)[:B + pad]
+                       for k, v in mus_stacked.items()}
+    mus_stacked = {k: jax.device_put(v, NamedSharding(
+        mesh, P(*((axis,) + (None,) * (v.ndim - 1)))))
+        for k, v in mus_stacked.items()}
+    return mus_stacked, B
 
 
 def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
@@ -72,11 +89,18 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
         # jit per greedy iteration re-traced the whole FOM-residual graph
         # every time (~40 s/iteration at SPE10 scale vs a 4 s steady call)
         arrays = {"A_red": rd.A_red, "b_red": rd.b_red}
-        key = (id(d), "residual_fom",
+        # cache on the MODEL (the traced closure captures d's coefficient
+        # functions — a module-global keyed by id(d) could both leak every
+        # model for process lifetime and serve a stale closure after id
+        # reuse)
+        cache = getattr(d, "_sweep_jit_cache", None)
+        if cache is None:
+            cache = d._sweep_jit_cache = {}
+        key = ("residual_fom",
                tuple(map(int, V.shape)), str(V.dtype),
                tuple((n, tuple(map(int, a.shape)), str(a.dtype))
                      for n, a in sorted(arrays.items())))
-        fn = _SWEEP_JIT_CACHE.get(key)
+        fn = cache.get(key)
         if fn is None:
             skeleton = rd
 
@@ -92,21 +116,11 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
 
             fn = jax.jit(_hp(jax.vmap(
                 one_direct, in_axes=(None, 0, None, None, None))))
-            _SWEEP_JIT_CACHE[key] = fn
+            cache[key] = fn
         if mesh is not None:
             # shard the training batch over the device mesh (the sweep is
             # embarrassingly parallel in mu; model tensors replicate)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            axis = mesh.axis_names[0]
-            n = mesh.devices.size
-            B = next(iter(mus_stacked.values())).shape[0]
-            pad = (-B) % n
-            if pad:
-                mus_stacked = {k: jnp.concatenate([v, v[:pad]])
-                               for k, v in mus_stacked.items()}
-            mus_stacked = {k: jax.device_put(v, NamedSharding(
-                mesh, P(*((axis,) + (None,) * (v.ndim - 1)))))
-                for k, v in mus_stacked.items()}
+            mus_stacked, B = _shard_batch(mesh, mus_stacked)
             with mesh:
                 out = fn(arrays, mus_stacked, V, sop.stencils, d.rhs_q)
             return out[:B]
@@ -120,17 +134,8 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        axis = mesh.axis_names[0]
-        n = mesh.devices.size
-        B = next(iter(mus_stacked.values())).shape[0]
-        pad = (-B) % n
-        if pad:
-            mus_stacked = {k: jnp.concatenate([v, v[:pad]]) for k, v in
-                           mus_stacked.items()}
-        sh = NamedSharding(mesh, P(axis))
-        mus_stacked = {k: jax.device_put(v, NamedSharding(
-            mesh, P(*( (axis,) + (None,) * (v.ndim - 1) ))))
-            for k, v in mus_stacked.items()}
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        mus_stacked, B = _shard_batch(mesh, mus_stacked)
         out = jax.jit(hp(jax.vmap(one)), out_shardings=sh)(mus_stacked)
         return out[:B]
     return jax.jit(hp(jax.vmap(one)))(mus_stacked)

@@ -258,8 +258,13 @@ class StationaryBlockModel:
             if mixed:
                 contrast = cache.get("diag_contrast")
                 if contrast is None:
+                    # span over ALL affine components (a benign component 0
+                    # plus a high-contrast channel in component 1 must
+                    # still disable the f32 inner Krylov): elementwise
+                    # |diag| summed over Q bounds diag(A(theta)) up to the
+                    # theta range
                     dvec = np.abs(np.asarray(jnp.diagonal(
-                        self.op.A_diag[0], axis1=-2, axis2=-1)))
+                        self.op.A_diag, axis1=-2, axis2=-1))).sum(axis=0)
                     contrast = float(dvec.max() / max(dvec.min(), 1e-300))
                     cache["diag_contrast"] = contrast
                 mixed = contrast < 1e4
@@ -282,22 +287,25 @@ class StationaryBlockModel:
                     ci32 = None if ci is None else ci.astype(f32)
                     bn = jnp.linalg.norm(b.reshape(-1))
 
+                    # carry the f64 residual in the loop state: ONE
+                    # emulated-f64 matvec per round (they are the dominant
+                    # cost the mixed path exists to avoid)
                     def cond(st):
-                        x, it, rd = st
-                        r = jnp.linalg.norm((b - A64.apply(x)).reshape(-1))
+                        x, r64, it, rd = st
+                        r = jnp.linalg.norm(r64.reshape(-1))
                         return jnp.logical_and(r > tol * bn, rd < rounds)
 
                     def body(st):
-                        x, it, rd = st
-                        r64 = b - A64.apply(x)
+                        x, r64, it, rd = st
                         dx, k = A32.solve_pcg(
                             r64.astype(f32), tol=inner_tol, maxiter=maxiter,
                             block_factors=bf32, coarse_inv=ci32,
                             coarse_basis=C32, return_iters=True)
-                        return (x + dx.astype(b.dtype), it + k, rd + 1)
+                        x = x + dx.astype(b.dtype)
+                        return (x, b - A64.apply(x), it + k, rd + 1)
 
-                    x, it, _ = jax.lax.while_loop(
-                        cond, body, (jnp.zeros_like(b), 0, 0))
+                    x, _, it, _ = jax.lax.while_loop(
+                        cond, body, (jnp.zeros_like(b), b, 0, 0))
                     return (x, it) if return_iters else x
             else:
                 @jax.jit

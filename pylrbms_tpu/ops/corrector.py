@@ -289,7 +289,11 @@ class BatchedCorrector:
                 r = r - alpha[:, None, None] * Ap
                 z = M(r)
                 rzn = jnp.where(act, dot(r, z), rz)
-                beta = step * rzn / jnp.where(rz > 0, rz, 1.0)
+                # rz <= 0 (indefinite f32 preconditioner at extreme
+                # contrast): restart with p = z instead of scaling by a
+                # meaningless quotient
+                beta = jnp.where(rz > 0, step * rzn
+                                 / jnp.where(rz > 0, rz, 1.0), 0.0)
                 p = z * step[:, None, None] + beta[:, None, None] * p
                 return (x, r, z, p, rzn, it + 1, act)
 

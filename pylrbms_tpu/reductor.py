@@ -426,7 +426,10 @@ class LRBMSReductor:
         K, r_max, N = V.shape
         R_all = K * r_max
         P = rows_safe.shape[1]
-        Nrt = flux.space.N_rt
+        # local flux width from the reconstructor itself: N_rt for RT0,
+        # N_rt1 for the order-2 RT1 reconstruction (space.N_rt would
+        # mis-size the stack for P2 models)
+        Nrt = flux.rt_l2g.shape[-1]
         Q = len(lam_funcs)
         kk = jnp.arange(K)
         nchunks = -(-R_all // ch)

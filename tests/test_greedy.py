@@ -78,6 +78,15 @@ def test_batched_estimates_sharded_over_training_set(fom):
     out_fom = np.asarray(batched_estimates(rd, stacked, "residual_fom",
                                            mesh=mesh))
     np.testing.assert_allclose(out_fom, ref_fom, rtol=1e-10)
+    # batch SMALLER than the device count: the pad must tile, not slice
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("b",))
+    small = _stack_mus([d.parse_parameter(m) for m in (0.15, 0.5, 0.95)])
+    ref_s = np.asarray(batched_estimates(rd, small, "residual"))
+    for crit in ("residual", "residual_fom"):
+        out_s = np.asarray(batched_estimates(rd, small, crit, mesh=mesh8))
+        ref_c = ref_s if crit == "residual" else np.asarray(
+            batched_estimates(rd, small, crit))
+        np.testing.assert_allclose(out_s, ref_c, rtol=1e-10)
 
 
 def test_initial_rb_order_one(fom):

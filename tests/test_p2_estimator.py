@@ -247,6 +247,35 @@ def test_p2_mor_and_online_enrichment():
     assert etas[-1] < 0.2 * etas[0], etas
 
 
+def test_p2_lean_reduce_matches_standard():
+    """The at-scale (lean) reduce path sizes its flux-image stack from the
+    reconstructor (RT1 width for P2), not space.N_rt — regression for the
+    order-2 shape bug; results must equal the standard path."""
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem as os2015
+    from pylrbms_tpu.reductor import LRBMSReductor
+    cfg = dict(num_subdomains=[2, 2],
+               half_num_fine_elements_per_subdomain_and_dim=1,
+               num_refinements=1)
+    m, _ = discretize(os2015(cfg), order=2)
+    red = LRBMSReductor(m, order=1)
+    for mu in ({"diffusion": 0.1}, {"diffusion": 1.0}):
+        red.extend_basis(m.solve(mu))
+    rd_ref = red.reduce()
+    red._project_cache = {}
+    red._img_cache = None
+    red.force_lean = True
+    red.force_chunk = 4
+    rd_lean = red.reduce()
+    for name in ('A_red', 'b_red', 'G_nc', 'AA', 'ABT', 'BBT', 'DV', 'RD'):
+        np.testing.assert_allclose(np.asarray(getattr(rd_ref, name)),
+                                   np.asarray(getattr(rd_lean, name)),
+                                   rtol=1e-12, atol=1e-14, err_msg=name)
+    mu = {'diffusion': 0.55}
+    e1 = float(rd_ref.estimate(rd_ref.solve(mu), mu))
+    e2 = float(rd_lean.estimate(rd_lean.solve(mu), mu))
+    assert abs(e1 - e2) <= 1e-9 * abs(e1)
+
+
 def test_p2_crisscross_reconstruction_exact():
     """The crisscross RT1 tabulation (4 element types, parity-gathered
     per-cell tables) reproduces t = -grad(u) for a conforming quadratic on
