@@ -186,14 +186,7 @@ class AssembledBlockOp:
         On non-CPU backends float64 LU is unavailable, so f64 operators get
         their preconditioner inverted in f32 and cast back — an approximate
         preconditioner changes the iteration count, not the limit."""
-        dvec = jnp.abs(jnp.diagonal(self.A_diag, axis1=-2, axis2=-1))
-        s = 1.0 / jnp.sqrt(jnp.maximum(dvec, 1e-300))          # [K, N]
-        As = self.A_diag * s[:, :, None] * s[:, None, :]
-        inv_dtype = As.dtype
-        if As.dtype == jnp.float64 and jax.default_backend() != "cpu":
-            inv_dtype = jnp.float32
-        inv_s = jnp.linalg.inv(As.astype(inv_dtype)).astype(As.dtype)
-        return inv_s * s[:, :, None] * s[:, None, :]
+        return block_jacobi_factors(self.A_diag)
 
     def coarse_matrix(self) -> jnp.ndarray:
         """Galerkin coarse matrix on the subdomain-constant space:
@@ -410,6 +403,22 @@ class AssembledBlockOp:
             return self.solve_dense(b)
         return self.solve_pcg(b, tol=options.get("precision", 1e-12),
                               maxiter=options.get("max_iter", 2000))
+
+
+@hp
+def block_jacobi_factors(A_diag: jnp.ndarray) -> jnp.ndarray:
+    """Jacobi-scaled explicit inverses of diagonal blocks [K, N, N]
+    (see :meth:`AssembledBlockOp.block_jacobi_factors`); module-level so
+    any block-diagonal stack (e.g. the parabolic M + dt*A blocks) can be
+    factorized without constructing an operator."""
+    dvec = jnp.abs(jnp.diagonal(A_diag, axis1=-2, axis2=-1))
+    s = 1.0 / jnp.sqrt(jnp.maximum(dvec, 1e-300))          # [K, N]
+    As = A_diag * s[:, :, None] * s[:, None, :]
+    inv_dtype = As.dtype
+    if As.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        inv_dtype = jnp.float32
+    inv_s = jnp.linalg.inv(As.astype(inv_dtype)).astype(As.dtype)
+    return inv_s * s[:, :, None] * s[:, None, :]
 
 
 def dense_inv_mixed(A: jnp.ndarray, newton: int = 2) -> jnp.ndarray:

@@ -759,8 +759,14 @@ class InstationaryBlockModel:
         st = self.stationary
         mu = self.parse_parameter(mu)
         dt = self.T / self.nt
-        A = st.assemble(mu)
         K, N = st.space.K, st.space.N
+        if (K * N > 32768 and st.estimator is not None
+                and getattr(st.estimator.data, "lambda_funcs", None)):
+            # at scale: matrix-free G = M + dt A (dense [K, N, N] blocks are
+            # never coupled into the Krylov stream; same heuristic as the
+            # stationary solve)
+            return self._solve_mf(mu, dt)
+        A = st.assemble(mu)
         G_op = AssembledBlockOp(A.static, self.mass + dt * A.A_diag,
                                 dt * A.C_R_io, dt * A.C_R_oi,
                                 dt * A.C_U_io, dt * A.C_U_oi)
@@ -806,6 +812,76 @@ class InstationaryBlockModel:
         u0 = jnp.zeros((K, N), st.dtype)
         _, traj = jax.lax.scan(step, u0, jnp.arange(self.nt))
         return jnp.concatenate([u0[None], traj], axis=0)
+
+    @hp
+    def _solve_mf(self, mu, dt, tol: float = 1e-10, maxiter: int = 500):
+        """Matrix-free implicit Euler at scale: the mass joins the affine
+        stencil family as one extra component (G = M + dt A, see
+        :func:`~pylrbms_tpu.ops.matrixfree.mass_stencil`), the per-mu
+        subdomain-block-Jacobi factors of G are built once and reused
+        across all steps, each step's PCG warm-starts from the previous
+        step, and the WHOLE trajectory is one jitted ``lax.scan`` with all
+        model tensors as arguments (remote-compile safe)."""
+        from .ops.matrixfree import mass_stencil, StencilOperator, \
+            AssembledStencil
+        from .la.block import block_jacobi_factors
+        st = self.stationary
+        sop = st.mf_operator()
+        cache = st._mf_jit_cache
+        m_st = cache.get("mass_stencil")
+        if m_st is None:
+            m_st = jax.jit(hp(lambda like: mass_stencil(st.space, like)))(
+                sop.stencils[0])
+            cache["mass_stencil"] = m_st
+        G_sop = StencilOperator(st.space, (m_st,) + tuple(sop.stencils))
+        theta = st.theta(mu)
+        one = jnp.ones((1,), theta.dtype)
+        theta_G = jnp.concatenate([one, dt * theta])
+        # per-mu preconditioner (frozen across the nt steps; G is
+        # time-independent under implicit Euler with fixed dt)
+        bf_fn = cache.get("parab_bf_fn")
+        if bf_fn is None:
+            bf_fn = jax.jit(hp(lambda Ad, M, th: block_jacobi_factors(
+                M + jnp.einsum("q,qkij->kij", th, Ad))))
+            cache["parab_bf_fn"] = bf_fn
+        bf = bf_fn(st.op.A_diag, self.mass, dt * theta)
+        K, N = st.space.K, st.space.N
+        key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
+               int(maxiter))
+        fn = cache.get(key)
+        if fn is None:
+            f_coeffs = st.f_coeffs
+            nt, dtype = self.nt, st.dtype
+
+            @jax.jit
+            @hp
+            def _traj(G_sop_, theta_G_, bf_, rhs_q, mu_):
+                G = G_sop_.assemble(theta_G_)
+                m0 = G_sop_.stencils[0]
+                M_op = AssembledStencil(
+                    space=G_sop_.space, vol=m0.vol, D=m0.D, V=m0.V,
+                    H=m0.H, R=m0.R, U=m0.U, D_side=m0.D_side)
+
+                def theta_f_at(t):
+                    mu_t = dict(mu_)
+                    mu_t["_t"] = t
+                    return evaluate_coefficients(f_coeffs, mu_t)
+
+                def step(u, n):
+                    t_next = (n + 1.0) * dt
+                    f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
+                    rhs = M_op.apply(u) + dt * f
+                    u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
+                                         block_factors=bf_, x0=u)
+                    return u_next, u_next
+
+                u0 = jnp.zeros((K, N), dtype)
+                _, traj = jax.lax.scan(step, u0, jnp.arange(nt))
+                return jnp.concatenate([u0[None], traj], axis=0)
+
+            fn = _traj
+            cache[key] = fn
+        return fn(G_sop, theta_G, bf, st.rhs_q, mu)
 
     def operator_apply(self, U, mu):
         return self.stationary.operator_apply(U, mu)

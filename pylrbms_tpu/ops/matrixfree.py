@@ -190,6 +190,29 @@ def _assemble_swipdg_stencil_cc(space: BlockDGSpace, lam_fn, kappa_fn,
     return SwipdgStencil(vol=vol, D=Dq, V=Vq, H=Hq, R=Rq, U=Uq, D_side=D_side)
 
 
+@hp
+def mass_stencil(space: BlockDGSpace, like: SwipdgStencil) -> SwipdgStencil:
+    """The L2 mass in stencil form: volume blocks only, zero face families
+    — shapes matched to ``like`` so it can join an affine StencilOperator
+    family.  Makes the implicit-Euler operator G = M + dt*A ONE extra
+    affine component, so the parabolic solve reuses the whole matrix-free
+    machinery (<-> the reference's per-step ISTL solves on M + dt*A,
+    ``discretize_parabolic_block_swipdg.py:15-40``)."""
+    dtype = like.vol.dtype
+    phi = jnp.asarray(space.vol_phi, dtype)
+    w = jnp.asarray(space.vol_w, dtype)
+    area = space.hx * space.hy
+    if space.percell:
+        elem = area * jnp.einsum("yxtq,yxtqi,yxtqj->yxtij", w, phi, phi)
+        vol = jnp.broadcast_to(elem[None], like.vol.shape)
+    else:
+        elem = area * jnp.einsum("tq,tqi,tqj->tij", w, phi, phi)
+        vol = jnp.broadcast_to(elem[None, None, None], like.vol.shape)
+    z = jax.tree.map(jnp.zeros_like, like)
+    return SwipdgStencil(vol=vol, D=z.D, V=z.V, H=z.H, R=z.R, U=z.U,
+                         D_side=z.D_side)
+
+
 @dataclass(eq=False)
 class StencilOperator:
     """Affine family of stencils with a fused matrix-free apply."""
@@ -316,7 +339,7 @@ class AssembledStencil:
                   factors=None, block_factors=None,
                   coarse_inv=None, coarse_basis=None,
                   return_iters: bool = False,
-                  coarse_f32: bool = False) -> jnp.ndarray:
+                  coarse_f32: bool = False, x0=None) -> jnp.ndarray:
         """Matrix-free PCG.
 
         Preconditioner: cell-block Jacobi by default; pass ``block_factors``
@@ -380,7 +403,8 @@ class AssembledStencil:
 
         bnorm2 = dot(b, b)
         atol2 = (tol ** 2) * jnp.maximum(bnorm2, 1e-300)
-        x0 = jnp.zeros_like(b)
+        # warm start (time stepping: the previous step's solution)
+        x0 = jnp.zeros_like(b) if x0 is None else x0
         r0 = b - self.apply(x0)
         z0 = M(r0)
         state = (x0, r0, z0, z0, dot(r0, z0), 0)

@@ -54,6 +54,21 @@ def test_implicit_euler_matches_numpy_reference():
         assert err < 1e-10, f"step {n}: implicit Euler mismatch {err}"
 
 
+def test_parabolic_mf_trajectory_matches_dense():
+    """The matrix-free at-scale path (mass as an extra affine stencil
+    component, warm-started per-step PCG in one jitted scan) reproduces the
+    dense implicit-Euler trajectory, including a time-dependent rhs."""
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=0.5, nt=6)
+    mu = im.parse_parameter({'switch': 0.4})
+    ref = np.asarray(im.solve(mu))
+    mf = np.asarray(im._solve_mf(mu, 0.5 / 6))
+    err = np.abs(ref - mf).max() / max(np.abs(ref).max(), 1e-300)
+    assert err < 1e-8, err
+
+
 def test_parabolic_reaches_steady_state():
     gpd = os2015({'num_subdomains': [2, 2],
                   'half_num_fine_elements_per_subdomain_and_dim': 1,
