@@ -69,6 +69,21 @@ def test_parabolic_mf_trajectory_matches_dense():
     assert err < 1e-8, err
 
 
+@pytest.mark.parametrize("gt", ["quad", "crisscross"])
+def test_parabolic_mf_other_grid_families(gt):
+    """mass_stencil (and hence the mf parabolic path) is grid-family
+    generic: Q1 rectangles and the parity-split crisscross triangulation."""
+    gpd = os2015({'num_subdomains': [2, 2],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1, 'grid_type': gt})
+    im, _ = discretize_parabolic(gpd, T=0.4, nt=4)
+    mu = im.parse_parameter(0.7)
+    ref = np.asarray(im.solve(mu))
+    mf = np.asarray(im._solve_mf(mu, 0.4 / 4))
+    err = np.abs(ref - mf).max() / max(np.abs(ref).max(), 1e-300)
+    assert err < 1e-8, err
+
+
 def test_parabolic_reaches_steady_state():
     gpd = os2015({'num_subdomains': [2, 2],
                   'half_num_fine_elements_per_subdomain_and_dim': 1,
