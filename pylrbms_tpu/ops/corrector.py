@@ -345,8 +345,13 @@ class BatchedCorrector:
                          name="corrector-prefetch").start()
 
     def solve(self, marked, mu=None, current_solution=None, mode="residual",
-              tol: float = 1e-10, maxiter: int = 300, mesh=None):
+              tol: float = 1e-10, maxiter: int = 300, mesh=None,
+              rhs_full=None):
         """marked: list[int] -> corrections [B, N] (per marked subdomain).
+
+        ``rhs_full`` [K, N], when given, overrides the built-in rhs modes —
+        the patch solve then corrects against a caller-supplied residual
+        (e.g. the implicit-Euler defect of a parabolic trajectory state).
 
         With ``mesh`` (a SubdomainMesh; defaults to ``self.mesh``) the union
         patch solve runs K-sharded over the device mesh, completing the
@@ -355,7 +360,9 @@ class BatchedCorrector:
         d = self.d
         mu = d.parse_parameter(mu)
         theta = d.theta(mu)
-        if mode == "residual" and current_solution is not None:
+        if rhs_full is not None:
+            pass
+        elif mode == "residual" and current_solution is not None:
             rhs_full = d.rhs(mu) - d.assemble(mu).apply(current_solution)
         else:
             rhs_full = d.rhs(mu)

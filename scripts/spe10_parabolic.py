@@ -38,7 +38,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)       # env-independent (f64
+    import jax.numpy as jnp                         # FOM, like spe10_greedy)
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pylrbms")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -181,3 +181,41 @@ def test_projected_parabolic_rom_estimate_matches_reconstruction():
     for a, b in zip(parts_p, parts_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_parabolic_adaptive_enrichment_converges_to_fom():
+    """Online adaptive enrichment on the parabolic ROM (beyond the
+    reference): starting from the order-0 basis, implicit-Euler-defect
+    corrector extensions drive the ROM trajectory to the FOM one, and the
+    projected parabolic estimate converges to the FOM certification floor
+    (the estimator is floored by the discretization error — it does NOT go
+    to zero; for the constants-only start it under-reports, so it
+    approaches the floor from below)."""
+    from pylrbms_tpu.reductor import ParabolicLRBMSReductor
+    from pylrbms_tpu.online_enrichment import ParabolicAdaptiveEnrichment
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=1.0, nt=4)
+    mu = im.parse_parameter(0.5)
+    U = np.asarray(im.solve(mu))
+    eta_fom = float(im.estimate(U, mu)[0])
+    red = ParabolicLRBMSReductor(im.stationary)     # order-0 initial basis
+    rd = red.reduce().attach_instationary(im)
+    etas, errs = [], []
+    loop = ParabolicAdaptiveEnrichment(
+        im, red, rd, target_error=0.0, marking_doerfler_theta=0.9)
+
+    def cb(rd_, c_, mu_, m):
+        etas.append(m["eta"])
+        errs.append(float(np.abs(np.asarray(loop.reductor.reconstruct(c_))
+                                 - U).max() / np.abs(U).max()))
+
+    c, rd, red = loop.solve(mu, enrichment_steps=6, callback=cb)
+    assert len(etas) >= 5
+    # the ROM trajectory converges to the FOM trajectory
+    assert errs[-1] < 0.2 * errs[0], errs
+    assert errs[-1] < 0.15, errs
+    # the estimate converges to the FOM certification floor
+    assert abs(etas[-1] / eta_fom - 1.0) < 0.3, (etas, eta_fom)
