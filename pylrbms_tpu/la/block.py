@@ -37,21 +37,32 @@ from ..ops.swipdg import edge_lists, fold_diag
 
 @dataclass(eq=False)   # identity hash/eq: usable as static jit metadata
 class BlockOpStatic:
-    """Static index metadata shared by all affine components."""
+    """Static index metadata shared by all affine components.
+
+    2D grids use the R (x-pairs) and U (y-pairs) coupling families; the 3D
+    'hex' family adds the W (z-pairs) family (``near_k``/``far_k``,
+    ``side_rows['near'/'far']``).  Interface strips are [E, F, nb, nb] with
+    F faces per subdomain interface (s in 2D, s^2 in 3D) — every consumer
+    below is shape-generic in F."""
     K: int
     N: int
     s: int
     nb: int
     kx: int
     ky: int
-    side_rows: dict            # side -> [s, nb] dof indices (numpy)
+    side_rows: dict            # side -> [F, nb] dof indices (numpy)
     left_k: np.ndarray         # [E_R]
     right_k: np.ndarray
     low_k: np.ndarray          # [E_U]
     up_k: np.ndarray
+    kz: int = 1
+    near_k: np.ndarray = None  # [E_W] (3D z-pairs; None for 2D)
+    far_k: np.ndarray = None
 
     @staticmethod
-    def from_space(space: BlockDGSpace) -> "BlockOpStatic":
+    def from_space(space) -> "BlockOpStatic":
+        if getattr(space, "dim", 2) == 3:
+            return BlockOpStatic.from_space3(space)
         side_rows = {side: space.side_dofs(side).reshape(space.s, space.nb)
                      for side in ("left", "right", "bottom", "top")}
         left_k, right_k, low_k, up_k = edge_lists(space.grid)
@@ -60,16 +71,32 @@ class BlockOpStatic:
                              side_rows=side_rows, left_k=left_k, right_k=right_k,
                              low_k=low_k, up_k=up_k)
 
+    @staticmethod
+    def from_space3(space) -> "BlockOpStatic":
+        from ..ops.swipdg3d import edge_lists3
+        F = space.s * space.s
+        side_rows = {side: space.side_dofs(side).reshape(F, space.nb)
+                     for side in ("left", "right", "bottom", "top",
+                                  "near", "far")}
+        xlo, xhi, ylo, yhi, zlo, zhi = edge_lists3(space.grid)
+        return BlockOpStatic(K=space.K, N=space.N, s=space.s, nb=space.nb,
+                             kx=space.grid.kx, ky=space.grid.ky,
+                             kz=space.grid.kz, side_rows=side_rows,
+                             left_k=xlo, right_k=xhi, low_k=ylo, up_k=yhi,
+                             near_k=zlo, far_k=zhi)
+
 
 @dataclass
 class AffineBlockOp:
     """Affine family of block operators (diag + interface couplings)."""
     static: BlockOpStatic
     A_diag: jnp.ndarray        # [Q, K, N, N]
-    C_R_io: jnp.ndarray        # [Q, E_R, s, nb, nb]
+    C_R_io: jnp.ndarray        # [Q, E_R, F, nb, nb]
     C_R_oi: jnp.ndarray
     C_U_io: jnp.ndarray
     C_U_oi: jnp.ndarray
+    C_W_io: jnp.ndarray = None  # [Q, E_W, F, nb, nb] (3D z-pairs; None in 2D)
+    C_W_oi: jnp.ndarray = None
 
     @property
     def Q(self) -> int:
@@ -89,13 +116,14 @@ class AffineBlockOp:
     def assemble(self, theta) -> "AssembledBlockOp":
         """sum_q theta_q * components (<-> ``LincombOperator.assemble``)."""
         theta = jnp.asarray(theta)
+        w = (lambda C: None if C is None
+             else jnp.einsum("q,qefij->efij", theta, C))
         return AssembledBlockOp(
             static=self.static,
             A_diag=jnp.einsum("q,qkij->kij", theta, self.A_diag),
-            C_R_io=jnp.einsum("q,qefij->efij", theta, self.C_R_io),
-            C_R_oi=jnp.einsum("q,qefij->efij", theta, self.C_R_oi),
-            C_U_io=jnp.einsum("q,qefij->efij", theta, self.C_U_io),
-            C_U_oi=jnp.einsum("q,qefij->efij", theta, self.C_U_oi),
+            C_R_io=w(self.C_R_io), C_R_oi=w(self.C_R_oi),
+            C_U_io=w(self.C_U_io), C_U_oi=w(self.C_U_oi),
+            C_W_io=w(self.C_W_io), C_W_oi=w(self.C_W_oi),
         )
 
 
@@ -103,10 +131,12 @@ class AffineBlockOp:
 class AssembledBlockOp:
     static: BlockOpStatic
     A_diag: jnp.ndarray        # [K, N, N]
-    C_R_io: jnp.ndarray        # [E_R, s, nb, nb]
+    C_R_io: jnp.ndarray        # [E_R, F, nb, nb]
     C_R_oi: jnp.ndarray
     C_U_io: jnp.ndarray
     C_U_oi: jnp.ndarray
+    C_W_io: jnp.ndarray = None  # [E_W, F, nb, nb] (3D z-pairs; None in 2D)
+    C_W_oi: jnp.ndarray = None
 
     @hp
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -133,6 +163,9 @@ class AssembledBlockOp:
         y = couple(y, self.C_R_oi, sr["left"], sr["right"], st.right_k, st.left_k)
         y = couple(y, self.C_U_io, sr["top"], sr["bottom"], st.low_k, st.up_k)
         y = couple(y, self.C_U_oi, sr["bottom"], sr["top"], st.up_k, st.low_k)
+        if self.C_W_io is not None:
+            y = couple(y, self.C_W_io, sr["far"], sr["near"], st.near_k, st.far_k)
+            y = couple(y, self.C_W_oi, sr["near"], sr["far"], st.far_k, st.near_k)
         return y[0] if single else y.reshape(x.shape)
 
     # ------------------------------------------------------------------
@@ -155,6 +188,9 @@ class AssembledBlockOp:
         G = place(G, self.C_R_oi, st.right_k, st.left_k, sr["left"], sr["right"])
         G = place(G, self.C_U_io, st.low_k, st.up_k, sr["top"], sr["bottom"])
         G = place(G, self.C_U_oi, st.up_k, st.low_k, sr["bottom"], sr["top"])
+        if self.C_W_io is not None:
+            G = place(G, self.C_W_io, st.near_k, st.far_k, sr["far"], sr["near"])
+            G = place(G, self.C_W_oi, st.far_k, st.near_k, sr["near"], sr["far"])
         return G.transpose(0, 2, 1, 3).reshape(K * N, K * N)
 
     # ------------------------------------------------------------------
@@ -208,6 +244,9 @@ class AssembledBlockOp:
         A0 = add(A0, self.C_R_oi, st.right_k, st.left_k)
         A0 = add(A0, self.C_U_io, st.low_k, st.up_k)
         A0 = add(A0, self.C_U_oi, st.up_k, st.low_k)
+        if self.C_W_io is not None:
+            A0 = add(A0, self.C_W_io, st.near_k, st.far_k)
+            A0 = add(A0, self.C_W_oi, st.far_k, st.near_k)
         return A0
 
     @staticmethod
@@ -218,17 +257,26 @@ class AssembledBlockOp:
         (too few distinct nodes for independent quadratics) modes is clamped
         to 3 to keep the coarse matrix invertible."""
         K, N = space.K, space.N
+        dim = getattr(space, "dim", 2)
         if space.s < 2:
-            modes = min(modes, 3)
+            modes = min(modes, dim + 1)
         C = np.ones((K, N, modes))
         if modes > 1:
-            xn = space.node_coords_phys().reshape(K, N, 2)
+            xn = space.node_coords_phys().reshape(K, N, dim)
             org = space.subdomain_origins
-            w = np.array([space.s * space.hx, space.s * space.hy])
+            if dim == 3:
+                w = np.array([space.s * space.hx, space.s * space.hy,
+                              space.s * space.hz])
+            else:
+                w = np.array([space.s * space.hx, space.s * space.hy])
             ctr = org + w / 2.0
             Xl = (xn - ctr[:, None, :]) / w
-            x, y = Xl[..., 0], Xl[..., 1]
-            cols = [x, y, x * y, x * x, y * y]
+            if dim == 3:
+                x, y, z = Xl[..., 0], Xl[..., 1], Xl[..., 2]
+                cols = [x, y, z, x * y, x * z, y * z, x * x, y * y, z * z]
+            else:
+                x, y = Xl[..., 0], Xl[..., 1]
+                cols = [x, y, x * y, x * x, y * y]
             for j in range(1, modes):
                 C[:, :, j] = cols[j - 1]
         return C
@@ -265,6 +313,9 @@ class AssembledBlockOp:
         Ac = add(Ac, self.C_R_oi, st.right_k, st.left_k, sr["left"], sr["right"])
         Ac = add(Ac, self.C_U_io, st.low_k, st.up_k, sr["top"], sr["bottom"])
         Ac = add(Ac, self.C_U_oi, st.up_k, st.low_k, sr["bottom"], sr["top"])
+        if self.C_W_io is not None:
+            Ac = add(Ac, self.C_W_io, st.near_k, st.far_k, sr["far"], sr["near"])
+            Ac = add(Ac, self.C_W_oi, st.far_k, st.near_k, sr["near"], sr["far"])
         return Ac.transpose(0, 2, 1, 3).reshape(K * m, K * m)
 
     @hp
@@ -371,18 +422,18 @@ class AssembledBlockOp:
         recovers ~7 digits, so 2-3 rounds reach ~1e-10 even though the
         Krylov work never leaves f32."""
         st = self.static
+
+        def cast(dt):
+            c = (lambda a: None if a is None else a.astype(dt))
+            return AssembledBlockOp(st, self.A_diag.astype(dt),
+                                    c(self.C_R_io), c(self.C_R_oi),
+                                    c(self.C_U_io), c(self.C_U_oi),
+                                    c(self.C_W_io), c(self.C_W_oi))
+
         b64 = b.astype(jnp.float64)
-        A32 = AssembledBlockOp(st, self.A_diag.astype(jnp.float32),
-                               self.C_R_io.astype(jnp.float32),
-                               self.C_R_oi.astype(jnp.float32),
-                               self.C_U_io.astype(jnp.float32),
-                               self.C_U_oi.astype(jnp.float32))
+        A32 = cast(jnp.float32)
         factors32 = A32.block_jacobi_factors()
-        A64 = AssembledBlockOp(st, self.A_diag.astype(jnp.float64),
-                               self.C_R_io.astype(jnp.float64),
-                               self.C_R_oi.astype(jnp.float64),
-                               self.C_U_io.astype(jnp.float64),
-                               self.C_U_oi.astype(jnp.float64))
+        A64 = cast(jnp.float64)
         x = jnp.zeros_like(b64)
         r = b64
         for _ in range(refinements):
@@ -458,7 +509,8 @@ def dense_solve_mixed(A: jnp.ndarray, b: jnp.ndarray, refinements: int = 2):
 for _cls in (AffineBlockOp, AssembledBlockOp):
     jax.tree_util.register_dataclass(
         _cls,
-        data_fields=["A_diag", "C_R_io", "C_R_oi", "C_U_io", "C_U_oi"],
+        data_fields=["A_diag", "C_R_io", "C_R_oi", "C_U_io", "C_U_oi",
+                     "C_W_io", "C_W_oi"],
         meta_fields=["static"])
 
 
@@ -477,7 +529,7 @@ def to_scipy_csr(op: AssembledBlockOp):
         C = np.asarray(C)
         for e, (kr, kc) in enumerate(zip(k_r, k_c)):
             M = np.zeros((N, N))
-            for f in range(s):
+            for f in range(rows.shape[0]):
                 M[np.ix_(rows[f], cols[f])] += C[e, f]
             B = sp.csr_matrix(M)
             blocks[kr][kc] = B if blocks[kr][kc] is None else blocks[kr][kc] + B
@@ -487,6 +539,9 @@ def to_scipy_csr(op: AssembledBlockOp):
     place(op.C_R_oi, st.right_k, st.left_k, sr["left"], sr["right"])
     place(op.C_U_io, st.low_k, st.up_k, sr["top"], sr["bottom"])
     place(op.C_U_oi, st.up_k, st.low_k, sr["bottom"], sr["top"])
+    if op.C_W_io is not None:
+        place(op.C_W_io, st.near_k, st.far_k, sr["far"], sr["near"])
+        place(op.C_W_oi, st.far_k, st.near_k, sr["near"], sr["far"])
     return sp.bmat(blocks, format="csr")
 
 

@@ -264,7 +264,8 @@ def inner_face_blocks(space: BlockDGSpace, tab: FaceTab, lam_fn, kappa_fn,
     om_m = jnp.where(nz, delta_p / jnp.where(nz, ssum, 1.0), 0.5)
     om_p = jnp.where(nz, delta_m / jnp.where(nz, ssum, 1.0), 0.5)
     gamma = jnp.where(nz, delta_m * delta_p / jnp.where(nz, ssum, 1.0), 0.0)
-    pen = ipdg.sigma_inner(order) * gamma * (om_m * lam_m + om_p * lam_p) / ell ** ipdg.beta
+    pen = (ipdg.sigma_inner(order) * gamma * (om_m * lam_m + om_p * lam_p)
+           / tab.pen_len ** ipdg.beta)
 
     wflux_m = om_m[..., None] * flux_m
     wflux_p = om_p[..., None] * flux_p
@@ -305,7 +306,7 @@ def boundary_face_blocks(space: BlockDGSpace, tab: FaceTab, lam_fn, kappa_fn,
         kap = kappa_fn(x_m).astype(dtype)
         delta = jnp.einsum("...ab,a,b->...", kap, n, n)
         flux = lam[..., None] * jnp.einsum("kfqab,qjb,a->kfqj", kap, dphi, n)
-    pen = ipdg.sigma_boundary(order) * delta * lam / ell ** ipdg.beta
+    pen = ipdg.sigma_boundary(order) * delta * lam / tab.pen_len ** ipdg.beta
     M = (ell * jnp.einsum("q,kfq,qi,qj->kfij", w, pen, phi, phi)
          - ell * jnp.einsum("q,kfqj,qi->kfij", w, flux, phi)
          - ell * jnp.einsum("q,kfqi,qj->kfij", w, flux, phi))
@@ -337,7 +338,8 @@ def penalty_face_blocks_inner(space, tab, lam_fn, kappa_fn, x_m_eval, x_p_eval,
     om_m = jnp.where(nz, delta_p / jnp.where(nz, ssum, 1.0), 0.5)
     om_p = jnp.where(nz, delta_m / jnp.where(nz, ssum, 1.0), 0.5)
     gamma = jnp.where(nz, delta_m * delta_p / jnp.where(nz, ssum, 1.0), 0.0)
-    pen = ipdg.sigma_inner(order) * gamma * (om_m * lam_m + om_p * lam_p) / ell ** ipdg.beta
+    pen = (ipdg.sigma_inner(order) * gamma * (om_m * lam_m + om_p * lam_p)
+           / tab.pen_len ** ipdg.beta)
 
     def P(phi_i, phi_j, sgn):
         return sgn * ell * jnp.einsum("q,kfq,qi,qj->kfij", w, pen, phi_i, phi_j)
@@ -360,5 +362,5 @@ def penalty_face_blocks_boundary(space, tab, lam_fn, kappa_fn, x_m_eval,
     else:
         kap = kappa_fn(jnp.asarray(x_m_eval, dtype)).astype(dtype)
         delta = jnp.einsum("...ab,a,b->...", kap, n, n)
-    pen = ipdg.sigma_boundary(order) * delta * lam / ell ** ipdg.beta
+    pen = ipdg.sigma_boundary(order) * delta * lam / tab.pen_len ** ipdg.beta
     return ell * jnp.einsum("q,kfq,qi,qj->kfij", w, pen, phi, phi)

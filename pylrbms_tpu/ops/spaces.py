@@ -40,20 +40,30 @@ from .. import quadrature as Q
 
 @dataclass(frozen=True)
 class FaceTab:
-    """Static tabulation for one face family (or boundary side)."""
+    """Static tabulation for one face family (or boundary side).
+
+    Dimension-agnostic: 3D hex faces (``ops/spaces3d.py``) reuse this with
+    ``length`` = physical face AREA (the integration scale) and
+    ``pen_scale`` = face diameter (the penalty length scale |e| of the
+    SWIPDG integrand, which coincides with ``length`` only in 2D)."""
     phi_m: np.ndarray        # [nqf, nb] minus-side traces
-    dphi_m: np.ndarray       # [nqf, nb, 2] physical gradients
+    dphi_m: np.ndarray       # [nqf, nb, dim] physical gradients
     phi_p: np.ndarray | None  # plus side (None for boundary)
     dphi_p: np.ndarray | None
-    normal: np.ndarray       # [2] family normal (from minus to plus / outward)
-    length: float            # physical face length
+    normal: np.ndarray       # [dim] family normal (from minus to plus / outward)
+    length: float            # physical face measure (length / area)
     w: np.ndarray            # [nqf] weights (sum to 1)
-    pts_unit_m: np.ndarray   # [nqf, 2] unit-cell coords in the minus cell
+    pts_unit_m: np.ndarray   # [nqf, dim] unit-cell coords in the minus cell
     pts_unit_p: np.ndarray | None
     tri_m: int               # triangle-in-cell index of minus side (0=A, 1=B)
     tri_p: int | None
-    centroid_m: np.ndarray   # [2] unit-cell centroid of the minus triangle
+    centroid_m: np.ndarray   # [dim] unit-cell centroid of the minus element
     centroid_p: np.ndarray | None
+    pen_scale: float | None = None   # penalty length |e| (None -> length)
+
+    @property
+    def pen_len(self) -> float:
+        return self.length if self.pen_scale is None else self.pen_scale
 
 
 TRI_ID = {"A": 0, "B": 1, "C": 0, "E": 1, "Q": 0}
