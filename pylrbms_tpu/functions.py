@@ -115,7 +115,7 @@ def make_expression_function_1x1(variable_or_expr, expr=None, order: int = 2,
 
     def fn(x):
         ns = dict(_EXPR_NS)
-        ns["x"] = [x[..., 0], x[..., 1]]
+        ns["x"] = [x[..., i] for i in range(x.shape[-1])]   # 2D or 3D points
         return jnp.asarray(eval(code, {"__builtins__": {}}, ns)) + jnp.zeros_like(x[..., 0])
 
     return ScalarFunction(fn, name=name, order=order)

@@ -113,7 +113,7 @@ class FluxReconstructor:
         om_p = jnp.where(nz, delta_m / jnp.where(nz, ssum, 1.0), 0.5)
         gamma = jnp.where(nz, delta_m * delta_p / jnp.where(nz, ssum, 1.0), 0.0)
         pen = (self.ipdg.sigma_inner(sp.order) * gamma
-               * (om_m * lam_m + om_p * lam_p) / ell ** self.ipdg.beta)
+               * (om_m * lam_m + om_p * lam_p) / tab.pen_len ** self.ipdg.beta)
         uv_m = jnp.einsum("...fj,qj->...fq", u_m, phi_m)
         uv_p = jnp.einsum("...fj,qj->...fq", u_p, phi_p)
         integrand = (-(om_m * lam_m * gun_m + om_p * lam_p * gun_p)
@@ -139,11 +139,13 @@ class FluxReconstructor:
             kap = self.kappa_fn(x).astype(dt)
             delta = jnp.einsum("...ab,a,b->...", kap, n_out, n_out)
             gun = jnp.einsum("...fj,...fqab,qjb,a->...fq", u, kap, dphi, n_out)
-        pen = self.ipdg.sigma_boundary(sp.order) * delta * lam / ell ** self.ipdg.beta
+        pen = (self.ipdg.sigma_boundary(sp.order) * delta * lam
+               / tab.pen_len ** self.ipdg.beta)
         uv = jnp.einsum("...fj,qj->...fq", u, phi)
         t_dot_nout = self._edge_moments(w, -lam * gun + pen * uv, ell)
-        # family normal: V=(1,0), H=(0,1); sign +1 where n_out == n_family
-        sign = +1.0 if side in ("right", "top") else -1.0
+        # family normal: V=(1,0), H=(0,1) (3D: +x/+y/+z); sign +1 where
+        # n_out == n_family
+        sign = +1.0 if side in ("right", "top", "far") else -1.0
         return sign * t_dot_nout
 
     # ------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""3D Oswald interpolation error operator (vertex averaging on hexes).
+
+3D counterpart of ``ops/oswald.py`` (<-> dune-gdt's
+``apply_oswald_interpolation_operator``, beyond the 2D-only reference): for
+a trilinear Q1 DG function u, the conforming Oswald interpolant I_os(u)
+takes at every mesh vertex the arithmetic mean of the DG values from all
+(up to 8) incident hexes, and 0 at Dirichlet-boundary vertices.  Returns the
+nonconformity witness u - I_os(u).  One vertex scatter/gather over the whole
+mesh; per-source-block structure is recovered by applying to basis vectors
+supported on a single subdomain (as in 2D).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .spaces3d import BlockDGSpace3D
+
+
+class Oswald3D:
+    def __init__(self, space: BlockDGSpace3D):
+        assert space.order == 1, "3D Oswald: Q1 only"
+        self.space = space
+        g = space.grid
+        Sx, Sy, Sz = g.global_nx, g.global_ny, g.global_nz
+        self.Sx, self.Sy, self.Sz = Sx, Sy, Sz
+        gz, gy, gx = np.meshgrid(np.arange(Sz), np.arange(Sy), np.arange(Sx),
+                                 indexing="ij")
+
+        def v(iz, iy, ix):
+            return (iz * (Sy + 1) + iy) * (Sx + 1) + ix
+
+        # Q1 node order j = (iz*2 + iy)*2 + ix (basis.hex_node_coords_unit)
+        vid = np.zeros((Sz, Sy, Sx, 8), dtype=np.int64)
+        for j, (iz, iy, ix) in enumerate(np.ndindex(2, 2, 2)):
+            vid[..., j] = v(gz + iz, gy + iy, gx + ix)
+        self.vertex_ids = vid.reshape(-1)
+        self.n_vertices = (Sz + 1) * (Sy + 1) * (Sx + 1)
+        counts = np.zeros(self.n_vertices)
+        np.add.at(counts, self.vertex_ids, 1.0)
+        self.counts = counts
+        iz, iy, ix = np.meshgrid(np.arange(Sz + 1), np.arange(Sy + 1),
+                                 np.arange(Sx + 1), indexing="ij")
+        self.interior_mask = ((iz > 0) & (iz < Sz) & (iy > 0) & (iy < Sy)
+                              & (ix > 0) & (ix < Sx)).reshape(-1)
+
+    # ------------------------------------------------------------------
+    def _block_to_global_cells(self, U):
+        """[..., K, N] -> [..., Sz*Sy*Sx*nb] in global-cell order."""
+        sp = self.space
+        g = sp.grid
+        lead = U.shape[:-2]
+        U = U.reshape(lead + (g.kz, g.ky, g.kx, sp.s, sp.s, sp.s, sp.nb))
+        # [.., kz, ky, kx, sz, sy, sx, nb] -> [.., kz, sz, ky, sy, kx, sx, nb]
+        U = jnp.moveaxis(U, -4, -6)      # sz next to kz
+        U = jnp.moveaxis(U, -3, -4)      # sy next to ky
+        return U.reshape(lead + (-1,))
+
+    def interpolate(self, U):
+        """I_os(u): [..., K, N] -> [..., K, N] (conforming, zero on the
+        domain boundary)."""
+        lead = U.shape[:-2]
+        vals = self._block_to_global_cells(U)
+        vid = jnp.asarray(self.vertex_ids)
+        sums = jnp.zeros(lead + (self.n_vertices,), U.dtype)
+        sums = sums.at[..., vid].add(vals)
+        avg = sums / jnp.asarray(self.counts, U.dtype)
+        avg = avg * jnp.asarray(self.interior_mask, U.dtype)
+        out = avg[..., vid]
+        return self._global_cells_to_block(out, lead)
+
+    def _global_cells_to_block(self, V, lead):
+        """Inverse of :meth:`_block_to_global_cells` (permutation verified
+        round-trip in tests/test_hex3d_estimator.py)."""
+        sp = self.space
+        g = sp.grid
+        V = V.reshape(lead + (g.kz, sp.s, g.ky, sp.s, g.kx, sp.s, sp.nb))
+        V = jnp.moveaxis(V, (-6, -4), (-4, -3))
+        return V.reshape(lead + (sp.K, sp.N))
+
+    def apply(self, U):
+        """Nonconformity witness u - I_os(u)."""
+        return U - self.interpolate(U)
