@@ -394,8 +394,12 @@ class StationaryBlockModel:
         sp = self.space
         vecs = [np.ones(sp.N)]
         if order == 1:
-            xn = sp.node_coords_phys()[subdomain].reshape(sp.N, 2)
-            vecs += [xn[:, 0], xn[:, 1], xn[:, 0] * xn[:, 1]]
+            dim = getattr(sp, "dim", 2)
+            xn = sp.node_coords_phys()[subdomain].reshape(sp.N, dim)
+            if dim == 3:
+                vecs += [xn[:, 0], xn[:, 1], xn[:, 2]]
+            else:
+                vecs += [xn[:, 0], xn[:, 1], xn[:, 0] * xn[:, 1]]
         return jnp.asarray(np.stack(vecs), self.dtype)          # [n_vec, N]
 
     # ------------------------------------------------------------------
@@ -410,6 +414,8 @@ class StationaryBlockModel:
         Dirichlet penalty blocks; intra-patch interfaces keep their coupling
         quadruples; physical-boundary faces keep the true Dirichlet terms.
         """
+        if getattr(self.grid, "dim", 2) == 3:
+            return self._assemble_patch3(subdomain, mu)
         grid, sp = self.grid, self.space
         members = grid.neighborhood_of(subdomain)
         m = len(members)
@@ -462,6 +468,77 @@ class StationaryBlockModel:
                     rp = side_rows["left" if side == "right" else "bottom"]
                     q_ii, q_io, q_oi, q_oo = (np.asarray(getattr(comp, q)[e]) for q in quads)
                     for f in range(s):
+                        r_i = rm[f] + i * N
+                        r_j = rp[f] + j * N
+                        A[np.ix_(r_i, r_i)] += q_ii[f]
+                        A[np.ix_(r_i, r_j)] += q_io[f]
+                        A[np.ix_(r_j, r_i)] += q_oi[f]
+                        A[np.ix_(r_j, r_j)] += q_oo[f]
+            mats.append(jnp.asarray(A, self.dtype))
+
+        b = jnp.einsum("q,qmn->mn", self.theta_f(mu or {}),
+                       self.rhs_q[:, np.asarray(members)]).reshape(m * N)
+        return members, mats, b
+
+    def _assemble_patch3(self, subdomain: int, mu=None):
+        """3D hex variant of :meth:`assemble_patch`: 3x3x3 oversampled patch,
+        six one-sided Dirichlet strips, x/y/z interface quadruples."""
+        from .ops.swipdg3d import edge_lists3
+        grid, sp = self.grid, self.space
+        members = grid.neighborhood_of(subdomain)
+        m = len(members)
+        pos = {ii: i for i, ii in enumerate(members)}
+        N, nb = sp.N, sp.nb
+        F = sp.s * sp.s
+        kx, ky, kz = grid.kx, grid.ky, grid.kz
+        xlo, xhi, ylo, yhi, zlo, zhi = edge_lists3(grid)
+        eX = {(int(l), int(r)): e for e, (l, r) in enumerate(zip(xlo, xhi))}
+        eY = {(int(l), int(u)): e for e, (l, u) in enumerate(zip(ylo, yhi))}
+        eZ = {(int(l), int(u)): e for e, (l, u) in enumerate(zip(zlo, zhi))}
+        sides = ("left", "right", "bottom", "top", "near", "far")
+        side_rows = {side: sp.side_dofs(side).reshape(F, nb) for side in sides}
+        side_neighbor = {"left": -1, "right": +1, "bottom": -kx, "top": +kx,
+                         "near": -kx * ky, "far": +kx * ky}
+
+        def on_domain_boundary(side, ii):
+            sx, sy, sz = grid.subdomain_coords(ii)
+            return {"left": sx == 0, "right": sx == kx - 1,
+                    "bottom": sy == 0, "top": sy == ky - 1,
+                    "near": sz == 0, "far": sz == kz - 1}[side]
+
+        mats = []
+        for comp in self.components:
+            A = np.zeros((m * N, m * N))
+            for ii in members:
+                i = pos[ii]
+                blk = np.array(comp.A_loc[ii], copy=True)
+                for side in sides:
+                    nb_sub = ii + side_neighbor[side]
+                    if on_domain_boundary(side, ii) or nb_sub not in pos:
+                        rows = side_rows[side]
+                        Ds = np.asarray(comp.D_side[side][ii])   # [F, nb, nb]
+                        for f in range(F):
+                            r = rows[f]
+                            blk[np.ix_(r, r)] += Ds[f]
+                A[i * N:(i + 1) * N, i * N:(i + 1) * N] += blk
+            # intra-patch interface terms (minus side = right/top/far)
+            orients = (("right", "left", "X", eX), ("top", "bottom", "Y", eY),
+                       ("far", "near", "Z", eZ))
+            for ii in members:
+                i = pos[ii]
+                for hi_side, lo_side, fam, emap in orients:
+                    if on_domain_boundary(hi_side, ii):
+                        continue
+                    jj = ii + side_neighbor[hi_side]
+                    if jj not in pos:
+                        continue
+                    j = pos[jj]
+                    e = emap[(ii, jj)]
+                    rm, rp = side_rows[hi_side], side_rows[lo_side]
+                    q_ii, q_io, q_oi, q_oo = (
+                        np.asarray(getattr(comp, f"{fam}_{q}")[e])
+                        for q in ("in_in", "in_out", "out_in", "out_out"))
+                    for f in range(F):
                         r_i = rm[f] + i * N
                         r_j = rp[f] + j * N
                         A[np.ix_(r_i, r_i)] += q_ii[f]

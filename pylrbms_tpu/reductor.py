@@ -124,12 +124,14 @@ class ReducedModel:
 
     # ------------------------------------------------------------------
     def _gather_neighborhood(self, c):
-        """c [..., K, r_max] -> chat [..., K, 9*r_max] (zero-padded)."""
+        """c [..., K, r_max] -> chat [..., K, P*r_max] (zero-padded;
+        P = patch size, 9 in 2D / 27 in 3D)."""
         idx = jnp.asarray(np.where(self.nbhd_idx < 0, 0, self.nbhd_idx))
         mask = jnp.asarray((self.nbhd_idx >= 0).astype(np.float64))
-        g = c[..., idx, :]                             # [..., K, 9, r_max]
+        Pn = self.nbhd_idx.shape[1]
+        g = c[..., idx, :]                             # [..., K, P, r_max]
         g = g * mask[..., :, None]
-        return g.reshape(g.shape[:-2] + (9 * self.r_max,))
+        return g.reshape(g.shape[:-2] + (Pn * self.r_max,))
 
     def residual_norm(self, c, mu):
         """l2 dual norm of the algebraic FOM residual ||b(mu) - A(mu) V c||_2,
@@ -360,8 +362,10 @@ class LRBMSReductor:
     @staticmethod
     def _project(op_arrays, ed_arrays, rhs_q, V, mask, side_rows, edges):
         """V [K, r_max, N] padded bases (rows masked), -> all reduced tensors."""
-        A_diag, C_R_io, C_R_oi, C_U_io, C_U_oi = op_arrays
-        left_k, right_k, low_k, up_k = edges
+        A_diag, C_R_io, C_R_oi, C_U_io, C_U_oi, *Wrest = op_arrays
+        C_W_io, C_W_oi = Wrest if Wrest else (None, None)
+        left_k, right_k, low_k, up_k, *erest = edges
+        near_k, far_k = erest if erest else (None, None)
         K, r_max, N = V.shape
         Q = A_diag.shape[0]
         R = K * r_max
@@ -394,6 +398,11 @@ class LRBMSReductor:
                        side_rows["top"], side_rows["bottom"])
         A_red = couple(A_red, C_U_oi, up_k, low_k,
                        side_rows["bottom"], side_rows["top"])
+        if C_W_io is not None:                      # 3D z-pairs
+            A_red = couple(A_red, C_W_io, near_k, far_k,
+                           side_rows["far"], side_rows["near"])
+            A_red = couple(A_red, C_W_oi, far_k, near_k,
+                           side_rows["near"], side_rows["far"])
 
         # identity on padded rows keeps the dense solve well-posed
         flat_mask = mask.reshape(R)          # 1 = real dof, 0 = padding
@@ -468,7 +477,9 @@ class LRBMSReductor:
         d = self.d
         st = d.op.static
         side_rows = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
-        edges = (st.left_k, st.right_k, st.low_k, st.up_k)
+        edges = ((st.left_k, st.right_k, st.low_k, st.up_k)
+                 + ((st.near_k, st.far_k)
+                    if st.near_k is not None else ()))
 
         @jax.jit
         @hp
@@ -538,7 +549,9 @@ class LRBMSReductor:
         st = d.op.static
         K = d.space.K
         side_rows = {k: jnp.asarray(v) for k, v in st.side_rows.items()}
-        edges = (st.left_k, st.right_k, st.low_k, st.up_k)
+        edges = ((st.left_k, st.right_k, st.low_k, st.up_k)
+                 + ((st.near_k, st.far_k)
+                    if st.near_k is not None else ()))
         lam_funcs = ed.lambda_funcs
         oswald, flux = ed.oswald, ed.flux
         parabolic = getattr(self, 'parabolic_tensors', False)
@@ -608,7 +621,8 @@ class LRBMSReductor:
                 Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
                 Tk = (T_all[:, rows_safe, kk[:, None], :]
                       * valid_f[None, :, :, None])               # [Q, K, P, Nrt]
-            A_diag_q, CRio, CRoi, CUio, CUoi = op_arrays
+            A_diag_q, CRio, CRoi, CUio, CUoi, *Wq = op_arrays
+            CWio, CWoi = Wq if Wq else (None, None)
             if with_gramians or parabolic:
                 # keep the Q operator applies as a LIST (a stacked
                 # [Q, R, K, N] copy is gigabytes at SPE10 scale, doubled
@@ -616,7 +630,10 @@ class LRBMSReductor:
                 AVs = [
                     _map_rows(lambda blk, q=q: AssembledBlockOp(
                         st, A_diag_q[q], CRio[q], CRoi[q], CUio[q],
-                        CUoi[q]).apply(blk).astype(store), B_all)
+                        CUoi[q],
+                        None if CWio is None else CWio[q],
+                        None if CWoi is None else CWoi[q],
+                    ).apply(blk).astype(store), B_all)
                     for q in range(len(lam_funcs))]              # Q x [R, K, N]
             if with_gramians:
                 G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
@@ -686,15 +703,17 @@ class LRBMSReductor:
 
     @staticmethod
     def _bucket_rows(grid, K: int, r_max: int):
-        """Static neighborhood-gather metadata for a bucket width."""
-        nbhd_idx = -np.ones((K, 9), dtype=np.int64)
+        """Static neighborhood-gather metadata for a bucket width
+        (patch size 9 in 2D, 27 on the 3D hex family)."""
+        Pn = 27 if getattr(grid, "dim", 2) == 3 else 9
+        nbhd_idx = -np.ones((K, Pn), dtype=np.int64)
         for k in range(K):
             nb_list = grid.neighborhood_of(k)
             nbhd_idx[k, :len(nb_list)] = nb_list
         rows = np.where(nbhd_idx[:, :, None] >= 0,
                         nbhd_idx[:, :, None] * r_max
                         + np.arange(r_max)[None, None, :],
-                        -1).reshape(K, 9 * r_max)
+                        -1).reshape(K, Pn * r_max)
         valid = (rows >= 0)
         return nbhd_idx, np.where(valid, rows, 0), valid
 
@@ -739,8 +758,10 @@ class LRBMSReductor:
         mask0 = jnp.asarray(np.ones((K, r_next)))
         rows_j = jnp.asarray(rows_safe)
         valid_j = jnp.asarray(valid, V0.dtype)
-        op_arrays = (d.op.A_diag, d.op.C_R_io, d.op.C_R_oi,
-                     d.op.C_U_io, d.op.C_U_oi)
+        op_arrays = ((d.op.A_diag, d.op.C_R_io, d.op.C_R_oi,
+                      d.op.C_U_io, d.op.C_U_oi)
+                     + ((d.op.C_W_io, d.op.C_W_oi)
+                        if d.op.C_W_io is not None else ()))
         ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec,
                      ed.R_dd, ed.L2, ed.A_div)
         rhs_q = d.rhs_q
@@ -748,9 +769,9 @@ class LRBMSReductor:
             put = jax.device_put
             k1, k0, k2 = mesh.shard_k(1), mesh.shard_k(0), mesh.shard_k(2)
             rep = mesh.replicated()
-            A_diag, CRio, CRoi, CUio, CUoi = op_arrays
-            op_arrays = (put(A_diag, k1), put(CRio, rep), put(CRoi, rep),
-                         put(CUio, rep), put(CUoi, rep))
+            A_diag, *Cstrips = op_arrays
+            op_arrays = ((put(A_diag, k1),)
+                         + tuple(put(C, rep) for C in Cstrips))
             E_bar, BB, M_aa, M_ab, d_vec, R_dd, L2b, A_div_c = ed_arrays
             ed_arrays = (put(E_bar, k0), put(BB, k0), put(M_aa, k2),
                          put(M_ab, k1), put(d_vec, k1), put(R_dd, k0),
@@ -823,7 +844,10 @@ class LRBMSReductor:
         # neighborhood gather rows [K, P] into the stacked basis axis
         nbhd_idx, rows_safe, valid = self._bucket_rows(d.grid, K, r_max)
 
-        op_arrays = (d.op.A_diag, d.op.C_R_io, d.op.C_R_oi, d.op.C_U_io, d.op.C_U_oi)
+        op_arrays = ((d.op.A_diag, d.op.C_R_io, d.op.C_R_oi,
+                      d.op.C_U_io, d.op.C_U_oi)
+                     + ((d.op.C_W_io, d.op.C_W_oi)
+                        if d.op.C_W_io is not None else ()))
         ed_arrays = (ed.E_bar, ed.BB, ed.M_aa, ed.M_ab, ed.d_vec,
                      ed.R_dd, ed.L2, ed.A_div)
 
@@ -857,9 +881,9 @@ class LRBMSReductor:
             put = jax.device_put
             k1, k0, k2 = mesh.shard_k(1), mesh.shard_k(0), mesh.shard_k(2)
             rep = mesh.replicated()
-            A_diag, CRio, CRoi, CUio, CUoi = op_arrays
-            op_arrays = (put(A_diag, k1), put(CRio, rep), put(CRoi, rep),
-                         put(CUio, rep), put(CUoi, rep))
+            A_diag, *Cstrips = op_arrays
+            op_arrays = ((put(A_diag, k1),)
+                         + tuple(put(C, rep) for C in Cstrips))
             E_bar, BB, M_aa, M_ab, d_vec, R_dd, L2b, A_div_c = ed_arrays
             ed_arrays = (put(E_bar, k0), put(BB, k0), put(M_aa, k2),
                          put(M_ab, k1), put(d_vec, k1), put(R_dd, k0),
@@ -912,11 +936,12 @@ class LRBMSReductor:
             if r_old < r_max:          # bucket grew: remap slot layout
                 def grow(X, axis):
                     shp = list(X.shape)
-                    Xr = X.reshape(shp[:axis] + [9, r_old] + shp[axis + 1:])
+                    Pn = shp[axis] // r_old
+                    Xr = X.reshape(shp[:axis] + [Pn, r_old] + shp[axis + 1:])
                     pad = [(0, 0)] * Xr.ndim
                     pad[axis + 1] = (0, r_max - r_old)
                     Xr = jnp.pad(Xr, pad)
-                    return Xr.reshape(shp[:axis] + [9 * r_max]
+                    return Xr.reshape(shp[:axis] + [Pn * r_max]
                                       + shp[axis + 1:])
                 Wk, Tk = grow(Wk, 1), grow(Tk, 2)
             new_rows = np.concatenate([
