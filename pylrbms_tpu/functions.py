@@ -198,3 +198,23 @@ def make_cellwise_function_1x1(grid, cell_values, name: str = "cellwise") -> Sca
         return jnp.asarray(vals)[iy, ix]
 
     return ScalarFunction(fn, name=name, order=0)
+
+
+def make_cellwise_function3d(grid, cell_values, name: str = "cellwise3d") -> ScalarFunction:
+    """Piecewise-constant per fine hex cell (SPE10 model-2 3D data blocks).
+
+    ``cell_values[Sz, Sy, Sx]`` on the 3D grid's global cell raster
+    (mirrors dune-xt's Spe10::Model2 function, which the 2D-only reference
+    never instantiates)."""
+    vals = np.asarray(cell_values, dtype=float)
+
+    def fn(x):
+        fx = (x[..., 0] - grid.lower_left[0]) / grid.hx
+        fy = (x[..., 1] - grid.lower_left[1]) / grid.hy
+        fz = (x[..., 2] - grid.lower_left[2]) / grid.hz
+        ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, grid.global_nx - 1)
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, grid.global_ny - 1)
+        iz = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, grid.global_nz - 1)
+        return jnp.asarray(vals)[iz, iy, ix]
+
+    return ScalarFunction(fn, name=name, order=0)

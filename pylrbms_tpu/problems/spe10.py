@@ -107,3 +107,75 @@ def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,),
         "mu_max": (1.0,),
         "parameter_range": (0.1, 1.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# 3D (model-2 native): a [nz, ny, nx] sub-block of the permeability tensor
+# ---------------------------------------------------------------------------
+
+def load_spe10_block(layers=(40, 44), path: str | None = None,
+                     nx: int = SPE10_NX, ny: int = SPE10_NY) -> np.ndarray:
+    """[nz, ny, nx] horizontal-permeability block (kx component) for the
+    z-layer range ``layers = (lo, hi)``; falls back to the deterministic
+    synthetic surrogate per layer in this zero-egress environment."""
+    lo, hi = int(layers[0]), int(layers[1])
+    path = path or os.environ.get("SPE10_DATA")
+    if path and os.path.exists(path):
+        vals = np.fromfile(path, sep=" ")
+        kx = vals[: nx * ny * SPE10_NZ].reshape(SPE10_NZ, ny, nx)
+        return kx[lo:hi]
+    return np.stack([_synthetic_spe10_layer(z, nx, ny) for z in range(lo, hi)])
+
+
+def init_grid_and_problem_3d(config, layers=(40, 44), mu_bar=(1,), mu_hat=(1,),
+                             max_contrast: float = None):
+    """SPE10 model-2 in native 3D (beyond the 2D-only reference): a z-block
+    of the 60 x 220 x 85 field on the unit-normalized box, cellwise-constant
+    diffusion on the hex grid, 2-term affine split
+    lambda(mu) = floor + mu * perm (parameter 'switch', as in 2D)."""
+    from ..grid3d import make_grid3d
+    from ..functions import make_cellwise_function3d
+
+    grid = make_grid3d(((0, 0, 0), (1, 1, 1)),
+                       config["num_subdomains"],
+                       config["half_num_fine_elements_per_subdomain_and_dim"],
+                       num_refinements=config.get("num_refinements", 1))
+    perm = load_spe10_block(layers)
+    nz, ny, nx = perm.shape
+    iz = (np.arange(grid.global_nz) + 0.5) / grid.global_nz * nz
+    iy = (np.arange(grid.global_ny) + 0.5) / grid.global_ny * ny
+    ix = (np.arange(grid.global_nx) + 0.5) / grid.global_nx * nx
+    cells = perm[np.clip(iz.astype(int), 0, nz - 1)[:, None, None],
+                 np.clip(iy.astype(int), 0, ny - 1)[None, :, None],
+                 np.clip(ix.astype(int), 0, nx - 1)[None, None, :]]
+    cells = cells / cells.max()
+    if max_contrast is not None:
+        cells = np.maximum(cells, 1.0 / max_contrast)
+    lam_hi = make_cellwise_function3d(grid, cells, name="spe10_perm3d")
+    floor = float(cells.min()) * 0.5
+    lam_low = make_constant_function_1x1(floor, name="perm_floor")
+
+    parameter_type = {"switch": (1,)}
+    coefficients = [ExpressionParameterFunctional("1.", parameter_type),
+                    ExpressionParameterFunctional("switch", parameter_type)]
+    f = make_constant_function_1x1(1.0, name="f")
+
+    def lam_at(mu):
+        return make_cellwise_function3d(grid, floor + float(mu[0]) * cells)
+
+    return {
+        "grid": grid,
+        "boundary_info": make_boundary_info(
+            grid, {"type": "xt.grid.boundaryinfo.alldirichlet"}),
+        "lambda": {"functions": [lam_low, lam_hi], "coefficients": coefficients},
+        "lambda_bar": lam_at(mu_bar),
+        "lambda_hat": lam_at(mu_hat),
+        "kappa": None,
+        "f": f,
+        "parameter_type": parameter_type,
+        "mu_bar": mu_bar,
+        "mu_hat": mu_hat,
+        "mu_min": (0.1,),
+        "mu_max": (1.0,),
+        "parameter_range": (0.1, 1.0),
+    }

@@ -1,0 +1,97 @@
+"""SPE10 model-2 in native 3D: FOM solve + estimate + snapshot ROM.
+
+Beyond the 2D-only reference: the BASELINE.json north-star data set is the
+3D 60 x 220 x 85 permeability tensor; this script runs the LRBMS pipeline on
+a z-block of it using the 3D hex family (grid3d / spaces3d / swipdg3d):
+
+  phase 1: problem init (z-layers -> cellwise-constant diffusion)
+  phase 2: block SWIPDG discretize + detailed solve (two-level PCG) + estimate
+  phase 3: snapshot reduction + ROM solve + N-independent ROM estimate
+
+Usage:  python scripts/spe10_3d.py [--subdomains 4 4 2] [--half 1]
+        [--nref 1] [--contrast 1e4] [--layers 40 44]
+"""
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdomains", type=int, nargs=3, default=[4, 4, 2])
+    ap.add_argument("--half", type=int, default=1)
+    ap.add_argument("--nref", type=int, default=1)
+    ap.add_argument("--contrast", type=float, default=1e4)
+    ap.add_argument("--layers", type=int, nargs=2, default=[40, 44])
+    ap.add_argument("--lean", action="store_true",
+                    help="skip the MOR estimator tensors (FOM-only)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    from pylrbms_tpu.problems.spe10 import init_grid_and_problem_3d
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+    from pylrbms_tpu.reductor import LRBMSReductor
+
+    t0 = time.perf_counter()
+    gpd = init_grid_and_problem_3d(
+        {"num_subdomains": args.subdomains,
+         "half_num_fine_elements_per_subdomain_and_dim": args.half,
+         "num_refinements": args.nref},
+        layers=tuple(args.layers), max_contrast=args.contrast)
+    g = gpd["grid"]
+    print(f"grid: {g.kx}x{g.ky}x{g.kz} subdomains, s={g.s} "
+          f"({g.num_elements} hexes)")
+
+    d, _ = discretize(gpd, dtype=dtype, lean=args.lean)
+    sp = d.space
+    print(f"discretize: {time.perf_counter()-t0:.1f} s  "
+          f"(K={sp.K}, N={sp.N}, {sp.K*sp.N} dofs)")
+
+    mu = {"switch": 1.0}
+    t0 = time.perf_counter()
+    A = d.op.assemble(d.theta(mu))
+    b = d.rhs(mu)
+    U, it = A.solve_pcg(b, tol=1e-8, maxiter=4000, two_level=True,
+                        return_iters=True)
+    U.block_until_ready()
+    t_solve = time.perf_counter() - t0
+    r = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
+    print(f"FOM solve: {t_solve*1e3:.0f} ms, {int(it)} CG iterations, "
+          f"rel residual {r:.1e}")
+
+    t0 = time.perf_counter()
+    eta = float(d.estimate(U, mu, paper_convention=True))
+    print(f"FOM estimate: eta = {eta:.4e}  ({time.perf_counter()-t0:.1f} s)")
+
+    if args.lean:
+        return
+
+    red = LRBMSReductor(d, order=0)
+    for m in (0.1, 0.4, 1.0):
+        red.extend_basis(np.asarray(d.solve({"switch": m}), np.float64))
+    t0 = time.perf_counter()
+    rd = red.reduce()
+    print(f"reduce: {time.perf_counter()-t0:.1f} s "
+          f"(RB size {int(rd.sizes.sum())})")
+
+    mu_t = {"switch": 0.7}
+    t0 = time.perf_counter()
+    c = rd.solve(mu_t)
+    eta_rom = float(rd.estimate(c, mu_t, paper_convention=True))
+    t_rom = time.perf_counter() - t0
+    Urec = rd.reconstruct(c)
+    eta_rec = float(d.estimate(Urec, mu_t, paper_convention=True))
+    print(f"ROM online step: {t_rom*1e3:.1f} ms, eta_rom = {eta_rom:.4e} "
+          f"(FOM-of-reconstruction {eta_rec:.4e}, "
+          f"rel diff {abs(eta_rom-eta_rec)/eta_rec:.1e})")
+
+
+if __name__ == "__main__":
+    main()

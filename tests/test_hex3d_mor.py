@@ -82,3 +82,22 @@ def test_hex3d_online_adaptive_enrichment(model3d):
     u = out[0] if isinstance(out, tuple) else out
     eta_final = float(ae.rd.estimate(u, mu))
     assert eta_final < 1.1 * eta_fom, (eta_final, eta_fom)
+
+
+def test_spe10_3d_smoke():
+    """SPE10 model-2 native-3D problem: discretize (lean), two-level PCG
+    solve, finite positive indicators."""
+    from pylrbms_tpu.problems.spe10 import init_grid_and_problem_3d
+    gpd = init_grid_and_problem_3d(
+        {'num_subdomains': [2, 2, 2],
+         'half_num_fine_elements_per_subdomain_and_dim': 1,
+         'num_refinements': 1}, max_contrast=1e4)
+    d, _ = discretize(gpd, lean=True)
+    mu = {'switch': 1.0}
+    A = d.op.assemble(d.theta(mu))
+    b = d.rhs(mu)
+    U, it = A.solve_pcg(b, tol=1e-10, maxiter=3000, two_level=True,
+                        return_iters=True)
+    r = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
+    assert r < 1e-8
+    assert int(it) < 200
