@@ -199,15 +199,21 @@ class StationaryBlockModel:
     # ------------------------------------------------------------------
     def mf_operator(self):
         """The affine matrix-free stencil operator for this model (assembled
-        once, as one jitted graph, and cached)."""
-        from .ops.matrixfree import assemble_swipdg_stencil, StencilOperator
+        once, as one jitted graph, and cached).  Dispatches to the 3D hex
+        stencil on 3D spaces."""
+        if getattr(self.space, "dim", 2) == 3:
+            from .ops.matrixfree3d import (assemble_swipdg_stencil3 as mk,
+                                           StencilOperator3 as Op)
+        else:
+            from .ops.matrixfree import (assemble_swipdg_stencil as mk,
+                                         StencilOperator as Op)
         sop = getattr(self, "_mf_sop", None)
         if sop is None:
             dtype = self.op.A_diag.dtype
             sten = jax.jit(hp(lambda: tuple(
-                assemble_swipdg_stencil(self.space, lf, None, dtype=dtype)
+                mk(self.space, lf, None, dtype=dtype)
                 for lf in self.estimator.data.lambda_funcs)))()
-            sop = StencilOperator(self.space, sten)
+            sop = Op(self.space, sten)
             object.__setattr__(self, "_mf_sop", sop)
             object.__setattr__(self, "_mf_jit_cache", {})
         return sop

@@ -26,14 +26,20 @@ def main():
     ap.add_argument("--layers", type=int, nargs=2, default=[40, 44])
     ap.add_argument("--lean", action="store_true",
                     help="skip the MOR estimator tensors (FOM-only)")
+    ap.add_argument("--mf", action="store_true",
+                    help="matrix-free two-level FOM solve (the at-scale "
+                         "path: O(K s^3 nb^2) stencil matvecs)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    on_tpu = any(d.platform != "cpu" for d in jax.devices())
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
-    dtype = jnp.float32 if on_tpu else jnp.float64
+    # SPE10 contrast needs f64 operators everywhere (same policy as the 2D
+    # north-star, scripts/spe10_greedy.py): on TPU f64 is emulated but the
+    # preconditioner/factorizations stay f32 (la/block.py handles v5e's
+    # missing f64 LU); in plain f32 CG stalls at ~eps*contrast and the
+    # estimator quadratic forms lose all digits.
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64
 
     from pylrbms_tpu.problems.spe10 import init_grid_and_problem_3d
     from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
@@ -56,12 +62,27 @@ def main():
 
     mu = {"switch": 1.0}
     t0 = time.perf_counter()
+    if args.mf:
+        opts = {"type": "mf_pcg", "precision": 1e-8, "max_iter": 4000,
+                "coarse_space": "harvested", "coarse_modes": 12,
+                "return_iters": True}
+        mup = d.parse_parameter(mu)
+        U, it = d._mf_solve(d.theta(mup), d.rhs(mup), opts)
+        U.block_until_ready()
+        t_solve = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        U2, _ = d._mf_solve(d.theta(mup), d.rhs(mup), opts)
+        U2.block_until_ready()
+        print(f"  (warm repeat solve: {(time.perf_counter()-t1)*1e3:.0f} ms)")
+    else:
+        A = d.op.assemble(d.theta(mu))
+        b = d.rhs(mu)
+        U, it = A.solve_pcg(b, tol=1e-8, maxiter=4000, two_level=True,
+                            return_iters=True)
+        U.block_until_ready()
+        t_solve = time.perf_counter() - t0
     A = d.op.assemble(d.theta(mu))
     b = d.rhs(mu)
-    U, it = A.solve_pcg(b, tol=1e-8, maxiter=4000, two_level=True,
-                        return_iters=True)
-    U.block_until_ready()
-    t_solve = time.perf_counter() - t0
     r = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
     print(f"FOM solve: {t_solve*1e3:.0f} ms, {int(it)} CG iterations, "
           f"rel residual {r:.1e}")

@@ -326,3 +326,25 @@ def test_hex3d_matrixfree_mass_stencil():
     err = (np.abs(np.asarray(G.apply(x)) - np.asarray(y_ref)).max()
            / np.abs(np.asarray(y_ref)).max())
     assert err < 1e-13, err
+
+
+def test_hex3d_mf_pcg_model_solve():
+    """model.solve's matrix-free two-level path (type='mf_pcg') on the 3D
+    family: modal and harvested coarse spaces both converge to 1e-8."""
+    from pylrbms_tpu.problems.spe10 import init_grid_and_problem_3d
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+    gpd = init_grid_and_problem_3d(
+        {'num_subdomains': [2, 2, 2],
+         'half_num_fine_elements_per_subdomain_and_dim': 1,
+         'num_refinements': 1}, max_contrast=1e4)
+    mu = {'switch': 1.0}
+    for cs, cm in (("modal", 4), ("harvested", 8)):
+        d, _ = discretize(gpd, lean=True)
+        U = d.solve(mu, inverse_options={'type': 'mf_pcg',
+                                         'precision': 1e-10,
+                                         'coarse_space': cs,
+                                         'coarse_modes': cm})
+        A = d.op.assemble(d.theta(mu))
+        b = d.rhs(mu)
+        r = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
+        assert r < 1e-8, (cs, r)
