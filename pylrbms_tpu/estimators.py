@@ -232,6 +232,8 @@ class EllipticEstimator:
         from .ops.rt1 import rt_tab_any_order
         d = self.data
         sp = d.flux.space
+        if getattr(sp, "dim", 2) == 3:
+            return self._local_quantities_positive3(U, mu, tensors)
         theta = evaluate_coefficients(d.lambda_coeffs, mu)
         theta_f = evaluate_coefficients(d.f_coeffs, mu)
         dtype = U.dtype
@@ -274,6 +276,51 @@ class EllipticEstimator:
         res = f_mu - div_t
         scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
         eta_r = area * jnp.einsum(ein("tq,...kyxtq->...k"), w, res * res) * scale
+        return eta_nc, eta_r, eta_df
+
+    def _local_quantities_positive3(self, U, mu, tensors: dict | None = None):
+        """3D hex variant of :meth:`local_quantities_positive` (same
+        manifestly non-negative integrals; kappa = I)."""
+        from .ops import assembly3d as asm3
+        d = self.data
+        sp = d.flux.space
+        theta = evaluate_coefficients(d.lambda_coeffs, mu)
+        theta_f = evaluate_coefficients(d.f_coeffs, mu)
+        dtype = U.dtype
+
+        E_bar = (tensors or {}).get("E_bar", d.E_bar)
+        t_loc = self.reconstruct_flux(U, mu)                   # [..., K, Nrt]
+        U_o = d.oswald.apply(U)
+        eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, E_bar, U_o)
+
+        xq = asm3.vol_points(sp, dtype)                        # [K, C, nq, 3]
+        w = jnp.asarray(sp.vol_w, dtype)
+        volc = sp.volume
+        lam_q = jnp.stack([lf(xq).astype(dtype) for lf in d.lambda_funcs])
+        lam_mu = jnp.einsum("q,q...->...", theta, lam_q)       # [K, C, nq]
+        lam_hat_v = d.lambda_hat(xq).astype(dtype)
+
+        dphi = jnp.asarray(sp.vol_dphi, dtype)                 # [nq, nb, 3]
+        C = sp.s ** 3
+        Uc = U.reshape(U.shape[:-2] + (sp.K, C, sp.nb))
+        gu = jnp.einsum("...kcj,qja->...kcqa", Uc, dphi)
+        chi, idx, div = sp.rt_cell_tab()                       # chi [1,nq,6,3]
+        nf = idx.shape[-1]
+        chi_j = jnp.asarray(chi[0], dtype)
+        t_cell = t_loc[..., jnp.asarray(idx.reshape(-1))].reshape(
+            t_loc.shape[:-1] + (C, nf))
+        t_q = jnp.einsum("...kce,qea->...kcqa", t_cell, chi_j)
+        z = lam_mu[..., None] * gu + t_q                       # kappa = I
+        df_int = jnp.einsum("...kcqa,...kcqa->...kcq", z, z) / lam_hat_v
+        eta_df = volc * jnp.einsum("q,...kcq->...k", w, df_int)
+
+        f_q = jnp.stack([ff(xq).astype(dtype) for ff in d.f_funcs])
+        f_mu = jnp.einsum("q,q...->...", theta_f, f_q)
+        div_t = jnp.einsum("...kce,e->...kc", t_cell,
+                           jnp.asarray(div[0], dtype))[..., None]
+        res = f_mu - div_t
+        scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
+        eta_r = volc * jnp.einsum("q,...kcq->...k", w, res * res) * scale
         return eta_nc, eta_r, eta_df
 
     @hp

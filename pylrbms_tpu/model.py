@@ -353,8 +353,7 @@ class StationaryBlockModel:
         if mixed:
             sop32 = cache.get("sop32")
             if sop32 is None:
-                from .ops.matrixfree import StencilOperator
-                sop32 = StencilOperator(self.space, jax.tree.map(
+                sop32 = type(sop)(self.space, jax.tree.map(
                     lambda a: a.astype(jnp.float32), sop.stencils))
                 cache["sop32"] = sop32
         return cache[key](sop, sop32, theta, b, bf, C, ci)
@@ -650,22 +649,31 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
     """
     from .la.block import AssembledBlockOp
     st = d.op.static
+    dim3 = getattr(d.space, "dim", 2) == 3
     arrays = {"A_diag": d.op.A_diag, "C_R_io": d.op.C_R_io,
               "C_R_oi": d.op.C_R_oi, "C_U_io": d.op.C_U_io,
               "C_U_oi": d.op.C_U_oi, "rhs_q": d.rhs_q}
+    if dim3:
+        arrays["C_W_io"] = d.op.C_W_io
+        arrays["C_W_oi"] = d.op.C_W_oi
     if matrix_free is None:
         matrix_free = (d.space.K * d.space.N >= 16384
                        and d.estimator is not None
                        and getattr(d.estimator.data, "lambda_funcs", None)
                        is not None)
     if matrix_free:
-        from .ops.matrixfree import assemble_swipdg_stencil, StencilOperator
+        if dim3:
+            from .ops.matrixfree3d import (
+                assemble_swipdg_stencil3 as _mk_stencil)
+        else:
+            from .ops.matrixfree import (
+                assemble_swipdg_stencil as _mk_stencil)
         dtype = d.op.A_diag.dtype
         # jitted: the stencil assembly is dozens of small einsums per affine
         # component — run as one compiled graph, not eager op-by-op (the
         # captured quadrature/tabulation tables are tiny)
         arrays["stencils"] = jax.jit(hp(lambda: tuple(
-            assemble_swipdg_stencil(d.space, lf, None, dtype=dtype)
+            _mk_stencil(d.space, lf, None, dtype=dtype)
             for lf in d.estimator.data.lambda_funcs)))()
     if fixed_preconditioner or two_level:
         mu_bar = getattr(d, "mu_bar", None)
@@ -731,8 +739,11 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
     def _core(arrays, theta, theta_f, mu):
         b = jnp.einsum("q,qkn->kn", theta_f, arrays["rhs_q"])
         if matrix_free:
-            from .ops.matrixfree import StencilOperator
-            A_mf = StencilOperator(d.space, arrays["stencils"]).assemble(theta)
+            if dim3:
+                from .ops.matrixfree3d import StencilOperator3 as _StOp
+            else:
+                from .ops.matrixfree import StencilOperator as _StOp
+            A_mf = _StOp(d.space, arrays["stencils"]).assemble(theta)
 
             def solve(rhs):
                 return A_mf.solve_pcg(rhs, tol=tol, maxiter=maxiter,
@@ -741,13 +752,14 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                                       coarse_basis=arrays.get("C_coarse"))
             apply_A = A_mf.apply
         else:
+            mixq = (lambda C: None if C is None
+                    else jnp.einsum("q,qefij->efij", theta, C))
             A = AssembledBlockOp(
                 st,
                 jnp.einsum("q,qkij->kij", theta, arrays["A_diag"]),
-                jnp.einsum("q,qefij->efij", theta, arrays["C_R_io"]),
-                jnp.einsum("q,qefij->efij", theta, arrays["C_R_oi"]),
-                jnp.einsum("q,qefij->efij", theta, arrays["C_U_io"]),
-                jnp.einsum("q,qefij->efij", theta, arrays["C_U_oi"]))
+                mixq(arrays["C_R_io"]), mixq(arrays["C_R_oi"]),
+                mixq(arrays["C_U_io"]), mixq(arrays["C_U_oi"]),
+                mixq(arrays.get("C_W_io")), mixq(arrays.get("C_W_oi")))
 
             def solve(rhs):
                 return A.solve_pcg(rhs, tol=tol, maxiter=maxiter,

@@ -101,3 +101,48 @@ def test_spe10_3d_smoke():
     r = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
     assert r < 1e-8
     assert int(it) < 200
+
+
+def test_hex3d_online_step_paths(model3d):
+    """make_online_step on 3D: dense and matrix-free paths reproduce the
+    model solve + local quantities; batched-mu serving equals single."""
+    from pylrbms_tpu.model import make_online_step
+    _, d = model3d
+    mu = 0.6
+    U2 = d.solve({'diffusion': mu})
+    nc, r, df = d.estimator.local_quantities(U2[None], {'diffusion': mu})
+    ref_ind = np.asarray((nc + r + df)[0])
+    for mf in (False, True):
+        fn = make_online_step(d, tol=1e-10, maxiter=500, coarse_modes=4,
+                              matrix_free=mf)
+        U, ind = fn(jnp.asarray([1.0, mu]), jnp.asarray([1.0]),
+                    {'diffusion': jnp.asarray([mu])})
+        e1 = np.abs(np.asarray(U) - np.asarray(U2)).max() \
+            / np.abs(np.asarray(U2)).max()
+        e2 = np.abs(np.asarray(ind) - ref_ind).max() / np.abs(ref_ind).max()
+        assert e1 < 1e-8 and e2 < 1e-9, (mf, e1, e2)
+    fn = make_online_step(d, tol=1e-10, maxiter=500, coarse_modes=4)
+    mus = np.asarray([0.3, 0.6, 1.0])
+    thetas = jnp.asarray(np.stack([np.ones(3), mus], 1))
+    Ub, _ = fn(thetas, jnp.ones((3, 1)), {'diffusion': jnp.asarray(mus[:, None])})
+    U1, _ = fn(thetas[1], jnp.ones(1), {'diffusion': jnp.asarray([0.6])})
+    assert np.abs(np.asarray(Ub[1]) - np.asarray(U1)).max() < 1e-11
+
+
+def test_hex3d_mixed_precision_mf_solve():
+    """The mixed-precision (f32 Krylov + f64 residual restarts) matrix-free
+    path on 3D at moderate contrast."""
+    from pylrbms_tpu.problems.spe10 import init_grid_and_problem_3d
+    gpd = init_grid_and_problem_3d(
+        {'num_subdomains': [2, 2, 2],
+         'half_num_fine_elements_per_subdomain_and_dim': 1,
+         'num_refinements': 1}, max_contrast=1e3)
+    d, _ = discretize(gpd, lean=True)
+    mu = {'switch': 1.0}
+    U = d.solve(mu, inverse_options={'type': 'mf_pcg', 'precision': 1e-9,
+                                     'mixed': True, 'coarse_space': 'modal',
+                                     'coarse_modes': 4})
+    A = d.op.assemble(d.theta(mu))
+    b = d.rhs(mu)
+    rr = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
+    assert rr < 1e-7, rr
