@@ -862,9 +862,11 @@ class InstationaryBlockModel:
             # stationary solve)
             return self._solve_mf(mu, dt)
         A = st.assemble(mu)
+        sdt = (lambda C: None if C is None else dt * C)
         G_op = AssembledBlockOp(A.static, self.mass + dt * A.A_diag,
                                 dt * A.C_R_io, dt * A.C_R_oi,
-                                dt * A.C_U_io, dt * A.C_U_oi)
+                                dt * A.C_U_io, dt * A.C_U_oi,
+                                sdt(A.C_W_io), sdt(A.C_W_oi))
         use_dense = K * N <= 6144
         if use_dense:
             G_dense = G_op.to_dense()
@@ -917,8 +919,11 @@ class InstationaryBlockModel:
         across all steps, each step's PCG warm-starts from the previous
         step, and the WHOLE trajectory is one jitted ``lax.scan`` with all
         model tensors as arguments (remote-compile safe)."""
-        from .ops.matrixfree import mass_stencil, StencilOperator, \
-            AssembledStencil
+        if getattr(self.stationary.space, "dim", 2) == 3:
+            from .ops.matrixfree3d import (mass_stencil3 as mass_stencil,
+                                           StencilOperator3 as StencilOperator)
+        else:
+            from .ops.matrixfree import mass_stencil, StencilOperator
         from .la.block import block_jacobi_factors
         st = self.stationary
         sop = st.mf_operator()

@@ -146,3 +146,38 @@ def test_hex3d_mixed_precision_mf_solve():
     b = d.rhs(mu)
     rr = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
     assert rr < 1e-7, rr
+
+
+def test_hex3d_parabolic_vs_scipy_oracle():
+    """3D implicit Euler (dense G = M + dt*A path incl. z-couplings) matches
+    a step-by-step scipy splu oracle on the unblocked global matrix; the
+    parabolic estimator runs on the trajectory."""
+    import scipy.sparse as sp_
+    import scipy.sparse.linalg as spla
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem
+    from pylrbms_tpu.discretize_parabolic_block_swipdg3d import (
+        discretize as discretize_par)
+    from pylrbms_tpu.la.block import to_scipy_csr
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    nt = 10
+    im, _ = discretize_par(gpd, T=1.0, nt=nt)
+    mu = {'diffusion': 0.7}
+    traj = im.solve(mu)
+    st = im.stationary
+    K, N = st.space.K, st.space.N
+    A = to_scipy_csr(st.assemble(mu))
+    Mm = np.asarray(im.mass)
+    M = sp_.block_diag([sp_.csr_matrix(Mm[k]) for k in range(K)], format="csr")
+    dt = 1.0 / nt
+    lu = spla.splu((M + dt * A).tocsc())
+    b = np.asarray(st.rhs(mu)).reshape(-1)
+    u = np.zeros(K * N)
+    for _n in range(nt):
+        u = lu.solve(M @ u + dt * b)
+    err = np.abs(np.asarray(traj[-1]).reshape(-1) - u).max() / np.abs(u).max()
+    assert err < 1e-10, err
+    out = im.estimate(traj, mu)
+    eta = out[0] if isinstance(out, tuple) else out
+    assert np.isfinite(float(eta)) and float(eta) > 0
