@@ -348,3 +348,37 @@ def test_hex3d_mf_pcg_model_solve():
         b = d.rhs(mu)
         r = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
         assert r < 1e-8, (cs, r)
+
+
+def test_hex3d_sharded_online_step_matches_unsharded():
+    """K-axis GSPMD sharding of the 3D model over the virtual 8-device mesh
+    (the z-coupling family rides the same sharded apply): equals the
+    unsharded step."""
+    import jax
+    import pytest as _pytest
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+    from pylrbms_tpu.parallel.mesh import SubdomainMesh
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    theta = jnp.asarray([1.0, 0.5])
+    theta_f = jnp.asarray([1.0])
+    mu = d.parse_parameter(0.5)
+    A = d.op.assemble(theta)
+    b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
+    U_ref = A.solve_pcg(b, tol=1e-9, maxiter=800)
+    nc, r, df = d.estimator.local_quantities(U_ref, mu)
+    ind_ref = np.asarray(nc + r + df)
+
+    sm = SubdomainMesh.create(8)
+    sm.distribute_model(d)
+    step = sm.jit_online_step(d, tol=1e-9, maxiter=800)
+    U, ind = step(theta, theta_f, mu)
+    assert len(set(x.device for x in U.addressable_shards)) == 8
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ind), ind_ref, rtol=1e-7, atol=1e-12)
