@@ -161,8 +161,15 @@ class Grid3D:
         SZ, SY, SX = np.meshgrid(sz, sy, sx, indexing="ij")   # [kz, ky, kx]
         return np.stack([SX.ravel(), SY.ravel(), SZ.ravel()], axis=-1)
 
-    def visualize(self, filename: str, *args, **kwargs):  # pragma: no cover
-        raise NotImplementedError("3D VTU output: use utils.vtk.write_hex_vtu")
+    def visualize(self, filename: str, *args, **kwargs):
+        """Subdomain-id field on the hex grid (<-> ``grid.visualize``)."""
+        import numpy as np
+        from .ops.spaces3d import BlockDGSpace3D
+        from .utils.vtk import write_hex_vtu
+        space = BlockDGSpace3D(self)
+        ids = np.repeat(np.arange(self.num_subdomains, dtype=float)[:, None],
+                        space.N, axis=1)
+        return write_hex_vtu(space, ids, filename, name="subdomain")
 
 
 def make_grid3d(domain=((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),

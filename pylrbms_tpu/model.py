@@ -590,6 +590,9 @@ class StationaryBlockModel:
         """VTU output of a solution (<-> ``DuneDiscretization.visualize`` /
         ``DuneGDTVisualizer``; content-asserted in
         tests/test_scripts.py::test_vtu_writer_and_model_visualize)."""
+        if getattr(self.space, "dim", 2) == 3:
+            from .utils.vtk import write_hex_vtu
+            return write_hex_vtu(self.space, np.asarray(U), filename)
         from .utils.vtk import write_dg_vtu
         return write_dg_vtu(self.space, np.asarray(U), filename)
 

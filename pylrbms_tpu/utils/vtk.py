@@ -77,3 +77,39 @@ def write_grid_vtu(grid, filename: str):
     K = grid.num_subdomains
     ids = np.repeat(np.arange(K, dtype=float)[:, None], space.N, axis=1)
     return write_dg_vtu(space, ids, filename, name="subdomain")
+
+
+def write_hex_vtu(space, U, filename: str, name: str = "u"):
+    """3D hex-family writer: U [K, N] Q1 nodal coefficients -> filename.vtu
+    (one VTK_HEXAHEDRON per cell, duplicated points preserve the DG jumps).
+
+    VTK hex node order: bottom quad ccw (z=0), then top quad ccw (z=1);
+    ours is j = (iz*2 + iy)*2 + ix."""
+    if not filename.endswith(".vtu"):
+        filename += ".vtu"
+    assert getattr(space, "dim", 2) == 3 and space.order == 1
+    xn = space.node_coords_phys().reshape(-1, 3)
+    vals = np.asarray(U).reshape(-1)
+    nb = space.nb
+    n_cells = xn.shape[0] // nb
+    vtk_order = np.array([0, 1, 3, 2, 4, 5, 7, 6])      # -> VTK_HEXAHEDRON(12)
+    conn = (np.arange(n_cells)[:, None] * nb + vtk_order[None, :]).reshape(-1)
+    with open(filename, "w") as f:
+        f.write(_vtu_header(xn.shape[0], n_cells))
+        f.write('<Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">\n')
+        for x, y, z in xn:
+            f.write(f"{x} {y} {z}\n")
+        f.write('</DataArray></Points>\n<Cells>\n')
+        f.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
+        f.write(" ".join(str(i) for i in conn))
+        f.write('\n</DataArray>\n<DataArray type="Int32" Name="offsets" format="ascii">\n')
+        f.write(" ".join(str(nb * (i + 1)) for i in range(n_cells)))
+        f.write('\n</DataArray>\n<DataArray type="UInt8" Name="types" format="ascii">\n')
+        f.write(" ".join("12" for _ in range(n_cells)))
+        f.write('\n</DataArray>\n</Cells>\n')
+        f.write(f'<PointData Scalars="{name}">'
+                f'<DataArray type="Float64" Name="{name}" format="ascii">\n')
+        f.write(" ".join(f"{v}" for v in vals))
+        f.write('\n</DataArray></PointData>\n')
+        f.write('</Piece>\n</UnstructuredGrid>\n</VTKFile>\n')
+    return filename

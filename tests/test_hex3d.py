@@ -382,3 +382,21 @@ def test_hex3d_sharded_online_step_matches_unsharded():
     np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref),
                                rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(np.asarray(ind), ind_ref, rtol=1e-7, atol=1e-12)
+
+
+def test_hex3d_vtu_output(tmp_path):
+    """3D VTU writer round-trips values; grid.visualize and model.visualize
+    produce parseable files."""
+    import xml.etree.ElementTree as ET
+    from pylrbms_tpu.utils.vtk import write_hex_vtu
+    g = make_grid3d(num_subdomains=[2, 1, 1],
+                    half_num_fine_elements_per_subdomain_and_dim=1,
+                    num_refinements=1)
+    sp = BlockDGSpace3D(g)
+    U = np.random.default_rng(0).random((sp.K, sp.N))
+    f = write_hex_vtu(sp, U, str(tmp_path / "u3"))
+    root = ET.parse(f).getroot()
+    vals = np.fromstring(root.find(".//PointData/DataArray").text, sep=" ")
+    assert np.allclose(vals, U.reshape(-1))
+    f2 = g.visualize(str(tmp_path / "grid3"))
+    assert ET.parse(f2).getroot().find(".//Piece") is not None
