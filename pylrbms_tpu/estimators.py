@@ -335,9 +335,14 @@ class EllipticEstimator:
         :func:`aggregate_eta`)."""
         single = U.ndim == 2
         Ub = U[None] if single else U
-        eta_nc, eta_r, eta_df = self.local_quantities(
-            Ub, mu, elliptic_reconstruction=elliptic_reconstruction,
-            d_model=d)                                           # [B, K]
+        if self.data.M_aa is None and not elliptic_reconstruction:
+            # lean models skip the matrix-form tensors; the positive-form
+            # integrals are mathematically identical (same quadrature)
+            eta_nc, eta_r, eta_df = self.local_quantities_positive(Ub, mu)
+        else:
+            eta_nc, eta_r, eta_df = self.local_quantities(
+                Ub, mu, elliptic_reconstruction=elliptic_reconstruction,
+                d_model=d)                                       # [B, K]
         return aggregate_eta(self, mu, eta_nc, eta_r, eta_df, decompose,
                              paper_convention=paper_convention)
 
