@@ -923,8 +923,9 @@ class InstationaryBlockModel:
         step, and the WHOLE trajectory is one jitted ``lax.scan`` with all
         model tensors as arguments (remote-compile safe)."""
         if getattr(self.stationary.space, "dim", 2) == 3:
-            from .ops.matrixfree3d import (mass_stencil3 as mass_stencil,
-                                           StencilOperator3 as StencilOperator)
+            from .ops.matrixfree3d import (
+                mass_stencil3 as mass_stencil,
+                StencilOperator3 as StencilOperator)
         else:
             from .ops.matrixfree import mass_stencil, StencilOperator
         from .la.block import block_jacobi_factors
@@ -960,10 +961,11 @@ class InstationaryBlockModel:
             @hp
             def _traj(G_sop_, theta_G_, bf_, rhs_q, mu_):
                 G = G_sop_.assemble(theta_G_)
-                m0 = G_sop_.stencils[0]
-                M_op = AssembledStencil(
-                    space=G_sop_.space, vol=m0.vol, D=m0.D, V=m0.V,
-                    H=m0.H, R=m0.R, U=m0.U, D_side=m0.D_side)
+                # the mass apply = the family's first component assembled
+                # alone (dimension-generic: works for 2D and 3D stencils)
+                M_op = type(G_sop_)(G_sop_.space,
+                                    (G_sop_.stencils[0],)).assemble(
+                    jnp.ones((1,), theta_G_.dtype))
 
                 def theta_f_at(t):
                     mu_t = dict(mu_)
