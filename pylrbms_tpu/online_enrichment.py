@@ -50,10 +50,6 @@ class AdaptiveEnrichment:
         self.target_error = float(target_error)
         self.marking_doerfler_theta = float(marking_doerfler_theta)
         self.marking_max_age = int(marking_max_age)
-        # the batched stencil corrector is 2D-only so far; 3D models fall
-        # back to the dense per-patch solves (model._assemble_patch3)
-        if getattr(getattr(discretization, "space", None), "dim", 2) == 3:
-            batched_correctors = False
         self.batched_correctors = batched_correctors
         self._corrector = None
         self.logger = getLogger("pylrbms.online_enrichment")

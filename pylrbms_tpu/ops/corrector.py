@@ -38,16 +38,34 @@ class BatchedCorrector:
         K = sp.K
         st = d.op.static
         self.st = st
-        # neighbor table [K, 4] (-1 = physical boundary)
-        nbr = -np.ones((K, 4), dtype=np.int64)
-        step = {"left": (-1, 0), "right": (1, 0), "bottom": (0, -1), "top": (0, 1)}
-        for k in range(K):
-            sx, sy = grid.subdomain_coords(k)
-            for i, side in enumerate(self.SIDES):
-                dx, dy = step[side]
-                nx_, ny_ = sx + dx, sy + dy
-                if 0 <= nx_ < grid.kx and 0 <= ny_ < grid.ky:
-                    nbr[k, i] = grid.subdomain_index(nx_, ny_)
+        self.dim3 = getattr(sp, "dim", 2) == 3
+        if self.dim3:
+            self.SIDES = ("left", "right", "bottom", "top", "near", "far")
+        # neighbor table [K, n_sides] (-1 = physical boundary)
+        n_sides = len(self.SIDES)
+        nbr = -np.ones((K, n_sides), dtype=np.int64)
+        if self.dim3:
+            step = {"left": (-1, 0, 0), "right": (1, 0, 0),
+                    "bottom": (0, -1, 0), "top": (0, 1, 0),
+                    "near": (0, 0, -1), "far": (0, 0, 1)}
+            for k in range(K):
+                sx, sy, sz = grid.subdomain_coords(k)
+                for i, side in enumerate(self.SIDES):
+                    dx, dy, dz = step[side]
+                    nx_, ny_, nz_ = sx + dx, sy + dy, sz + dz
+                    if (0 <= nx_ < grid.kx and 0 <= ny_ < grid.ky
+                            and 0 <= nz_ < grid.kz):
+                        nbr[k, i] = grid.subdomain_index(nx_, ny_, nz_)
+        else:
+            step = {"left": (-1, 0), "right": (1, 0), "bottom": (0, -1),
+                    "top": (0, 1)}
+            for k in range(K):
+                sx, sy = grid.subdomain_coords(k)
+                for i, side in enumerate(self.SIDES):
+                    dx, dy = step[side]
+                    nx_, ny_ = sx + dx, sy + dy
+                    if 0 <= nx_ < grid.kx and 0 <= ny_ < grid.ky:
+                        nbr[k, i] = grid.subdomain_index(nx_, ny_)
         self.nbr = nbr
         # patch membership [K, K]: patch_mask[k] = indicator of neighborhood_of(k)
         pm = np.zeros((K, K))
@@ -69,12 +87,19 @@ class BatchedCorrector:
         self.A_loc = jnp.stack([c.A_loc for c in comps]).astype(cdt)
         self.D_side = {s: jnp.stack([c.D_side[s] for c in comps]).astype(cdt)
                        for s in self.SIDES}
-        self.R = {nm: jnp.stack([getattr(c, "R_" + nm)
+        # coupling-family prefixes: R/U (2D components) or X/Y/Z (3D)
+        pR, pU = ("X", "Y") if self.dim3 else ("R", "U")
+        self.R = {nm: jnp.stack([getattr(c, f"{pR}_{nm}")
                                  for c in comps]).astype(cdt)
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
-        self.U = {nm: jnp.stack([getattr(c, "U_" + nm)
+        self.U = {nm: jnp.stack([getattr(c, f"{pU}_{nm}")
                                  for c in comps]).astype(cdt)
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
+        self.W = None
+        if self.dim3:
+            self.W = {nm: jnp.stack([getattr(c, f"Z_{nm}")
+                                     for c in comps]).astype(cdt)
+                      for nm in ("in_in", "in_out", "out_in", "out_out")}
         # at scale, apply the patch operator MATRIX-FREE: the global stencil
         # apply on the masked field + strip corrections for patch-crossing
         # faces (one-sided Dirichlet penalty replaces the global in_in /
@@ -85,7 +110,9 @@ class BatchedCorrector:
         self.stencils = None
         if (d.estimator is not None
                 and getattr(d.estimator.data, "lambda_funcs", None)
-                and K * sp.N > 32768):
+                and K * sp.N > 32768 and not self.dim3):
+            # (3D keeps the dense patch apply: the stencil cross-correction
+            # slice algebra is 2D-only so far)
             self.stencils = jax.tree.map(lambda a: a.astype(cdt),
                                          d.mf_operator().stencils)
         self._jit_cache = {}
@@ -109,6 +136,8 @@ class BatchedCorrector:
         right_k = jnp.asarray(st.right_k)
         low_k = jnp.asarray(st.low_k)
         up_k = jnp.asarray(st.up_k)
+        near_k = (jnp.asarray(st.near_k) if st.near_k is not None else None)
+        far_k = (jnp.asarray(st.far_k) if st.far_k is not None else None)
 
         def solve(arrays, theta, marked, rhs_full):
             A_loc = jnp.einsum("q,qknm->knm", theta, arrays["A_loc"])
@@ -118,6 +147,10 @@ class BatchedCorrector:
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
             Uq = {nm: jnp.einsum("q,qefij->efij", theta, arrays["U_" + nm])
                   for nm in ("in_in", "in_out", "out_in", "out_out")}
+            Wq = None
+            if "W_in_in" in arrays:
+                Wq = {nm: jnp.einsum("q,qefij->efij", theta, arrays["W_" + nm])
+                      for nm in ("in_in", "in_out", "out_in", "out_out")}
 
             # masks in the SOLVE dtype: the table is f64 under x64, and a
             # single f64 mask multiply promotes the whole CG loop to
@@ -134,7 +167,7 @@ class BatchedCorrector:
             # preconditioner: all-Dirichlet local diag, inverted once
             A_dir = A_loc
             for i, sd in enumerate(self.SIDES):
-                rows = side_rows[sd].reshape(s, nb)
+                rows = side_rows[sd].reshape(-1, nb)
                 A_dir = A_dir.at[:, rows[:, :, None], rows[:, None, :]].add(D[sd])
             # symmetric Jacobi scaling before inversion (f32-robust at high
             # contrast) and f32 inversion gate where f64 LU is unavailable
@@ -218,21 +251,23 @@ class BatchedCorrector:
                 y = jnp.einsum("knm,bkm->bkn", A_loc, x)
                 for i, sd in enumerate(self.SIDES):
                     rows = side_rows[sd]
-                    xs = x[..., rows].reshape(B, K, s, nb)
+                    xs = x[..., rows].reshape(B, K, -1, nb)
                     upd = jnp.einsum("kfij,bkfj->bkfi", D[sd], xs)
                     y = y + dir_mask[:, :, i, None] * emb(
-                        upd.reshape(B, K, s * nb), rows)
+                        upd.reshape(B, K, rows.size), rows)
                 # couplings gated by both-in-patch
                 def couple(y, Cii, Cio, Coi, Coo, kl, kr, rows_l, rows_r):
                     if kl.size == 0:
                         return y
                     gate = (pmask[:, kl] * pmask[:, kr])[:, :, None]   # [B, E, 1]
-                    xl = x[:, kl][..., rows_l].reshape(B, -1, s, nb)
-                    xr = x[:, kr][..., rows_r].reshape(B, -1, s, nb)
+                    xl = x[:, kl][..., rows_l].reshape(B, len(kl), -1, nb)
+                    xr = x[:, kr][..., rows_r].reshape(B, len(kr), -1, nb)
                     upd_l = (jnp.einsum("efij,befj->befi", Cii, xl)
-                             + jnp.einsum("efij,befj->befi", Cio, xr)).reshape(B, -1, s * nb)
+                             + jnp.einsum("efij,befj->befi", Cio, xr)
+                             ).reshape(B, len(kl), rows_l.size)
                     upd_r = (jnp.einsum("efij,befj->befi", Coi, xl)
-                             + jnp.einsum("efij,befj->befi", Coo, xr)).reshape(B, -1, s * nb)
+                             + jnp.einsum("efij,befj->befi", Coo, xr)
+                             ).reshape(B, len(kr), rows_r.size)
                     y = y.at[:, kl].add(gate * emb(upd_l, rows_l))
                     y = y.at[:, kr].add(gate * emb(upd_r, rows_r))
                     return y
@@ -241,6 +276,10 @@ class BatchedCorrector:
                            left_k, right_k, side_rows["right"], side_rows["left"])
                 y = couple(y, Uq["in_in"], Uq["in_out"], Uq["out_in"], Uq["out_out"],
                            low_k, up_k, side_rows["top"], side_rows["bottom"])
+                if Wq is not None:
+                    y = couple(y, Wq["in_in"], Wq["in_out"], Wq["out_in"],
+                               Wq["out_out"], near_k, far_k,
+                               side_rows["far"], side_rows["near"])
                 return y * pmask[:, :, None]
 
             if not use_stencil:
@@ -321,6 +360,8 @@ class BatchedCorrector:
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
+        if self.W is not None:
+            arrays.update({"W_" + nm: v for nm, v in self.W.items()})
         if use_stencil:
             arrays["stencils"] = self.stencils
         theta_c = jnp.ones((self.A_loc.shape[0],), self.dtype)
@@ -385,6 +426,8 @@ class BatchedCorrector:
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
+        if self.W is not None:
+            arrays.update({"W_" + nm: v for nm, v in self.W.items()})
         if use_stencil:
             arrays["stencils"] = self.stencils
         theta_c = theta.astype(self.dtype)

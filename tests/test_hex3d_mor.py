@@ -76,8 +76,7 @@ def test_hex3d_online_adaptive_enrichment(model3d):
     assert eta0 > 1.2 * eta_fom          # order-0 ROM is far from the floor
     ae = AdaptiveEnrichment(gpd, d, d.space, red, rd,
                             target_error=eta_fom * 1.05,
-                            marking_doerfler_theta=0.5,
-                            batched_correctors=False)
+                            marking_doerfler_theta=0.5)   # batched correctors
     out = ae.solve(mu, enrichment_steps=10)
     u = out[0] if isinstance(out, tuple) else out
     eta_final = float(ae.rd.estimate(u, mu))
@@ -181,3 +180,21 @@ def test_hex3d_parabolic_vs_scipy_oracle():
     out = im.estimate(traj, mu)
     eta = out[0] if isinstance(out, tuple) else out
     assert np.isfinite(float(eta)) and float(eta) > 0
+
+
+def test_hex3d_batched_corrector_matches_dense_patch(model3d):
+    """The one-dispatch masked-PCG union patch solve (BatchedCorrector)
+    equals the host dense 3x3x3-patch solver on 3D."""
+    from pylrbms_tpu.ops.corrector import BatchedCorrector
+    _, d = model3d
+    mu = {'diffusion': 0.55}
+    U0 = 0.3 * d.solve({'diffusion': 1.0})
+    corr = BatchedCorrector(d)
+    marked = [0, 3, 7]
+    W = corr.solve(marked, mu, current_solution=U0, tol=1e-12, maxiter=2000)
+    for i, ii in enumerate(marked):
+        w_ref = d.solve_for_local_correction(ii, mu=mu, current_solution=U0,
+                                             mode="residual")
+        err = (np.abs(np.asarray(W[i]) - np.asarray(w_ref)).max()
+               / max(np.abs(np.asarray(w_ref)).max(), 1e-300))
+        assert err < 1e-8, (ii, err)
