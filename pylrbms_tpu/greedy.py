@@ -82,7 +82,7 @@ def batched_estimates(rd, mus_stacked, criterion: str = "estimator", mesh=None):
         V = jnp.asarray(rd.reductor._padded_bases(rd.r_max))   # [K, r_max, N]
         sop = d.mf_operator()
         from .utils.precision import hp as _hp
-        from .ops.matrixfree import StencilOperator
+        StencilOperator = type(sop)       # 2D or 3D stencil operator
 
         # the compiled sweep is cached by SHAPES with the mu-dependent
         # reduced tensors as ARGUMENTS (the online_step pattern): a fresh

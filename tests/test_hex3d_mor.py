@@ -198,3 +198,23 @@ def test_hex3d_batched_corrector_matches_dense_patch(model3d):
         err = (np.abs(np.asarray(W[i]) - np.asarray(w_ref)).max()
                / max(np.abs(np.asarray(w_ref)).max(), 1e-300))
         assert err < 1e-8, (ii, err)
+
+
+def test_hex3d_weak_greedy_and_residual_fom(model3d):
+    """Weak greedy converges on 3D; the direct FOM-residual sweep criterion
+    (the at-scale path, now dispatching to the 3D stencil) equals the
+    Gramian form away from its noise floor."""
+    from pylrbms_tpu.greedy import weak_greedy, batched_estimates, _stack_mus
+    from pylrbms_tpu.reductor import LRBMSReductor
+    _, d = model3d
+    train = [{'diffusion': m} for m in np.linspace(0.1, 1.0, 6)]
+    res = weak_greedy(d, train, target_error=1e-8, max_extensions=3)
+    assert res.max_etas[-1] < 1e-2 * res.max_etas[0]
+
+    red = LRBMSReductor(d, order=0)
+    red.extend_basis(np.asarray(d.solve({'diffusion': 1.0}), np.float64))
+    rd = red.reduce()
+    st = _stack_mus([d.parse_parameter(m) for m in (0.2, 0.6)])
+    direct = np.asarray(batched_estimates(rd, st, criterion='residual_fom'))
+    gram = np.asarray(batched_estimates(rd, st, criterion='residual'))
+    np.testing.assert_allclose(direct, gram, rtol=1e-8)
