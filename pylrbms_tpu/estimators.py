@@ -339,6 +339,11 @@ class EllipticEstimator:
             # lean models skip the matrix-form tensors; the positive-form
             # integrals are mathematically identical (same quadrature)
             eta_nc, eta_r, eta_df = self.local_quantities_positive(Ub, mu)
+        elif self.data.M_aa is None:
+            raise ValueError(
+                "lean models (discretize(lean=True)) carry no matrix-form "
+                "estimator tensors; the elliptic-reconstruction (parabolic) "
+                "estimate needs them — discretize with lean=False")
         else:
             eta_nc, eta_r, eta_df = self.local_quantities(
                 Ub, mu, elliptic_reconstruction=elliptic_reconstruction,

@@ -402,6 +402,10 @@ class StationaryBlockModel:
             dim = getattr(sp, "dim", 2)
             xn = sp.node_coords_phys()[subdomain].reshape(sp.N, dim)
             if dim == 3:
+                # deliberate truncation to the P1 part {1, x, y, z}: the full
+                # trilinear span (8 vectors incl. xy/xz/yz/xyz) doubles the
+                # initial RB size per subdomain for marginal capture — the
+                # cross terms arrive via enrichment where they matter
                 vecs += [xn[:, 0], xn[:, 1], xn[:, 2]]
             else:
                 vecs += [xn[:, 0], xn[:, 1], xn[:, 0] * xn[:, 1]]

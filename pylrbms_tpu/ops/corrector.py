@@ -41,31 +41,19 @@ class BatchedCorrector:
         self.dim3 = getattr(sp, "dim", 2) == 3
         if self.dim3:
             self.SIDES = ("left", "right", "bottom", "top", "near", "far")
-        # neighbor table [K, n_sides] (-1 = physical boundary)
+        # neighbor table [K, n_sides] (-1 = physical boundary), built
+        # dimension-generically: side i steps -+1 along axis i//2
         n_sides = len(self.SIDES)
+        dims = ((grid.kx, grid.ky, grid.kz) if self.dim3
+                else (grid.kx, grid.ky))
         nbr = -np.ones((K, n_sides), dtype=np.int64)
-        if self.dim3:
-            step = {"left": (-1, 0, 0), "right": (1, 0, 0),
-                    "bottom": (0, -1, 0), "top": (0, 1, 0),
-                    "near": (0, 0, -1), "far": (0, 0, 1)}
-            for k in range(K):
-                sx, sy, sz = grid.subdomain_coords(k)
-                for i, side in enumerate(self.SIDES):
-                    dx, dy, dz = step[side]
-                    nx_, ny_, nz_ = sx + dx, sy + dy, sz + dz
-                    if (0 <= nx_ < grid.kx and 0 <= ny_ < grid.ky
-                            and 0 <= nz_ < grid.kz):
-                        nbr[k, i] = grid.subdomain_index(nx_, ny_, nz_)
-        else:
-            step = {"left": (-1, 0), "right": (1, 0), "bottom": (0, -1),
-                    "top": (0, 1)}
-            for k in range(K):
-                sx, sy = grid.subdomain_coords(k)
-                for i, side in enumerate(self.SIDES):
-                    dx, dy = step[side]
-                    nx_, ny_ = sx + dx, sy + dy
-                    if 0 <= nx_ < grid.kx and 0 <= ny_ < grid.ky:
-                        nbr[k, i] = grid.subdomain_index(nx_, ny_)
+        for k in range(K):
+            coords = grid.subdomain_coords(k)
+            for i in range(n_sides):
+                nxt = list(coords)
+                nxt[i // 2] += -1 if i % 2 == 0 else 1
+                if all(0 <= c < d for c, d in zip(nxt, dims)):
+                    nbr[k, i] = grid.subdomain_index(*nxt)
         self.nbr = nbr
         # patch membership [K, K]: patch_mask[k] = indicator of neighborhood_of(k)
         pm = np.zeros((K, K))

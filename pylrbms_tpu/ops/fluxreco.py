@@ -161,28 +161,9 @@ class FluxReconstructor:
         out_dt = jnp.result_type(uc.dtype, dt)
         lead = uc.shape[:-4]
         org = self.cell_org                         # [Sy, Sx, 2] numpy
-        scale = np.array([sp.hx, sp.hy])
         if sp.grid.grid_type == "crisscross":
             return self._apply_global_cc(lam_fn, uc, out_dt)
-
-        def phys(tab, orgs):
-            """orgs [F, 2] -> (x_m, x_p) [F, nqf, 2] one-sided eval points
-            (jnp broadcasting: only [F,2]+[nqf,2] constants under jit)."""
-            orgs_j = jnp.asarray(orgs, dt)[:, None, :]
-            x = orgs_j + jnp.asarray(tab.pts_unit_m * scale, dt)[None]
-            cen_m = orgs_j + jnp.asarray(tab.centroid_m * scale, dt)[None]
-            x_m = x + _EVAL_EPS * (cen_m - x)
-            if tab.centroid_p is None:
-                return x_m, None
-            if np.allclose(tab.normal, [1.0, 0.0]):
-                shift = np.array([sp.hx, 0.0])
-            elif np.allclose(tab.normal, [0.0, 1.0]):
-                shift = np.array([0.0, sp.hy])
-            else:
-                shift = np.zeros(2)
-            cen_p = orgs_j + jnp.asarray(shift + tab.centroid_p * scale, dt)[None]
-            x_p = x + _EVAL_EPS * (cen_p - x)
-            return x_m, x_p
+        phys = self._phys_pts
 
         # ---- D faces (tri grids): all cells, minus=A plus=B ----
         parts = []
@@ -242,23 +223,31 @@ class FluxReconstructor:
         parts += self._extra_parts(lam_fn, uc, out_dt)
         return jnp.concatenate(parts, axis=-1)
 
+    @property
+    def scale(self) -> np.ndarray:
+        """Per-axis cell extents (2D here; the 3D subclass overrides)."""
+        return np.array([self.space.hx, self.space.hy])
+
     def _phys_pts(self, tab, orgs):
-        """orgs [F, 2] -> one-sided eval points (standalone variant of the
-        ``phys`` closure in :meth:`apply_global`, for the crisscross path)."""
-        sp, dt = self.space, self.dtype
-        scale = np.array([sp.hx, sp.hy])
+        """orgs [F, dim] -> one-sided eval points [F, nqf, dim].
+
+        Dimension-generic: an axis-aligned (one-hot) family normal means the
+        plus element lives one cell over along that axis; any other normal
+        (the in-cell diagonal families) keeps the plus element in the same
+        cell (shift 0)."""
+        dt = self.dtype
+        scale = self.scale
         orgs_j = jnp.asarray(orgs, dt)[:, None, :]
         x = orgs_j + jnp.asarray(tab.pts_unit_m * scale, dt)[None]
         cen_m = orgs_j + jnp.asarray(tab.centroid_m * scale, dt)[None]
         x_m = x + _EVAL_EPS * (cen_m - x)
         if tab.centroid_p is None:
             return x_m, None
-        if np.allclose(tab.normal, [1.0, 0.0]):
-            shift = np.array([sp.hx, 0.0])
-        elif np.allclose(tab.normal, [0.0, 1.0]):
-            shift = np.array([0.0, sp.hy])
+        n = np.asarray(tab.normal)
+        if np.count_nonzero(np.abs(n) > 1e-12) == 1:
+            shift = np.abs(n) * scale
         else:
-            shift = np.zeros(2)
+            shift = np.zeros_like(scale)
         cen_p = orgs_j + jnp.asarray(shift + tab.centroid_p * scale, dt)[None]
         x_p = x + _EVAL_EPS * (cen_p - x)
         return x_m, x_p

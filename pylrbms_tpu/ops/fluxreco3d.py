@@ -21,7 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .spaces3d import BlockDGSpace3D
-from .assembly import IPDGParams, DEFAULT_IPDG, _EVAL_EPS
+from .assembly import IPDGParams, DEFAULT_IPDG
 from .fluxreco import FluxReconstructor
 
 
@@ -47,7 +47,6 @@ class FluxReconstructor3D(FluxReconstructor):
         gz, gy, gx = np.meshgrid(np.arange(self.Sz), np.arange(self.Sy),
                                  np.arange(self.Sx), indexing="ij")
         self.cell_org = ll + np.stack([gx, gy, gz], axis=-1) * h
-        self.scale = h
 
     # ------------------------------------------------------------------
     def _u_block_to_cells(self, U):
@@ -59,20 +58,11 @@ class FluxReconstructor3D(FluxReconstructor):
         U = jnp.moveaxis(U, -3, -4)
         return U.reshape(lead + (self.Sz, self.Sy, self.Sx, sp.nb))
 
-    def _phys_pts(self, tab, orgs):
-        """orgs [F, 3] -> one-sided eval points [F, nqf, 3]."""
-        dt = self.dtype
-        scale = self.scale
-        orgs_j = jnp.asarray(orgs, dt)[:, None, :]
-        x = orgs_j + jnp.asarray(tab.pts_unit_m * scale, dt)[None]
-        cen_m = orgs_j + jnp.asarray(tab.centroid_m * scale, dt)[None]
-        x_m = x + _EVAL_EPS * (cen_m - x)
-        if tab.centroid_p is None:
-            return x_m, None
-        shift = np.abs(np.asarray(tab.normal)) * scale
-        cen_p = orgs_j + jnp.asarray(shift + tab.centroid_p * scale, dt)[None]
-        x_p = x + _EVAL_EPS * (cen_p - x)
-        return x_m, x_p
+    @property
+    def scale(self) -> np.ndarray:
+        g = self.space.grid
+        return np.array([g.hx, g.hy, g.hz])
+    # eval-point geometry: the base class's dimension-generic _phys_pts
 
     # ------------------------------------------------------------------
     def apply_global(self, lam_fn, U):

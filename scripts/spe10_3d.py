@@ -74,6 +74,8 @@ def main():
         U2, _ = d._mf_solve(d.theta(mup), d.rhs(mup), opts)
         U2.block_until_ready()
         print(f"  (warm repeat solve: {(time.perf_counter()-t1)*1e3:.0f} ms)")
+        A = d.op.assemble(d.theta(mu))
+        b = d.rhs(mu)
     else:
         A = d.op.assemble(d.theta(mu))
         b = d.rhs(mu)
@@ -81,8 +83,6 @@ def main():
                             return_iters=True)
         U.block_until_ready()
         t_solve = time.perf_counter() - t0
-    A = d.op.assemble(d.theta(mu))
-    b = d.rhs(mu)
     r = float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max())
     print(f"FOM solve: {t_solve*1e3:.0f} ms, {int(it)} CG iterations, "
           f"rel residual {r:.1e}")
