@@ -219,3 +219,21 @@ def test_hex3d_weak_greedy_and_residual_fom(model3d):
     direct = np.asarray(batched_estimates(rd, st, criterion='residual_fom'))
     gram = np.asarray(batched_estimates(rd, st, criterion='residual'))
     np.testing.assert_allclose(direct, gram, rtol=1e-8)
+
+
+def test_hex3d_certify_mode(model3d):
+    """make_online_step(certify=True) on an f32 3D model: mixed-precision
+    refinement polishes the solve to ~f64 accuracy."""
+    from pylrbms_tpu.model import make_online_step
+    gpd, d64 = model3d
+    d32, _ = discretize(gpd, dtype=jnp.float32)
+    fn = make_online_step(d32, tol=1e-6, maxiter=300, coarse_modes=4,
+                          certify=True)
+    mu = 0.6
+    U, _ = fn(jnp.asarray([1.0, mu], jnp.float32),
+              jnp.asarray([1.0], jnp.float32),
+              {'diffusion': jnp.asarray([mu], jnp.float32)})
+    Uref = d64.solve({'diffusion': mu})
+    err = (np.abs(np.asarray(U, np.float64) - np.asarray(Uref)).max()
+           / np.abs(np.asarray(Uref)).max())
+    assert err < 1e-6, err
