@@ -169,6 +169,10 @@ if __name__ == "__main__":
     p.add_argument("--coarse-modes", type=int, default=16)
     p.add_argument("--precision", type=float, default=1e-6)
     a = p.parse_args()
+    if a.model_solver and a.dtype == "float32":
+        # the production FOM path needs f64 Krylov at SPE10 contrast (f32
+        # NaNs by design — see the f32 rows of docs/results/spe10_scale_tpu.txt)
+        a.dtype = "float64"
     main(a.subdomains[0], a.subdomains[1], a.half, a.nref, a.dtype,
          a.max_contrast, a.matrix_free, a.maxiter, a.two_level,
          a.model_solver, a.coarse_space, a.coarse_modes, a.precision)
