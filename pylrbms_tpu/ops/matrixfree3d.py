@@ -400,3 +400,25 @@ jax.tree_util.register_dataclass(
     AssembledStencil3,
     data_fields=["vol", "X", "Y", "Z", "IX", "IY", "IZ", "D_side"],
     meta_fields=["space"])
+
+
+def stencil_coarse_matrix(A: "AssembledStencil3", chunk: int = 64) -> jnp.ndarray:
+    """Galerkin coarse matrix on the subdomain-constant space from the
+    stencil alone: A0[k, k'] = 1_k^T A 1_k' ([K, K]).
+
+    Needed at XL scale where the dense per-subdomain blocks (the source of
+    ``AssembledBlockOp.coarse_matrix``) are never materialized.  Columns of
+    A0 are the per-subdomain sums of A applied to the K subdomain-indicator
+    vectors, batched in chunks (the [K, K, N] one-shot batch is gigabytes at
+    XL scale)."""
+    sp = A.space
+    K, N = sp.K, sp.N
+    dtype = A.vol.dtype
+    eye = jnp.eye(K, dtype=dtype)                 # [K(batch), K]
+    cols = []
+    step = jax.jit(lambda A_, X_: jnp.sum(A_.apply(X_), axis=2))
+    for lo in range(0, K, chunk):
+        X = jnp.broadcast_to(eye[lo:lo + chunk, :, None],
+                             (min(chunk, K - lo), K, N))
+        cols.append(step(A, X))                   # [b, K]
+    return jnp.concatenate(cols, axis=0).T        # A0[k, k'] = 1_k A 1_k'

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--mf", action="store_true",
                     help="matrix-free two-level FOM solve (the at-scale "
                          "path: O(K s^3 nb^2) stencil matvecs)")
+    ap.add_argument("--xl", action="store_true",
+                    help="stencil-ONLY build + solve (no dense per-subdomain "
+                         "blocks anywhere): cell-Jacobi + subdomain-constant "
+                         "coarse level — the only representation feasible at "
+                         "s >= 8 in 3D (dense blocks are O(K s^6))")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +59,9 @@ def main():
     g = gpd["grid"]
     print(f"grid: {g.kx}x{g.ky}x{g.kz} subdomains, s={g.s} "
           f"({g.num_elements} hexes)")
+
+    if args.xl:
+        return main_xl(gpd, dtype, t0)
 
     d, _ = discretize(gpd, dtype=dtype, lean=args.lean)
     sp = d.space
@@ -112,6 +120,68 @@ def main():
     print(f"ROM online step: {t_rom*1e3:.1f} ms, eta_rom = {eta_rom:.4e} "
           f"(FOM-of-reconstruction {eta_rec:.4e}, "
           f"rel diff {abs(eta_rom-eta_rec)/eta_rec:.1e})")
+
+
+def main_xl(gpd, dtype, t0):
+    """Stencil-only FOM at XL scale: never materializes dense [K, N, N]
+    blocks (O(K s^6) — 17 GB already at K=256, s=8), so memory stays
+    O(K s^3 nb^2).  Preconditioner: per-hex-cell Jacobi + the
+    subdomain-constant coarse level built from the stencil itself."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from pylrbms_tpu.ops.spaces3d import BlockDGSpace3D
+    from pylrbms_tpu.ops import assembly3d as asm3
+    from pylrbms_tpu.ops.matrixfree3d import (assemble_swipdg_stencil3,
+                                              StencilOperator3,
+                                              stencil_coarse_matrix)
+    from pylrbms_tpu.la.block import dense_inv_mixed
+    from pylrbms_tpu.utils.precision import hp
+    from pylrbms_tpu.parameters import evaluate_coefficients
+
+    sp = BlockDGSpace3D(gpd["grid"])
+    lam_funcs = gpd["lambda"]["functions"]
+    print(f"XL: K={sp.K}, N={sp.N}, {sp.K * sp.N} dofs (stencil-only)")
+
+    built = jax.jit(hp(lambda: (
+        tuple(assemble_swipdg_stencil3(sp, lf, None, dtype=dtype)
+              for lf in lam_funcs),
+        asm3.volume_functional(sp, gpd["f"], dtype))))()
+    stencils, rhs = built
+    jax.block_until_ready(rhs)
+    print(f"stencil assembly: {_time.perf_counter() - t0:.1f} s")
+
+    from pylrbms_tpu.parameters import as_functional
+    mu = {"switch": 1.0}
+    theta = jnp.asarray(evaluate_coefficients(
+        [as_functional(c) for c in gpd["lambda"]["coefficients"]], mu), dtype)
+
+    t0 = _time.perf_counter()
+    sop = StencilOperator3(sp, stencils)
+    A = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
+    factors = jax.jit(hp(lambda A_: A_.cell_jacobi_factors()))(A)
+    A0 = stencil_coarse_matrix(A)
+    ci = dense_inv_mixed(A0.astype(jnp.float64)).astype(dtype)
+    jax.block_until_ready(ci)
+    print(f"preconditioner (cell-Jacobi + constant coarse): "
+          f"{_time.perf_counter() - t0:.1f} s")
+
+    solve = jax.jit(hp(lambda A_, b_, f_, ci_: A_.solve_pcg(
+        b_, tol=1e-8, maxiter=20000, factors=f_, coarse_inv=ci_,
+        coarse_f32=True, return_iters=True)))
+    t0 = _time.perf_counter()
+    U, it = solve(A, rhs, factors, ci)
+    jax.block_until_ready(U)
+    t_first = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    U, it = solve(A, rhs, factors, ci)
+    jax.block_until_ready(U)
+    t_warm = _time.perf_counter() - t0
+    r = float(jnp.linalg.norm((rhs - A.apply(U)).reshape(-1))
+              / jnp.linalg.norm(rhs.reshape(-1)))
+    print(f"XL solve: first {t_first:.1f} s (incl. compile), warm "
+          f"{t_warm*1e3:.0f} ms, {int(it)} CG iterations, rel residual "
+          f"{r:.1e}")
 
 
 if __name__ == "__main__":
