@@ -10,6 +10,11 @@ a z-block of it using the 3D hex family (grid3d / spaces3d / swipdg3d):
 
 Usage:  python scripts/spe10_3d.py [--subdomains 4 4 2] [--half 1]
         [--nref 1] [--contrast 1e4] [--layers 40 44]
+
+Memory guidance (single v5e chip, 16 GB): the full MOR tensor set fits to
+~16k dofs in 3D (the 4x4x2 default); at ~131k dofs run --lean --mf (FOM +
+positive-form estimator), and past that --xl (stencil-only, no dense
+blocks anywhere).
 """
 import argparse
 import time

@@ -400,3 +400,23 @@ def test_hex3d_vtu_output(tmp_path):
     assert np.allclose(vals, U.reshape(-1))
     f2 = g.visualize(str(tmp_path / "grid3"))
     assert ET.parse(f2).getroot().find(".//Piece") is not None
+
+
+def test_hex3d_stencil_coarse_matrix():
+    """stencil_coarse_matrix (the XL no-dense-blocks path) equals the dense
+    operator's coarse matrix."""
+    from pylrbms_tpu.ops.matrixfree3d import (assemble_swipdg_stencil3,
+                                              StencilOperator3,
+                                              stencil_coarse_matrix)
+    g = make_grid3d(num_subdomains=[2, 2, 2],
+                    half_num_fine_elements_per_subdomain_and_dim=1,
+                    num_refinements=1)
+    sp = BlockDGSpace3D(g)
+    lam = lambda x: 1.0 + x[..., 0]
+    st = StencilOperator3(
+        sp, (assemble_swipdg_stencil3(sp, lam),)).assemble(jnp.ones(1))
+    A0_st = np.asarray(stencil_coarse_matrix(st, chunk=3))   # force chunking
+    comp = assemble_swipdg_component3(sp, lam)
+    A0_ref = np.asarray(
+        _op_from_component(sp, [comp]).assemble(jnp.ones(1)).coarse_matrix())
+    assert np.abs(A0_st - A0_ref).max() / np.abs(A0_ref).max() < 1e-13
