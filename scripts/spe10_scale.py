@@ -106,6 +106,11 @@ def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
     print(f"online step: compile {t_compile:.1f}s, "
           f"median {np.median(times) * 1e3:.1f} ms, relres {rel:.2e}, "
           f"indicators finite: {bool(jnp.isfinite(ind).all())}")
+    if rel > 1e-3:
+        print("NOTE: a large relres here is the documented f32-at-SPE10-"
+              "contrast divergence (docs/results/spe10_scale_tpu.txt); the "
+              "production config is --model-solver (f64 Krylov, frozen "
+              "two-level preconditioner)")
 
 
 def main_model_solver(kx, ky, half, nref, dtype, max_contrast, maxiter,
