@@ -171,22 +171,26 @@ def main_xl(gpd, dtype, t0):
     print(f"preconditioner (cell-Jacobi + constant coarse): "
           f"{_time.perf_counter() - t0:.1f} s")
 
-    solve = jax.jit(hp(lambda A_, b_, f_, ci_: A_.solve_pcg(
-        b_, tol=1e-8, maxiter=20000, factors=f_, coarse_inv=ci_,
-        coarse_f32=True, return_iters=True)))
+    # restartable CG: bounded dispatches (a single multi-minute while_loop
+    # dispatch can hit the remote-chip RPC deadline at XL scale), warm-
+    # started from the previous chunk's iterate
+    solve = jax.jit(hp(lambda A_, b_, f_, ci_, x0_: A_.solve_pcg(
+        b_, tol=1e-8, maxiter=300, factors=f_, coarse_inv=ci_,
+        coarse_f32=True, return_iters=True, x0=x0_)))
+    bn = float(jnp.linalg.norm(rhs.reshape(-1)))
     t0 = _time.perf_counter()
-    U, it = solve(A, rhs, factors, ci)
-    jax.block_until_ready(U)
-    t_first = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    U, it = solve(A, rhs, factors, ci)
-    jax.block_until_ready(U)
-    t_warm = _time.perf_counter() - t0
-    r = float(jnp.linalg.norm((rhs - A.apply(U)).reshape(-1))
-              / jnp.linalg.norm(rhs.reshape(-1)))
-    print(f"XL solve: first {t_first:.1f} s (incl. compile), warm "
-          f"{t_warm*1e3:.0f} ms, {int(it)} CG iterations, rel residual "
-          f"{r:.1e}")
+    U = jnp.zeros_like(rhs)
+    total_it = 0
+    for rnd in range(67):                      # <= ~20000 iterations
+        U, it = solve(A, rhs, factors, ci, U)
+        total_it += int(it)
+        r = float(jnp.linalg.norm((rhs - A.apply(U)).reshape(-1))) / bn
+        if r < 1e-8 or int(it) == 0:
+            break
+    t_solve = _time.perf_counter() - t0
+    print(f"XL solve: {t_solve:.1f} s (incl. compile; {rnd + 1} bounded "
+          f"dispatches), {total_it} CG iterations, rel residual {r:.1e}, "
+          f"{t_solve / max(total_it, 1) * 1e3:.1f} ms/iteration")
 
 
 if __name__ == "__main__":
