@@ -422,3 +422,68 @@ def stencil_coarse_matrix(A: "AssembledStencil3", chunk: int = 64) -> jnp.ndarra
                              (min(chunk, K - lo), K, N))
         cols.append(step(A, X))                   # [b, K]
     return jnp.concatenate(cols, axis=0).T        # A0[k, k'] = 1_k A 1_k'
+
+
+def stencil_diag_blocks(A: "AssembledStencil3", dtype=jnp.float32) -> jnp.ndarray:
+    """Dense per-subdomain diagonal blocks [K, N, N] scattered from the
+    assembled stencil (the XL route to the contrast-robust subdomain-block
+    Jacobi preconditioner WITHOUT ever materializing the affine dense
+    family): volume + intra-subdomain face quadruples + interface
+    in_in/out_out + physical-boundary Dirichlet strips — exactly
+    ``swipdg3d.fold_diag3``'s result for the assembled operator.
+
+    f32 by default: preconditioner precision only affects iteration counts,
+    and the [K, N, N] array is the XL memory bound (3 GB at N=1728, K=256)."""
+    from .assembly import scatter_blocks
+    sp = A.space
+    grid = sp.grid
+    K, N, s, nb = sp.K, sp.N, sp.s, sp.nb
+    D = jnp.zeros((K, N, N), dtype)
+    C = s ** 3
+    rows_c = np.arange(N, dtype=np.int64).reshape(C, nb)
+    D = scatter_blocks(D, A.vol.reshape(K, C, nb, nb).astype(dtype),
+                       rows_c, rows_c)
+    sets = sp.interior_face_sets()
+    for fam, quads in (("X", A.X), ("Y", A.Y), ("Z", A.Z)):
+        cz_m, cy_m, cx_m, cz_p, cy_p, cx_p = sets[fam]
+        if cz_m.size == 0 or quads[0].shape[-1] == 0:
+            continue
+        F = cz_m.size
+        rows_m = sp.cell_dofs(cz_m, cy_m, cx_m)
+        rows_p = sp.cell_dofs(cz_p, cy_p, cx_p)
+        Fmm, Fmp, Fpm, Fpp = (q.reshape(K, F, nb, nb).astype(dtype)
+                              for q in quads)
+        D = scatter_blocks(D, Fmm, rows_m, rows_m)
+        D = scatter_blocks(D, Fmp, rows_m, rows_p)
+        D = scatter_blocks(D, Fpm, rows_p, rows_m)
+        D = scatter_blocks(D, Fpp, rows_p, rows_p)
+    # interface in_in / out_out + physical-boundary Dirichlet strips
+    from .swipdg3d import edge_lists3
+    xlo, xhi, ylo, yhi, zlo, zhi = edge_lists3(grid)
+    side_rows = {sd: sp.side_dofs(sd).reshape(s * s, nb)
+                 for sd in ("left", "right", "bottom", "top", "near", "far")}
+
+    def add_rows(D, subs, rows, blk):
+        return D.at[subs[:, None, None, None],
+                    rows[None, :, :, None],
+                    rows[None, :, None, :]].add(blk.astype(dtype))
+
+    for (lo_k, hi_k, quads, hi_side, lo_side) in (
+            (xlo, xhi, A.IX, "right", "left"),
+            (ylo, yhi, A.IY, "top", "bottom"),
+            (zlo, zhi, A.IZ, "far", "near")):
+        if lo_k.size == 0:
+            continue
+        D = add_rows(D, lo_k, side_rows[hi_side], quads[0])    # in_in
+        D = add_rows(D, hi_k, side_rows[lo_side], quads[3])    # out_out
+    subs_all = np.arange(K)
+    kx, ky, kz = grid.kx, grid.ky, grid.kz
+    sx = subs_all % kx
+    sy = (subs_all // kx) % ky
+    sz = subs_all // (kx * ky)
+    bnd = {"left": subs_all[sx == 0], "right": subs_all[sx == kx - 1],
+           "bottom": subs_all[sy == 0], "top": subs_all[sy == ky - 1],
+           "near": subs_all[sz == 0], "far": subs_all[sz == kz - 1]}
+    for sd, subs in bnd.items():
+        D = add_rows(D, subs, side_rows[sd], A.D_side[sd][subs])
+    return D

@@ -162,20 +162,27 @@ def main_xl(gpd, dtype, t0):
         [as_functional(c) for c in gpd["lambda"]["coefficients"]], mu), dtype)
 
     t0 = _time.perf_counter()
+    from pylrbms_tpu.ops.matrixfree3d import stencil_diag_blocks
+    from pylrbms_tpu.la.block import block_jacobi_factors
     sop = StencilOperator3(sp, stencils)
     A = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
-    factors = jax.jit(hp(lambda A_: A_.cell_jacobi_factors()))(A)
+    # contrast-robust subdomain-block Jacobi, built from the stencil's own
+    # diagonal blocks in f32 (3 GB at N=1728 — the XL memory bound; the
+    # affine dense family, 4x that per component in f64, never exists)
+    Dblk = jax.jit(hp(lambda A_: stencil_diag_blocks(A_)))(A)
+    factors = jax.jit(hp(block_jacobi_factors))(Dblk)
+    del Dblk
     A0 = stencil_coarse_matrix(A)
     ci = dense_inv_mixed(A0.astype(jnp.float64)).astype(dtype)
     jax.block_until_ready(ci)
-    print(f"preconditioner (cell-Jacobi + constant coarse): "
-          f"{_time.perf_counter() - t0:.1f} s")
+    print(f"preconditioner (stencil-built f32 block-Jacobi + constant "
+          f"coarse): {_time.perf_counter() - t0:.1f} s")
 
     # restartable CG: bounded dispatches (a single multi-minute while_loop
     # dispatch can hit the remote-chip RPC deadline at XL scale), warm-
     # started from the previous chunk's iterate
     solve = jax.jit(hp(lambda A_, b_, f_, ci_, x0_: A_.solve_pcg(
-        b_, tol=1e-8, maxiter=300, factors=f_, coarse_inv=ci_,
+        b_, tol=1e-8, maxiter=300, block_factors=f_, coarse_inv=ci_,
         coarse_f32=True, return_iters=True, x0=x0_)))
     bn = float(jnp.linalg.norm(rhs.reshape(-1)))
     t0 = _time.perf_counter()

@@ -420,3 +420,22 @@ def test_hex3d_stencil_coarse_matrix():
     A0_ref = np.asarray(
         _op_from_component(sp, [comp]).assemble(jnp.ones(1)).coarse_matrix())
     assert np.abs(A0_st - A0_ref).max() / np.abs(A0_ref).max() < 1e-13
+
+
+def test_hex3d_stencil_diag_blocks():
+    """stencil_diag_blocks (XL block-Jacobi route) equals fold_diag3 of the
+    assembled component."""
+    from pylrbms_tpu.ops.matrixfree3d import (assemble_swipdg_stencil3,
+                                              StencilOperator3,
+                                              stencil_diag_blocks)
+    g = make_grid3d(num_subdomains=[2, 2, 2],
+                    half_num_fine_elements_per_subdomain_and_dim=1,
+                    num_refinements=1)
+    sp = BlockDGSpace3D(g)
+    lam = lambda x: 1.0 + x[..., 0] + 0.3 * x[..., 1]
+    st = StencilOperator3(
+        sp, (assemble_swipdg_stencil3(sp, lam),)).assemble(jnp.ones(1))
+    Dst = np.asarray(stencil_diag_blocks(st, dtype=jnp.float64))
+    comp = assemble_swipdg_component3(sp, lam)
+    Dref = np.asarray(fold_diag3(sp, comp))
+    assert np.abs(Dst - Dref).max() / np.abs(Dref).max() < 1e-14
