@@ -163,14 +163,15 @@ def main_xl(gpd, dtype, t0):
 
     t0 = _time.perf_counter()
     from pylrbms_tpu.ops.matrixfree3d import stencil_diag_blocks
-    from pylrbms_tpu.la.block import block_jacobi_factors
+    from pylrbms_tpu.la.block import block_jacobi_factors_chunked
     sop = StencilOperator3(sp, stencils)
     A = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
     # contrast-robust subdomain-block Jacobi, built from the stencil's own
     # diagonal blocks in f32 (3 GB at N=1728 — the XL memory bound; the
-    # affine dense family, 4x that per component in f64, never exists)
+    # affine dense family, 4x that per component in f64, never exists);
+    # inverted in chunks (the one-shot batched LU OOMs at this size)
     Dblk = jax.jit(hp(lambda A_: stencil_diag_blocks(A_)))(A)
-    factors = jax.jit(hp(block_jacobi_factors))(Dblk)
+    factors = block_jacobi_factors_chunked(Dblk, chunk=32)
     del Dblk
     A0 = stencil_coarse_matrix(A)
     ci = dense_inv_mixed(A0.astype(jnp.float64)).astype(dtype)
