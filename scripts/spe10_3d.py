@@ -171,12 +171,18 @@ def main_xl(gpd, dtype, t0):
     # affine dense family, 4x that per component in f64, never exists);
     # inverted in chunks (the one-shot batched LU OOMs at this size)
     Dblk = jax.jit(hp(lambda A_: stencil_diag_blocks(A_)))(A)
-    factors = block_jacobi_factors_chunked(Dblk, chunk=32)
+    # bf16-stored factors: halves the [K, N, N] preconditioner residency
+    # (the XL HBM bound) and the per-iteration stream; f32 MXU accumulate
+    factors = block_jacobi_factors_chunked(Dblk, chunk=32).astype(jnp.bfloat16)
+    jax.block_until_ready(factors)
     del Dblk
     A0 = stencil_coarse_matrix(A)
     ci = dense_inv_mixed(A0.astype(jnp.float64)).astype(dtype)
     jax.block_until_ready(ci)
-    print(f"preconditioner (stencil-built f32 block-Jacobi + constant "
+    # the per-component stencil family is no longer needed once mixed at
+    # theta — free ~1 GB before the solve
+    del sop, stencils, built
+    print(f"preconditioner (stencil-built bf16 block-Jacobi + constant "
           f"coarse): {_time.perf_counter() - t0:.1f} s")
 
     # restartable CG: bounded dispatches (a single multi-minute while_loop
