@@ -171,18 +171,31 @@ def main_xl(gpd, dtype, t0):
     # affine dense family, 4x that per component in f64, never exists);
     # inverted in chunks (the one-shot batched LU OOMs at this size)
     Dblk = jax.jit(hp(lambda A_: stencil_diag_blocks(A_)))(A)
-    # bf16-stored factors: halves the [K, N, N] preconditioner residency
-    # (the XL HBM bound) and the per-iteration stream; f32 MXU accumulate
-    factors = block_jacobi_factors_chunked(Dblk, chunk=32).astype(jnp.bfloat16)
+    # invert the [K, N, N] blocks on HOST (device batched LU materializes
+    # ~8x N^2-sized temporaries — measured 24.6 GB OOM at this size) with
+    # the same symmetric Jacobi scaling as la/block.block_jacobi_factors;
+    # f32 factors: bf16's 8-bit mantissa is not enough at these block
+    # condition numbers (measured CG divergence)
+    Dnp = np.asarray(Dblk, np.float64)
+    Dblk.delete()
+    dvec = np.abs(np.einsum("kii->ki", Dnp))
+    sca = 1.0 / np.sqrt(np.maximum(dvec, 1e-300))
+    Dnp *= sca[:, :, None]
+    Dnp *= sca[:, None, :]
+    inv = np.linalg.inv(Dnp)
+    del Dnp
+    inv *= sca[:, :, None]
+    inv *= sca[:, None, :]
+    factors = jax.device_put(inv.astype(np.float32))
     jax.block_until_ready(factors)
-    del Dblk
+    del inv
     A0 = stencil_coarse_matrix(A)
     ci = dense_inv_mixed(A0.astype(jnp.float64)).astype(dtype)
     jax.block_until_ready(ci)
     # the per-component stencil family is no longer needed once mixed at
     # theta — free ~1 GB before the solve
     del sop, stencils, built
-    print(f"preconditioner (stencil-built bf16 block-Jacobi + constant "
+    print(f"preconditioner (host-inverted f32 block-Jacobi + constant "
           f"coarse): {_time.perf_counter() - t0:.1f} s")
 
     # restartable CG: bounded dispatches (a single multi-minute while_loop
