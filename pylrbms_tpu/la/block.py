@@ -472,20 +472,6 @@ def block_jacobi_factors(A_diag: jnp.ndarray) -> jnp.ndarray:
     return inv_s * s[:, :, None] * s[:, None, :]
 
 
-def block_jacobi_factors_chunked(A_diag: jnp.ndarray, chunk: int = 32):
-    """XL variant of :func:`block_jacobi_factors`: inverts the K blocks in
-    chunks of ``chunk`` (one jitted program, K/chunk dispatches).  The
-    one-shot batched inversion materializes several [K, N, N]-sized LU
-    temporaries — 24.6 GB at K=256, N=1728 (measured OOM on a 16 GB chip),
-    while the chunked form peaks at O(chunk N^2) temporaries + the output."""
-    K = A_diag.shape[0]
-    if K <= chunk:
-        return block_jacobi_factors(A_diag)
-    step = jax.jit(block_jacobi_factors)
-    return jnp.concatenate([step(A_diag[lo:lo + chunk])
-                            for lo in range(0, K, chunk)], axis=0)
-
-
 def dense_inv_mixed(A: jnp.ndarray, newton: int = 2) -> jnp.ndarray:
     """Backend-safe dense inverse (batched): plain inv where f64 LU exists;
     on accelerators without it (TPU) f32 inv + Newton-Schulz refinement

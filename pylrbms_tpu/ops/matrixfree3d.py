@@ -446,7 +446,7 @@ def stencil_diag_blocks(A: "AssembledStencil3", dtype=jnp.float32) -> jnp.ndarra
     sets = sp.interior_face_sets()
     for fam, quads in (("X", A.X), ("Y", A.Y), ("Z", A.Z)):
         cz_m, cy_m, cx_m, cz_p, cy_p, cx_p = sets[fam]
-        if cz_m.size == 0 or quads[0].shape[-1] == 0:
+        if cz_m.size == 0 or quads[0].shape[-3] == 0:
             continue
         F = cz_m.size
         rows_m = sp.cell_dofs(cz_m, cy_m, cx_m)

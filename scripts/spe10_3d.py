@@ -163,13 +163,11 @@ def main_xl(gpd, dtype, t0):
 
     t0 = _time.perf_counter()
     from pylrbms_tpu.ops.matrixfree3d import stencil_diag_blocks
-    from pylrbms_tpu.la.block import block_jacobi_factors_chunked
     sop = StencilOperator3(sp, stencils)
     A = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
     # contrast-robust subdomain-block Jacobi, built from the stencil's own
-    # diagonal blocks in f32 (3 GB at N=1728 — the XL memory bound; the
-    # affine dense family, 4x that per component in f64, never exists);
-    # inverted in chunks (the one-shot batched LU OOMs at this size)
+    # diagonal blocks (the XL memory bound: 3 GB at N=1728 as f32; the
+    # affine dense family, 4x that per component in f64, never exists)
     Dblk = jax.jit(hp(lambda A_: stencil_diag_blocks(A_)))(A)
     # invert the [K, N, N] blocks on HOST (device batched LU materializes
     # ~8x N^2-sized temporaries — measured 24.6 GB OOM at this size) with
@@ -205,13 +203,15 @@ def main_xl(gpd, dtype, t0):
         b_, tol=1e-8, maxiter=300, block_factors=f_, coarse_inv=ci_,
         coarse_f32=True, return_iters=True, x0=x0_)))
     bn = float(jnp.linalg.norm(rhs.reshape(-1)))
-    t0 = _time.perf_counter()
+    relres = jax.jit(hp(lambda A_, U_, b_: jnp.linalg.norm(
+        (b_ - A_.apply(U_)).reshape(-1))))     # jitted: eager applies cost
+    t0 = _time.perf_counter()                  # ~0.4 s/op on the remote path
     U = jnp.zeros_like(rhs)
     total_it = 0
     for rnd in range(67):                      # <= ~20000 iterations
         U, it = solve(A, rhs, factors, ci, U)
         total_it += int(it)
-        r = float(jnp.linalg.norm((rhs - A.apply(U)).reshape(-1))) / bn
+        r = float(relres(A, U, rhs)) / bn
         if r < 1e-8 or int(it) == 0:
             break
     t_solve = _time.perf_counter() - t0

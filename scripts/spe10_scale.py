@@ -115,6 +115,12 @@ def main(kx=16, ky=16, half=2, nref=2, dtype="float32", max_contrast=None,
 
 def main_model_solver(kx, ky, half, nref, dtype, max_contrast, maxiter,
                       coarse_space, coarse_modes, precision):
+    if dtype is None:
+        # the production FOM path needs f64 Krylov at SPE10 contrast (f32
+        # NaNs by design — the f32 rows of docs/results/spe10_scale_tpu.txt);
+        # pass --dtype float32 explicitly to reproduce those
+        print("model-solver: defaulting to float64 Krylov")
+        dtype = "float64"
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     dt = getattr(jnp, dtype)
@@ -161,7 +167,8 @@ if __name__ == "__main__":
     p.add_argument("--subdomains", type=int, nargs=2, default=[16, 16])
     p.add_argument("--half", type=int, default=2)
     p.add_argument("--nref", type=int, default=2)
-    p.add_argument("--dtype", default="float32")
+    p.add_argument("--dtype", default=None,
+               help="float32|float64 (default: float32; float64 for --model-solver)")
     p.add_argument("--max-contrast", type=float, default=None)
     p.add_argument("--matrix-free", action="store_true")
     p.add_argument("--maxiter", type=int, default=600)
@@ -174,10 +181,8 @@ if __name__ == "__main__":
     p.add_argument("--coarse-modes", type=int, default=16)
     p.add_argument("--precision", type=float, default=1e-6)
     a = p.parse_args()
-    if a.model_solver and a.dtype == "float32":
-        # the production FOM path needs f64 Krylov at SPE10 contrast (f32
-        # NaNs by design — see the f32 rows of docs/results/spe10_scale_tpu.txt)
-        a.dtype = "float64"
+    if a.dtype is None and not a.model_solver:
+        a.dtype = "float32"
     main(a.subdomains[0], a.subdomains[1], a.half, a.nref, a.dtype,
          a.max_contrast, a.matrix_free, a.maxiter, a.two_level,
          a.model_solver, a.coarse_space, a.coarse_modes, a.precision)
