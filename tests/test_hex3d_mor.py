@@ -237,3 +237,32 @@ def test_hex3d_certify_mode(model3d):
     err = (np.abs(np.asarray(U, np.float64) - np.asarray(Uref)).max()
            / np.abs(np.asarray(Uref)).max())
     assert err < 1e-6, err
+
+
+def test_hex3d_thermalblock_multiparameter():
+    """3D thermal block (2x2x2 checkerboard, 8 independent parameters —
+    Q = 8 affine components): solve, estimate, and ROM/FOM estimator parity
+    on a random-parameter training set."""
+    from pylrbms_tpu.problems.thermalblock3d import (
+        init_grid_and_problem as init_tb3)
+    gpd = init_tb3({'num_subdomains': [2, 2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    d, _ = discretize(gpd)
+    assert d.op.Q == 8
+    rng = np.random.default_rng(0)
+    mu = {'diffusion': 0.1 + 0.9 * rng.random(8)}
+    U = d.solve(mu)
+    A = d.op.assemble(d.theta(mu))
+    b = d.rhs(mu)
+    assert float(jnp.abs(A.apply(U) - b).max() / jnp.abs(b).max()) < 1e-9
+    red = LRBMSReductor(d, order=0)
+    for _ in range(3):
+        red.extend_basis(np.asarray(
+            d.solve({'diffusion': 0.1 + 0.9 * rng.random(8)}), np.float64))
+    rd = red.reduce()
+    mu_t = {'diffusion': 0.1 + 0.9 * rng.random(8)}
+    c = rd.solve(mu_t)
+    e_rom = float(rd.estimate(c, mu_t))
+    e_fom = float(d.estimate(rd.reconstruct(c), mu_t))
+    assert abs(e_rom - e_fom) / e_fom < 1e-9
