@@ -77,6 +77,50 @@ class SubdomainMesh:
             ed.rf_qq = jax.device_put(ed.rf_qq, self.shard_k(2))
         return d
 
+    def shard_stencil(self, sop):
+        """Shard a matrix-free stencil operator (2D ``StencilOperator`` /
+        ``AssembledStencil`` or 3D ``StencilOperator3`` / ``AssembledStencil3``)
+        over the mesh: every per-subdomain leaf (leading axis == K) gets its
+        K axis placed on the mesh; interface strips (leading axis =
+        #interfaces) are replicated — they are O(E s nb^2), tiny next to the
+        volume/face families.  GSPMD then inserts the halo collectives at
+        the shifted-slice adds of the matrix-free apply — the stencil
+        path's scale-out beyond one chip (<-> the reference's
+        ``dof_communicator`` halo exchange inside ISTL solves,
+        ``discretize_elliptic_block_swipdg.py:473``).  K must be divisible
+        by the mesh size; the subdomain index is row-major over the
+        subdomain grid, so each shard is a contiguous band of grid rows and
+        the halo adds touch only mesh-neighbor shards."""
+        K = sop.space.K
+        n = self.mesh.devices.size
+        assert K % n == 0, f"K={K} not divisible by mesh size {n}"
+        sk, repl = self.shard_k(0), self.replicated()
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == K:
+                return jax.device_put(x, sk)
+            return jax.device_put(x, repl)
+
+        return jax.tree.map(put, sop)
+
+    def jit_mf_solve(self, sop, tol: float = 1e-10, maxiter: int = 2000):
+        """Jitted K-sharded matrix-free two-level PCG solve
+        ``(theta, b, block_factors, coarse_basis, coarse_inv) -> U``.
+
+        All tensors are pytree arguments; inputs prepared with
+        :meth:`shard_stencil` / :meth:`shard_k` stay sharded through the
+        solve and ``U`` comes out K-sharded.  Pass ``None`` for the coarse
+        pair to run single-level block-Jacobi PCG."""
+        from ..utils.precision import hp
+
+        def solve(sop_, theta, b, bf, C, ci):
+            A = sop_.assemble(theta)
+            return A.solve_pcg(b, tol=tol, maxiter=maxiter, block_factors=bf,
+                               coarse_basis=C, coarse_inv=ci)
+
+        with self.mesh:
+            return jax.jit(hp(solve), out_shardings=self.shard_k(0))
+
     def jit_online_step(self, d, tol: float = 1e-8, maxiter: int = 500):
         """Jitted sharded online step: assemble + PCG solve + localized
         estimate; outputs sharded over K."""
