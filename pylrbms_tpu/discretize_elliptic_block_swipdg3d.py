@@ -34,12 +34,17 @@ from .discretize_elliptic_block_swipdg import _affine
 
 def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
                ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64,
-               lean: bool = False):
+               lean: bool = False, order: int = 1):
     """``lean=True`` skips the O(Q^2 K N^2) matrix-form estimator tensors
-    (for large-scale FOM runs; the MOR path needs the full tensors)."""
+    (for large-scale FOM runs; the MOR path needs the full tensors).
+
+    ``order=2`` builds the full pipeline on the Q2 block space with the
+    degree-matched RT_[1] hex flux reconstruction and order-2 Oswald
+    interpolation (``ops/rt1hex.py`` — beyond-reference 3D Q2 estimation;
+    the 2D analog is ``discretize(..., order=2)`` on the 2D families)."""
     gpd = grid_and_problem_data
     grid: Grid3D = gpd["grid"]
-    space = BlockDGSpace3D(grid)
+    space = BlockDGSpace3D(grid, order=order)
 
     lambda_funcs, lambda_coeffs = _affine(gpd["lambda"])
     f_funcs, f_coeffs = _affine(gpd["f"])
@@ -129,7 +134,11 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     diam = jnp.full((space.K,), grid.subdomain_diameter(), dtype)
 
     oswald = Oswald3D(space)
-    flux = FluxReconstructor3D(space, kappa, ipdg, dtype)
+    if order == 1:
+        flux = FluxReconstructor3D(space, kappa, ipdg, dtype)
+    else:
+        from .ops.rt1hex import FluxReconstructorRT1Hex
+        flux = FluxReconstructorRT1Hex(space, kappa, ipdg, dtype)
 
     est_data = EstimatorData(
         E_bar=E_bar_est, L2=L2, M_aa=M_aa, BB=BB, M_ab=M_ab, A_div=A_div,

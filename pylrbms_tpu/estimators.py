@@ -304,9 +304,12 @@ class EllipticEstimator:
         C = sp.s ** 3
         Uc = U.reshape(U.shape[:-2] + (sp.K, C, sp.nb))
         gu = jnp.einsum("...kcj,qja->...kcqa", Uc, dphi)
-        chi, idx, div = sp.rt_cell_tab()                       # chi [1,nq,6,3]
+        # degree-matched RT tab: tensor RT0 for Q1, RT_[1] hex for Q2 (the
+        # Q2 divergence is elementwise Q_{1,1,1}, given at the quad points)
+        from .ops.rt1hex import rt_tab_any_order3
+        chi, idx, div_q, _nrt = rt_tab_any_order3(sp)          # chi [nq,nf,3]
         nf = idx.shape[-1]
-        chi_j = jnp.asarray(chi[0], dtype)
+        chi_j = jnp.asarray(chi, dtype)
         t_cell = t_loc[..., jnp.asarray(idx.reshape(-1))].reshape(
             t_loc.shape[:-1] + (C, nf))
         t_q = jnp.einsum("...kce,qea->...kcqa", t_cell, chi_j)
@@ -316,8 +319,8 @@ class EllipticEstimator:
 
         f_q = jnp.stack([ff(xq).astype(dtype) for ff in d.f_funcs])
         f_mu = jnp.einsum("q,q...->...", theta_f, f_q)
-        div_t = jnp.einsum("...kce,e->...kc", t_cell,
-                           jnp.asarray(div[0], dtype))[..., None]
+        div_t = jnp.einsum("...kce,qe->...kcq", t_cell,
+                           jnp.asarray(div_q, dtype))
         res = f_mu - div_t
         scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
         eta_r = volc * jnp.einsum("q,...kcq->...k", w, res * res) * scale

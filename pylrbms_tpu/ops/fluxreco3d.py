@@ -40,7 +40,7 @@ class FluxReconstructor3D(FluxReconstructor):
         self.dtype = dtype
         g = space.grid
         self.Sx, self.Sy, self.Sz = g.global_nx, g.global_ny, g.global_nz
-        self.rt_l2g = jnp.asarray(space.rt_local_to_global())
+        self.rt_l2g = self._make_l2g(space)
         # global cell origins [Sz, Sy, Sx, 3]
         ll = np.asarray(g.lower_left)
         h = np.array([g.hx, g.hy, g.hz])
@@ -76,13 +76,14 @@ class FluxReconstructor3D(FluxReconstructor):
         lead = uc.shape[:-4]
         org = self.cell_org                        # [Sz, Sy, Sx, 3]
         nb = sp.nb
+        nm = self.nm                               # moments per face
 
         # (family, sliced minus cells, sliced plus cells, lo side, hi side,
         #  inner dof slice setter)
         parts = []
 
         # ---- X faces: dofX [Sz, Sy, Sx+1] ----
-        dofX = jnp.zeros(lead + (Sz, Sy, Sx + 1, 1), out_dt)
+        dofX = jnp.zeros(lead + (Sz, Sy, Sx + 1, nm), out_dt)
         if Sx > 1:
             x_m, x_p = self._phys_pts(sp.face_tabs["X"],
                                       org[:, :, :-1].reshape(-1, 3))
@@ -90,23 +91,23 @@ class FluxReconstructor3D(FluxReconstructor):
             up = uc[..., :, :, 1:, :].reshape(lead + (Sz * Sy * (Sx - 1), nb))
             inner = self._face_moment_inner("X", lam_fn, um, up, x_m, x_p)
             dofX = dofX.at[..., :, :, 1:Sx, :].set(
-                inner.reshape(lead + (Sz, Sy, Sx - 1, 1)))
+                inner.reshape(lead + (Sz, Sy, Sx - 1, nm)))
         xL, _ = self._phys_pts(sp.face_tabs["bnd_left"],
                                org[:, :, 0].reshape(-1, 3))
         uL = uc[..., :, :, 0, :].reshape(lead + (Sz * Sy, nb))
         dofX = dofX.at[..., :, :, 0, :].set(
             self._face_moment_boundary("left", lam_fn, uL, xL)
-            .reshape(lead + (Sz, Sy, 1)))
+            .reshape(lead + (Sz, Sy, nm)))
         xR, _ = self._phys_pts(sp.face_tabs["bnd_right"],
                                org[:, :, Sx - 1].reshape(-1, 3))
         uR = uc[..., :, :, Sx - 1, :].reshape(lead + (Sz * Sy, nb))
         dofX = dofX.at[..., :, :, Sx, :].set(
             self._face_moment_boundary("right", lam_fn, uR, xR)
-            .reshape(lead + (Sz, Sy, 1)))
+            .reshape(lead + (Sz, Sy, nm)))
         parts.append(dofX.reshape(lead + (-1,)))
 
         # ---- Y faces: dofY [Sz, Sy+1, Sx] ----
-        dofY = jnp.zeros(lead + (Sz, Sy + 1, Sx, 1), out_dt)
+        dofY = jnp.zeros(lead + (Sz, Sy + 1, Sx, nm), out_dt)
         if Sy > 1:
             x_m, x_p = self._phys_pts(sp.face_tabs["Y"],
                                       org[:, :-1, :].reshape(-1, 3))
@@ -114,23 +115,23 @@ class FluxReconstructor3D(FluxReconstructor):
             up = uc[..., :, 1:, :, :].reshape(lead + (Sz * (Sy - 1) * Sx, nb))
             inner = self._face_moment_inner("Y", lam_fn, um, up, x_m, x_p)
             dofY = dofY.at[..., :, 1:Sy, :, :].set(
-                inner.reshape(lead + (Sz, Sy - 1, Sx, 1)))
+                inner.reshape(lead + (Sz, Sy - 1, Sx, nm)))
         xB, _ = self._phys_pts(sp.face_tabs["bnd_bottom"],
                                org[:, 0, :].reshape(-1, 3))
         uB = uc[..., :, 0, :, :].reshape(lead + (Sz * Sx, nb))
         dofY = dofY.at[..., :, 0, :, :].set(
             self._face_moment_boundary("bottom", lam_fn, uB, xB)
-            .reshape(lead + (Sz, Sx, 1)))
+            .reshape(lead + (Sz, Sx, nm)))
         xT, _ = self._phys_pts(sp.face_tabs["bnd_top"],
                                org[:, Sy - 1, :].reshape(-1, 3))
         uT = uc[..., :, Sy - 1, :, :].reshape(lead + (Sz * Sx, nb))
         dofY = dofY.at[..., :, Sy, :, :].set(
             self._face_moment_boundary("top", lam_fn, uT, xT)
-            .reshape(lead + (Sz, Sx, 1)))
+            .reshape(lead + (Sz, Sx, nm)))
         parts.append(dofY.reshape(lead + (-1,)))
 
         # ---- Z faces: dofZ [Sz+1, Sy, Sx] ----
-        dofZ = jnp.zeros(lead + (Sz + 1, Sy, Sx, 1), out_dt)
+        dofZ = jnp.zeros(lead + (Sz + 1, Sy, Sx, nm), out_dt)
         if Sz > 1:
             x_m, x_p = self._phys_pts(sp.face_tabs["Z"],
                                       org[:-1].reshape(-1, 3))
@@ -138,19 +139,20 @@ class FluxReconstructor3D(FluxReconstructor):
             up = uc[..., 1:, :, :, :].reshape(lead + ((Sz - 1) * Sy * Sx, nb))
             inner = self._face_moment_inner("Z", lam_fn, um, up, x_m, x_p)
             dofZ = dofZ.at[..., 1:Sz, :, :, :].set(
-                inner.reshape(lead + (Sz - 1, Sy, Sx, 1)))
+                inner.reshape(lead + (Sz - 1, Sy, Sx, nm)))
         xN, _ = self._phys_pts(sp.face_tabs["bnd_near"],
                                org[0].reshape(-1, 3))
         uN = uc[..., 0, :, :, :].reshape(lead + (Sy * Sx, nb))
         dofZ = dofZ.at[..., 0, :, :, :].set(
             self._face_moment_boundary("near", lam_fn, uN, xN)
-            .reshape(lead + (Sy, Sx, 1)))
+            .reshape(lead + (Sy, Sx, nm)))
         xF, _ = self._phys_pts(sp.face_tabs["bnd_far"],
                                org[Sz - 1].reshape(-1, 3))
         uF = uc[..., Sz - 1, :, :, :].reshape(lead + (Sy * Sx, nb))
         dofZ = dofZ.at[..., Sz, :, :, :].set(
             self._face_moment_boundary("far", lam_fn, uF, xF)
-            .reshape(lead + (Sy, Sx, 1)))
+            .reshape(lead + (Sy, Sx, nm)))
         parts.append(dofZ.reshape(lead + (-1,)))
 
+        parts += self._extra_parts(lam_fn, uc, out_dt)
         return jnp.concatenate(parts, axis=-1)

@@ -19,11 +19,13 @@ from .spaces3d import BlockDGSpace3D
 
 class Oswald3D:
     def __init__(self, space: BlockDGSpace3D):
-        assert space.order == 1, "3D Oswald: Q1 only"
         self.space = space
         g = space.grid
         Sx, Sy, Sz = g.global_nx, g.global_ny, g.global_nz
         self.Sx, self.Sy, self.Sz = Sx, Sy, Sz
+        if space.order != 1:
+            self._init_generic()
+            return
         gz, gy, gx = np.meshgrid(np.arange(Sz), np.arange(Sy), np.arange(Sx),
                                  indexing="ij")
 
@@ -43,6 +45,40 @@ class Oswald3D:
                                  np.arange(Sx + 1), indexing="ij")
         self.interior_mask = ((iz > 0) & (iz < Sz) & (iy > 0) & (iy < Sy)
                               & (ix > 0) & (ix < Sx)).reshape(-1)
+
+    def _init_generic(self):
+        """Generic node-identity builder (order 2): all Q2 Lagrange nodes
+        live on the half-cell lattice (2Sz+1) x (2Sy+1) x (2Sx+1); global
+        node identity is recovered by quantizing physical node coordinates
+        to half-cell units, and lattice points on the domain boundary are
+        the Dirichlet nodes (same construction as the 2D
+        ``OswaldOperator._init_generic``)."""
+        sp = self.space
+        Sx, Sy, Sz = self.Sx, self.Sy, self.Sz
+        # reorder to global-cell order to match _block_to_global_cells
+        g = sp.grid
+        coords = sp.node_coords_phys().reshape(
+            g.kz, g.ky, g.kx, sp.s, sp.s, sp.s, sp.nb, 3)
+        coords = np.moveaxis(coords, 3, 1)         # sz next to kz
+        coords = np.moveaxis(coords, 4, 3)         # sy next to ky
+        coords = coords.reshape(-1, 3)
+        x0 = np.asarray(g.lower_left)
+        ix2 = np.rint((coords[:, 0] - x0[0]) / (sp.hx / 2)).astype(np.int64)
+        iy2 = np.rint((coords[:, 1] - x0[1]) / (sp.hy / 2)).astype(np.int64)
+        iz2 = np.rint((coords[:, 2] - x0[2]) / (sp.hz / 2)).astype(np.int64)
+        assert ix2.min() >= 0 and ix2.max() <= 2 * Sx
+        assert iy2.min() >= 0 and iy2.max() <= 2 * Sy
+        assert iz2.min() >= 0 and iz2.max() <= 2 * Sz
+        self.vertex_ids = ((iz2 * (2 * Sy + 1) + iy2) * (2 * Sx + 1) + ix2)
+        self.n_vertices = (2 * Sz + 1) * (2 * Sy + 1) * (2 * Sx + 1)
+        counts = np.zeros(self.n_vertices)
+        np.add.at(counts, self.vertex_ids, 1.0)
+        self.counts = np.maximum(counts, 1.0)      # unused lattice points
+        iz, iy, ix = np.meshgrid(np.arange(2 * Sz + 1), np.arange(2 * Sy + 1),
+                                 np.arange(2 * Sx + 1), indexing="ij")
+        self.interior_mask = ((iz > 0) & (iz < 2 * Sz) & (iy > 0)
+                              & (iy < 2 * Sy) & (ix > 0)
+                              & (ix < 2 * Sx)).reshape(-1)
 
     # ------------------------------------------------------------------
     def _block_to_global_cells(self, U):

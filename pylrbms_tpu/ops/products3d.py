@@ -40,7 +40,13 @@ def df_aa(space: BlockDGSpace3D, lam_u, lam_v, lam_hat, kappa_fn=None,
 
 
 def df_bb(space: BlockDGSpace3D, lam_hat, kappa_fn=None, dtype=jnp.float64):
-    """[K, N_rt, N_rt]: int t . (lam_hat kappa)^{-1} s over the subdomain."""
+    """[K, N_rt, N_rt]: int t . (lam_hat kappa)^{-1} s over the subdomain.
+
+    Dispatches to the degree-matched RT hex space: tensor RT0 for Q1,
+    RT_[1] for Q2 (``ops/rt1hex.py`` — beyond-reference 3D Q2 estimation)."""
+    if space.order == 2:
+        from .rt1hex import df_bb_rt1hex
+        return df_bb_rt1hex(space, lam_hat, kappa_fn, dtype)
     chi, idx, _div = space.rt_cell_tab()          # chi [1, nq, 6, 3]
     nf = idx.shape[-1]
     kinv = _kinv_fn(lam_hat, kappa_fn)
@@ -60,6 +66,9 @@ def df_bb(space: BlockDGSpace3D, lam_hat, kappa_fn=None, dtype=jnp.float64):
 def df_ab(space: BlockDGSpace3D, lam_v, lam_hat, kappa_fn=None,
           dtype=jnp.float64):
     """[K, N, N_rt]: int (lam_v / lam_hat) grad(phi_i) . chi_e."""
+    if space.order == 2:
+        from .rt1hex import df_ab_rt1hex
+        return df_ab_rt1hex(space, lam_v, lam_hat, kappa_fn, dtype)
     chi, idx, _div = space.rt_cell_tab()
     nf = idx.shape[-1]
     xq = asm3.vol_points(space, dtype)
@@ -79,7 +88,11 @@ def df_ab(space: BlockDGSpace3D, lam_v, lam_hat, kappa_fn=None,
 
 def divergence_matrix(space: BlockDGSpace3D, dtype=jnp.float64):
     """[N, N_rt] (same for every subdomain): RT0 coeffs -> DG coeffs of
-    div t (elementwise constant on the tensor RT0 hex space)."""
+    div t (elementwise constant on the tensor RT0 hex space; exact Q2
+    nodal interpolation of the elementwise-Q_{1,1,1} divergence for Q2)."""
+    if space.order == 2:
+        from .rt1hex import divergence_matrix_rt1hex
+        return divergence_matrix_rt1hex(space, dtype)
     _chi, idx, div = space.rt_cell_tab()          # div [1, 6]
     nf = idx.shape[-1]
     F = space.s ** 3
