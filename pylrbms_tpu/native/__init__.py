@@ -112,3 +112,75 @@ def assemble_swipdg_p1_csr(space, lam_fn, ipdg=None):
     A = sp.csr_matrix((vals, (rows, cols)), shape=(ndof, ndof))
     A.sum_duplicates()
     return A
+
+
+def assemble_swipdg_q1_3d_csr(space, lam_fn, ipdg=None):
+    """scipy CSR of one affine 3D hex SWIPDG component (kappa = I) via the
+    native assembler (trilinear Q1; same integrands as the batched 3D
+    assembly — face area as integration measure, face diameter as the
+    penalty length scale)."""
+    import scipy.sparse as sp
+    from ..ops.assembly import DEFAULT_IPDG, _EVAL_EPS
+    from ..ops.spaces3d import _face_pts_unit
+
+    ipdg = ipdg or DEFAULT_IPDG
+    mod = _load()
+    g = space.grid
+    Sx, Sy, Sz = g.global_nx, g.global_ny, g.global_nz
+    h = np.array([space.hx, space.hy, space.hz])
+    ll = np.asarray(g.lower_left)
+    gz, gy, gx = np.meshgrid(np.arange(Sz), np.arange(Sy), np.arange(Sx),
+                             indexing="ij")
+    org = ll + np.stack([gx, gy, gz], axis=-1) * h    # [Sz, Sy, Sx, 3]
+
+    def ev(x):
+        return np.ascontiguousarray(
+            np.asarray(lam_fn(np.asarray(x)), dtype=np.float64))
+
+    qv = np.asarray(space.vol_qp)                     # [nqv, 3] unit
+    lam_vol = ev(org[..., None, :] + qv * h)
+    uv = np.asarray(space.face_uv)
+    cen = np.array([0.5, 0.5, 0.5]) * h
+
+    def fv(fam, c01, orgs, shift=(0.0, 0.0, 0.0)):
+        pts = _face_pts_unit(fam, uv, c01) * h        # [nqf, 3]
+        x = orgs[..., None, :] + pts
+        cenp = orgs[..., None, :] + np.asarray(shift) + cen
+        return ev(x + _EVAL_EPS * (cenp - x))
+
+    nqf = uv.shape[0]
+    sx_, sy_, sz_ = (h[0], 0, 0), (0, h[1], 0), (0, 0, h[2])
+    # interior faces: minus = hi side of the minus cell; plus eval at the
+    # SAME physical points, nudged toward the plus cell's centroid
+    lam_X_m = fv("X", 1.0, org[:, :, :-1]) if Sx > 1 else np.zeros((Sz, Sy, 0, nqf))
+    lam_X_p = fv("X", 1.0, org[:, :, :-1], sx_) if Sx > 1 else lam_X_m
+    lam_Y_m = fv("Y", 1.0, org[:, :-1, :]) if Sy > 1 else np.zeros((Sz, 0, Sx, nqf))
+    lam_Y_p = fv("Y", 1.0, org[:, :-1, :], sy_) if Sy > 1 else lam_Y_m
+    lam_Z_m = fv("Z", 1.0, org[:-1]) if Sz > 1 else np.zeros((0, Sy, Sx, nqf))
+    lam_Z_p = fv("Z", 1.0, org[:-1], sz_) if Sz > 1 else lam_Z_m
+
+    lam_bnd = np.concatenate([
+        fv("X", 0.0, org[:, :, 0]).reshape(-1, nqf),       # left  [Sz*Sy]
+        fv("X", 1.0, org[:, :, Sx - 1]).reshape(-1, nqf),  # right
+        fv("Y", 0.0, org[:, 0, :]).reshape(-1, nqf),       # bottom [Sz*Sx]
+        fv("Y", 1.0, org[:, Sy - 1, :]).reshape(-1, nqf),  # top
+        fv("Z", 0.0, org[0]).reshape(-1, nqf),             # near  [Sy*Sx]
+        fv("Z", 1.0, org[Sz - 1]).reshape(-1, nqf),        # far
+    ], axis=0)
+
+    rows, cols, vals = mod.assemble_swipdg_q1_3d(
+        g.kx, g.ky, g.kz, g.s, space.hx, space.hy, space.hz,
+        ipdg.sigma_inner(space.order), ipdg.sigma_boundary(space.order),
+        ipdg.beta,
+        np.ascontiguousarray(qv), np.ascontiguousarray(space.vol_w),
+        np.ascontiguousarray(uv),
+        np.ascontiguousarray(space.face_tabs["X"].w),
+        lam_vol,
+        np.ascontiguousarray(lam_X_m), np.ascontiguousarray(lam_X_p),
+        np.ascontiguousarray(lam_Y_m), np.ascontiguousarray(lam_Y_p),
+        np.ascontiguousarray(lam_Z_m), np.ascontiguousarray(lam_Z_p),
+        np.ascontiguousarray(lam_bnd))
+    ndof = space.K * space.N
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(ndof, ndof))
+    A.sum_duplicates()
+    return A

@@ -19,3 +19,20 @@ def test_native_assembler_matches_jax():
     A_jax = np.asarray(d.op.assemble(jnp.asarray([1.0, 0.0])).to_dense())
     err = np.abs(A_native - A_jax).max()
     assert err < 1e-12 * max(1.0, np.abs(A_jax).max()), err
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_assembler_3d_matches_jax():
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem as igp3
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import (
+        discretize as discretize3)
+    gpd = igp3({'num_subdomains': [2, 1, 2],
+                'half_num_fine_elements_per_subdomain_and_dim': 1,
+                'num_refinements': 0})
+    d, _ = discretize3(gpd)
+    for q, theta in ((0, [1.0, 0.0]), (1, [0.0, 1.0])):
+        lam = d.estimator.data.lambda_funcs[q]
+        A_native = native.assemble_swipdg_q1_3d_csr(d.space, lam).toarray()
+        A_jax = np.asarray(d.op.assemble(jnp.asarray(theta)).to_dense())
+        err = np.abs(A_native - A_jax).max()
+        assert err < 1e-12 * max(1.0, np.abs(A_jax).max()), (q, err)
