@@ -156,3 +156,41 @@ def test_q2_3d_mor_rom_equals_fom_of_reconstruction():
     eta_rom = float(rom.estimate(u_r, mu))
     eta_rec = float(d.estimator.estimate(red.reconstruct(u_r), mu))
     assert abs(eta_rom - eta_rec) / eta_rec < 1e-8, (eta_rom, eta_rec)
+
+
+def test_q2_3d_online_enrichment_reduces_eta():
+    """3D patch correctors + Dörfler marking run unchanged on the Q2 hex
+    model (generic MOR/enrichment path over RT_[1]-sized tensors)."""
+    from pylrbms_tpu.reductor import LRBMSReductor
+    from pylrbms_tpu.online_enrichment import AdaptiveEnrichment
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 0})
+    d, data = discretize(gpd, order=2)
+    red = LRBMSReductor(d, order=0)
+    red.extend_basis(d.solve({"diffusion": 1.0}))
+    rom = red.reduce()
+    etas = []
+    loop = AdaptiveEnrichment(gpd, d, data["block_space"], red, rom,
+                              target_error=1e-12, marking_doerfler_theta=0.5,
+                              marking_max_age=100)
+    loop.solve({"diffusion": 0.3}, enrichment_steps=3,
+               callback=lambda rd_, u, mu_, info: etas.append(info["eta"]))
+    assert etas[-1] < 0.5 * etas[0], etas
+
+
+def test_q2_3d_parabolic_estimate_runs():
+    """Implicit Euler + the parabolic estimator run through the generic
+    pipeline on the Q2 hex model."""
+    from pylrbms_tpu.discretize_parabolic_block_swipdg3d import (
+        discretize as pdisc)
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 0})
+    m, _ = pdisc(gpd, T=0.5, nt=8, order=2)
+    mu = {"diffusion": 0.7}
+    traj = m.solve(mu)
+    assert bool(jnp.isfinite(traj).all())
+    est, parts = m.estimate(traj, mu)
+    assert np.isfinite(float(est)) and float(est) > 0
+    assert all(bool(jnp.isfinite(p).all()) for p in parts)
