@@ -80,20 +80,32 @@ def write_grid_vtu(grid, filename: str):
 
 
 def write_hex_vtu(space, U, filename: str, name: str = "u"):
-    """3D hex-family writer: U [K, N] Q1 nodal coefficients -> filename.vtu
-    (one VTK_HEXAHEDRON per cell, duplicated points preserve the DG jumps).
+    """3D hex-family writer: U [K, N] Q1/Q2 nodal coefficients ->
+    filename.vtu (duplicated points preserve the DG jumps).
+
+    Q1 writes one VTK_HEXAHEDRON per cell; Q2 subdivides each hex into
+    8 sub-hexes whose corners are the half-lattice Q2 nodes (exact: the
+    output samples the nodal values, no re-interpolation).
 
     VTK hex node order: bottom quad ccw (z=0), then top quad ccw (z=1);
-    ours is j = (iz*2 + iy)*2 + ix."""
+    ours is j = (iz*n1 + iy)*n1 + ix with n1 = order + 1."""
     if not filename.endswith(".vtu"):
         filename += ".vtu"
-    assert getattr(space, "dim", 2) == 3 and space.order == 1
+    assert getattr(space, "dim", 2) == 3 and space.order in (1, 2)
     xn = space.node_coords_phys().reshape(-1, 3)
     vals = np.asarray(U).reshape(-1)
     nb = space.nb
-    n_cells = xn.shape[0] // nb
-    vtk_order = np.array([0, 1, 3, 2, 4, 5, 7, 6])      # -> VTK_HEXAHEDRON(12)
-    conn = (np.arange(n_cells)[:, None] * nb + vtk_order[None, :]).reshape(-1)
+    p = space.order
+    n1 = p + 1
+    # VTK corner order as (dx, dy, dz)
+    corn = ((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+            (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))
+    sub = np.array([[((oz + dz) * n1 + (oy + dy)) * n1 + (ox + dx)
+                     for dx, dy, dz in corn]
+                    for oz in range(p) for oy in range(p) for ox in range(p)])
+    n_elems = xn.shape[0] // nb
+    n_cells = n_elems * p ** 3
+    conn = (np.arange(n_elems)[:, None, None] * nb + sub[None]).reshape(-1)
     with open(filename, "w") as f:
         f.write(_vtu_header(xn.shape[0], n_cells))
         f.write('<Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">\n')
@@ -103,7 +115,7 @@ def write_hex_vtu(space, U, filename: str, name: str = "u"):
         f.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
         f.write(" ".join(str(i) for i in conn))
         f.write('\n</DataArray>\n<DataArray type="Int32" Name="offsets" format="ascii">\n')
-        f.write(" ".join(str(nb * (i + 1)) for i in range(n_cells)))
+        f.write(" ".join(str(8 * (i + 1)) for i in range(n_cells)))
         f.write('\n</DataArray>\n<DataArray type="UInt8" Name="types" format="ascii">\n')
         f.write(" ".join("12" for _ in range(n_cells)))
         f.write('\n</DataArray>\n</Cells>\n')

@@ -194,3 +194,21 @@ def test_q2_3d_parabolic_estimate_runs():
     est, parts = m.estimate(traj, mu)
     assert np.isfinite(float(est)) and float(est) > 0
     assert all(bool(jnp.isfinite(p).all()) for p in parts)
+
+
+def test_q2_3d_vtu_subdivision_output(tmp_path):
+    """Q2 hex VTU: 8 exact sub-hexes per cell, nodal values round-trip."""
+    import xml.etree.ElementTree as ET
+    from pylrbms_tpu.utils.vtk import write_hex_vtu
+    _g, sp = _space((2, 1, 1), half=1, nref=0)
+    U = np.random.default_rng(1).random((sp.K, sp.N))
+    f = write_hex_vtu(sp, U, str(tmp_path / "u3q2"))
+    root = ET.parse(f).getroot()
+    vals = np.fromstring(root.find(".//PointData/DataArray").text, sep=" ")
+    assert np.allclose(vals, U.reshape(-1))
+    conn = np.fromstring(
+        root.find(".//Cells/DataArray[@Name='connectivity']").text,
+        sep=" ").astype(int)
+    n_elems = sp.K * sp.s ** 3
+    assert conn.size == n_elems * 8 * 8          # 8 sub-hexes x 8 corners
+    assert conn.max() == sp.K * sp.N - 1 or conn.max() < sp.K * sp.N
