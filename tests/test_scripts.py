@@ -232,3 +232,33 @@ def test_vtu_writer_and_model_visualize(tmp_path):
     # the max nodal value of the OS2015 solution at mu=1 is ~u(0,0)=1
     assert 0.5 < vals2.max() < 1.5
     assert np.isfinite(vals2).all()
+
+
+def test_academic3d_golden_triples():
+    """Self-golden regression anchors for the 3D hex family (Q1 and Q2),
+    paper-convention indicator norms at mu = 0.5 (role of the reference's
+    hardcoded golden prints, extended to the beyond-reference 3D family)."""
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+
+    GOLDEN3 = {
+        1: {"eta": 2.669043e+00, "nc": 8.099561e-02, "r": 1.546472e+00,
+            "df": 1.041575e+00, "nref": 1},
+        2: {"eta": 1.010787e+00, "nc": 1.879885e-02, "r": 6.276844e-01,
+            "df": 3.643033e-01, "nref": 0},
+    }
+    mu = {"diffusion": 0.5}
+    for order, g in GOLDEN3.items():
+        gpd = init_grid_and_problem(
+            {'num_subdomains': [2, 2, 2],
+             'half_num_fine_elements_per_subdomain_and_dim': 1,
+             'num_refinements': g["nref"]})
+        d, _ = discretize(gpd, order=order)
+        U = d.solve(mu)
+        eta, (nc, r, df), _ = d.estimate(U, mu, decompose=True,
+                                         paper_convention=True)
+        vals = {"eta": float(eta), "nc": np.linalg.norm(np.asarray(nc)),
+                "r": np.linalg.norm(np.asarray(r)),
+                "df": np.linalg.norm(np.asarray(df))}
+        for k in ("eta", "nc", "r", "df"):
+            assert vals[k] == pytest.approx(g[k], rel=1e-5), (order, k, vals[k])
