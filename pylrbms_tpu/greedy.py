@@ -146,7 +146,7 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
                 reductor: Optional[LRBMSReductor] = None,
                 order: int = 0, criterion: str = "residual",
                 checkpoint_path: Optional[str] = None,
-                resume: bool = False) -> GreedyResult:
+                resume: bool = False, mesh=None) -> GreedyResult:
     """Weak greedy: until the worst surrogate error over the training set
     drops below target_error, pick the worst parameter, FOM-solve it, extend
     the local bases blockwise, re-project.  Parameters whose snapshot adds
@@ -154,7 +154,12 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
 
     With ``checkpoint_path`` the bases + selection state are written
     atomically after every extension; ``resume=True`` continues from that
-    file (skipping the already-performed FOM snapshot solves)."""
+    file (skipping the already-performed FOM snapshot solves).
+
+    ``mesh`` (a 1D jax.sharding.Mesh) shards the surrogate sweep — the
+    greedy's measured per-iteration bound at SPE10 scale
+    (docs/results/spe10_greedy_tpu.txt) — over the device mesh; the sweep
+    is embarrassingly parallel in mu (see :func:`batched_estimates`)."""
     logger = getLogger("pylrbms.greedy")
     if (criterion == "residual" and d.space.K * d.space.N > 32768
             and d.estimator is not None
@@ -188,7 +193,8 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
     from .utils.timers import GLOBAL_TIMINGS as _T
     for it in range(it0, max_extensions):
         with _T.span('greedy: surrogate sweep'):
-            etas = np.asarray(batched_estimates(rd, stacked, criterion))
+            etas = np.asarray(batched_estimates(rd, stacked, criterion,
+                                                mesh=mesh))
         sel = np.where(retired, -np.inf, etas)
         worst = int(np.argmax(sel))
         max_eta = float(etas[worst])

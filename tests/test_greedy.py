@@ -147,3 +147,21 @@ def test_pod_greedy_parabolic():
     Ur = np.asarray(res.reductor.reconstruct(res.rd.solve(mu)))
     rel = np.linalg.norm(U - Ur) / np.linalg.norm(U)
     assert rel < 0.02, rel
+
+
+def test_weak_greedy_sweep_sharded_matches_unsharded(fom):
+    """weak_greedy(mesh=...) shards the surrogate sweep (the measured
+    per-iteration bound at SPE10 scale) over the device mesh; the greedy
+    trajectory must be identical."""
+    import jax
+    from jax.sharding import Mesh
+    d = fom
+    training = d.parameter_space.sample_uniformly(7)
+    ref = weak_greedy(d, training, target_error=1e-8, max_extensions=4,
+                      criterion="residual")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+    out = weak_greedy(d, training, target_error=1e-8, max_extensions=4,
+                      criterion="residual", mesh=mesh)
+    assert [tuple(np.asarray(m["diffusion"]).ravel()) for m in out.chosen_mus] \
+        == [tuple(np.asarray(m["diffusion"]).ravel()) for m in ref.chosen_mus]
+    np.testing.assert_allclose(out.max_etas, ref.max_etas, rtol=1e-9)
