@@ -130,3 +130,26 @@ def test_mf_sharded_apply_matches_unsharded_crisscross():
     assert _sharded_devices(y) == 8
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-11, atol=1e-13)
+
+
+@needs8
+def test_corrector_sharded_matches_unsharded_3d():
+    """The 3D batched patch corrector (z-couplings included) K-sharded over
+    the mesh equals the unsharded solve."""
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+    from pylrbms_tpu.ops.corrector import BatchedCorrector
+
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = {"diffusion": 0.6}
+    U = d.solve(mu)
+    corr = BatchedCorrector(d)
+    marked = [0, 3, 7]
+    W_ref = corr.solve(marked, mu, current_solution=U)
+    sm = SubdomainMesh.create(8)
+    W_sh = corr.solve(marked, mu, current_solution=U, mesh=sm)
+    np.testing.assert_allclose(np.asarray(W_sh), np.asarray(W_ref),
+                               rtol=1e-7, atol=1e-10)
