@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--layers", type=int, nargs=2, default=[40, 44])
     ap.add_argument("--lean", action="store_true",
                     help="skip the MOR estimator tensors (FOM-only)")
+    ap.add_argument("--order", type=int, default=1, choices=(1, 2),
+                    help="polynomial order: 1 (trilinear Q1) or 2 (Q2 with "
+                         "the RT_[1] hex estimator, ops/rt1hex.py)")
     ap.add_argument("--mf", action="store_true",
                     help="matrix-free two-level FOM solve (the at-scale "
                          "path: O(K s^3 nb^2) stencil matvecs)")
@@ -68,7 +71,7 @@ def main():
     if args.xl:
         return main_xl(gpd, dtype, t0)
 
-    d, _ = discretize(gpd, dtype=dtype, lean=args.lean)
+    d, _ = discretize(gpd, dtype=dtype, lean=args.lean, order=args.order)
     sp = d.space
     print(f"discretize: {time.perf_counter()-t0:.1f} s  "
           f"(K={sp.K}, N={sp.N}, {sp.K*sp.N} dofs)")
