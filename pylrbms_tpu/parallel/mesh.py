@@ -69,12 +69,18 @@ class SubdomainMesh:
                 d.products[key] = jax.device_put(v, sk0)
         ed = d.estimator.data if d.estimator else None
         if ed is not None:
+            # lean models carry None for the matrix-form tensors (the
+            # positive-form integrals serve the estimate); skip those
+            def put(name, sharding):
+                v = getattr(ed, name)
+                if v is not None:
+                    setattr(ed, name, jax.device_put(v, sharding))
             for name in ("E_bar", "L2", "BB", "R_dd", "min_ev", "diam"):
-                setattr(ed, name, jax.device_put(getattr(ed, name), sk0))
-            ed.M_aa = jax.device_put(ed.M_aa, self.shard_k(2))
-            ed.M_ab = jax.device_put(ed.M_ab, self.shard_k(1))
-            ed.d_vec = jax.device_put(ed.d_vec, self.shard_k(1))
-            ed.rf_qq = jax.device_put(ed.rf_qq, self.shard_k(2))
+                put(name, sk0)
+            put("M_aa", self.shard_k(2))
+            put("M_ab", self.shard_k(1))
+            put("d_vec", self.shard_k(1))
+            put("rf_qq", self.shard_k(2))
         return d
 
     def shard_stencil(self, sop):

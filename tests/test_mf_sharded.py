@@ -153,3 +153,34 @@ def test_corrector_sharded_matches_unsharded_3d():
     W_sh = corr.solve(marked, mu, current_solution=U, mesh=sm)
     np.testing.assert_allclose(np.asarray(W_sh), np.asarray(W_ref),
                                rtol=1e-7, atol=1e-10)
+
+
+@needs8
+def test_lean_positive_estimate_sharded_matches_unsharded_3d():
+    """The lean (positive-form) estimator — the XL-scale estimate path,
+    no matrix-form tensors — runs K-sharded: Oswald's global vertex
+    scatter and the flux reconstruction's global face moments ride GSPMD;
+    distribute_model skips the absent matrix tensors on lean models."""
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+    from pylrbms_tpu.utils.precision import hp
+
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd, lean=True)
+    mu = {"diffusion": 0.6}
+    U = d.solve(mu)
+    ref = tuple(np.asarray(v)
+                for v in d.estimator.local_quantities_positive(U[None], mu))
+
+    sm = SubdomainMesh.create(8)
+    sm.distribute_model(d)
+    U_sh = jax.device_put(U, sm.shard_k(0))
+    with sm.mesh:
+        fn = jax.jit(hp(lambda u: d.estimator.local_quantities_positive(
+            u[None], mu)), out_shardings=sm.shard_k(1))
+        out = fn(U_sh)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-10, atol=1e-14)
+    assert _sharded_devices(out[0]) == 8
