@@ -51,9 +51,14 @@ def main(cfg=None):
     # full work — assemble, solve, estimate — no cross-query reuse.
     from pylrbms_tpu.model import make_online_step
     # harvested coarse space (spectral, offline-built at mu_bar): measured
-    # 2.43 vs 2.61 ms/query over the modal space at this config
+    # 2.43 vs 2.61 ms/query over the modal space at this config.
+    # matrix_free='affine' (AffineBlockApply) is the batched-serving inner
+    # loop: the affine stacks stream once per CG iteration shared across the
+    # whole query batch — measured 0.325 vs 0.357 (stencil) ms/query at
+    # B=256 on v5e; the assembled-dense apply OOMs at this B ([B, K, N, N]).
     fn = make_online_step(d, tol=1e-6, maxiter=400,
-                          coarse_space="harvested", coarse_modes=12)
+                          coarse_space="harvested", coarse_modes=12,
+                          matrix_free="affine")
     # serving batch: per-query time amortizes with B (measured 2.5 / 1.5 /
     # 1.0 / 0.56 / 0.39 / 0.39 ms at B=16/32/64/128/256/512 — the
     # preconditioner HBM stream and dispatch are shared across the batch and

@@ -645,8 +645,10 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
     ``matrix_free='affine'`` selects the batched-serving apply instead
     (:class:`~pylrbms_tpu.la.block.AffineBlockApply`): the affine dense
     stacks stream once per CG iteration shared across a vmapped query
-    batch — the fastest inner loop at large B (measured 2.8x over the
-    stencil apply at B=256, bench config), while at B=1 the stencil wins.
+    batch — the fastest full online step at large B (measured 0.325 vs
+    0.357 ms/query against the stencil at B=256, bench config on v5e;
+    the assembled-dense apply OOMs there, [B, K, N, N]), while at B=1
+    the stencil wins.
 
     ``coarse_space``: 'modal' (polynomial, :meth:`coarse_modes_basis`) or
     'geneo' (per-subdomain generalized eigenmodes of (A_kk(mu_bar), M_kk),
