@@ -79,6 +79,19 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     # whole offline phase is fused (SURVEY.md §3.1 "one grid walk").
     import jax
 
+    # At scale on accelerators, ASSEMBLE the estimator matrix tensors (the
+    # O(Q^2 K N^2) eta_df/eta_r forms) directly in f32 instead of
+    # assembling in emulated f64 and casting afterwards: the emulated-f64
+    # quadrature einsums were the dominant discretize cost at SPE10 scale
+    # (~10x native f32), while the f32 quadrature accumulation error
+    # (~1e-6 relative) sits far below what the estimator/ROM-projection
+    # consumers of these tensors resolve (same rationale as the
+    # downstream cast, below).  Solve-path tensors (op, rhs, products)
+    # stay f64.
+    est_f32 = (dtype == jnp.float64 and jax.default_backend() != "cpu"
+               and space.K * space.N > 32768)
+    est_dtype = jnp.float32 if est_f32 else dtype
+
     def _build():
         comps = [assemble_swipdg_component(space, lf, kappa, ipdg, dtype)
                  for lf in lambda_funcs]
@@ -96,16 +109,21 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
             M_aa = BB = M_ab = R_dd = None
         else:
             M_aa = jnp.stack([
-                jnp.stack([prod.df_aa(space, lu, lv, lambda_hat, kappa, dtype)
+                jnp.stack([prod.df_aa(space, lu, lv, lambda_hat, kappa,
+                                      est_dtype)
                            for lv in lambda_funcs])
                 for lu in lambda_funcs])                          # [Q, Q, K, N, N]
-            BB = prod.df_bb(space, lambda_hat, kappa, dtype)
-            M_ab = jnp.stack([prod.df_ab(space, lv, lambda_hat, kappa, dtype)
+            BB = prod.df_bb(space, lambda_hat, kappa, est_dtype)
+            M_ab = jnp.stack([prod.df_ab(space, lv, lambda_hat, kappa,
+                                         est_dtype)
                               for lv in lambda_funcs])
         A_div = prod.divergence_matrix(space, dtype)
         if not lean:
-            R_dd = jnp.einsum("nr,knm,ms->krs", A_div, L2, A_div)
-        d_vec = jnp.einsum("nr,qkn->qkr", A_div, rhs_q)
+            R_dd = jnp.einsum("nr,knm,ms->krs", A_div.astype(est_dtype),
+                              L2.astype(est_dtype), A_div.astype(est_dtype))
+        dv_dt = dtype if lean else est_dtype   # lean estimate path keeps f64
+        d_vec = jnp.einsum("nr,qkn->qkr", A_div.astype(dv_dt),
+                           rhs_q.astype(dv_dt))
         rf_qq = jnp.stack([
             jnp.stack([asm.volume_scalar(space, lambda x, fu=fu, fv=fv: fu(x) * fv(x),
                                          dtype)

@@ -146,7 +146,8 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
                 reductor: Optional[LRBMSReductor] = None,
                 order: int = 0, criterion: str = "residual",
                 checkpoint_path: Optional[str] = None,
-                resume: bool = False, mesh=None) -> GreedyResult:
+                resume: bool = False, mesh=None,
+                snapshot_options: Optional[dict] = None) -> GreedyResult:
     """Weak greedy: until the worst surrogate error over the training set
     drops below target_error, pick the worst parameter, FOM-solve it, extend
     the local bases blockwise, re-project.  Parameters whose snapshot adds
@@ -159,8 +160,18 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
     ``mesh`` (a 1D jax.sharding.Mesh) shards the surrogate sweep — the
     greedy's measured per-iteration bound at SPE10 scale
     (docs/results/spe10_greedy_tpu.txt) — over the device mesh; the sweep
-    is embarrassingly parallel in mu (see :func:`batched_estimates`)."""
+    is embarrassingly parallel in mu (see :func:`batched_estimates`).
+
+    ``snapshot_options`` are the ``inverse_options`` for the FOM snapshot
+    solves.  Default precision is 1e-8: a snapshot only feeds the basis
+    through Gram-Schmidt, so accuracy far below the greedy's own surrogate
+    target buys nothing, while the default model precision (1e-10) makes
+    the Krylov tail the dominant steady per-iteration cost at SPE10
+    contrast (the preconditioner is frozen at mu_bar, so the tail flattens
+    for far-away mus)."""
     logger = getLogger("pylrbms.greedy")
+    if snapshot_options is None:
+        snapshot_options = {"precision": 1e-8}
     if (criterion == "residual" and d.space.K * d.space.N > 32768
             and d.estimator is not None
             and getattr(d.estimator.data, "lambda_funcs", None)):
@@ -186,13 +197,18 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
                         f"(RB size {sum(b.shape[0] for b in red.bases)})")
     if red is None:
         red = reductor or LRBMSReductor(d, products=products, order=order)
-    rd = red.reduce()
+    from .utils.timers import GLOBAL_TIMINGS as _T0
+    with _T0.span('greedy: initial reduction') as _s0:
+        rd = red.reduce()
+        _s0["sync"] = rd.A_red
     stacked = _stack_mus(mus)
     chosen = [mus[i] for i in chosen_idx]
     solves = 0
     from .utils.timers import GLOBAL_TIMINGS as _T
     for it in range(it0, max_extensions):
         with _T.span('greedy: surrogate sweep'):
+            # np.asarray blocks: the span also absorbs any device work the
+            # preceding (async-dispatched) re-reduction left in flight
             etas = np.asarray(batched_estimates(rd, stacked, criterion,
                                                 mesh=mesh))
         sel = np.where(retired, -np.inf, etas)
@@ -203,8 +219,14 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
                     f"training index {worst} (RB size {rd.solution_dim})")
         if max_eta <= target_error or retired.all():
             break
-        with _T.span('greedy: FOM snapshot solve'):
-            U = d.solve(mus[worst])
+        with _T.span('greedy: FOM snapshot solve') as _s:
+            U = d.solve(mus[worst], inverse_options=snapshot_options)
+            _s["sync"] = U
+        it_n = getattr(d, "last_solve_iters", None)
+        if it_n is not None:
+            logger.info(f"greedy: snapshot solve {int(it_n)} Krylov "
+                        f"iterations (precision "
+                        f"{snapshot_options.get('precision', 1e-10):.0e})")
         solves += 1
         chosen.append(mus[worst])
         chosen_idx.append(worst)
@@ -215,8 +237,9 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
             logger.info(f"greedy: snapshot at index {worst} added nothing; retiring it")
             retired[worst] = True
             continue
-        with _T.span('greedy: re-reduction (projection)'):
+        with _T.span('greedy: re-reduction (projection)') as _s:
             rd = red.reduce()
+            _s["sync"] = rd.A_red
         if checkpoint_path is not None:
             from .utils.checkpoint import save_greedy_state
             save_greedy_state(red, checkpoint_path, it=it + 1,

@@ -164,10 +164,17 @@ class StationaryBlockModel:
         if kind == "mf_pcg":     # the dense-block operator (eagerly
             # materializing it costs seconds of emulated-f64 einsums per
             # solve at SPE10 scale) unless a post-check is requested
-            U = self._mf_solve(self.theta(mu), b, options or {})
+            opts_it = dict(options or {})
+            opts_it["return_iters"] = True
+            U, it = self._mf_solve(self.theta(mu), b, opts_it)
+            # device scalar, NOT blocked on here (async dispatch stays
+            # intact); callers that already synchronized on U can read it
+            # cheaply for solver-economics logging
+            object.__setattr__(self, "last_solve_iters", it)
         else:
             A = self.assemble(mu)
             U = A.solve(b, options)
+            object.__setattr__(self, "last_solve_iters", None)
 
         def _relres(U_):
             nonlocal A

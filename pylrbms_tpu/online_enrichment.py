@@ -85,9 +85,10 @@ class AdaptiveEnrichment:
                     self._corrector.prefetch_buckets()
             marked_sorted = sorted(marked)
             from .utils.timers import GLOBAL_TIMINGS as _T
-            with _T.span('enrich: corrector solve'):
+            with _T.span('enrich: corrector solve') as _s:
                 W = self._corrector.solve(marked_sorted, mu,
                                           current_solution=u_full)
+                _s["sync"] = W
             with _T.span('enrich: basis extension'):
                 for i, ii in enumerate(marked_sorted):
                     try:
@@ -98,8 +99,9 @@ class AdaptiveEnrichment:
             for ii in sorted(marked):
                 self.reductor.enrich_local(ii, u, mu, current_solution=u_full)
         from .utils.timers import GLOBAL_TIMINGS as _T2
-        with _T2.span('enrich: re-reduction'):
+        with _T2.span('enrich: re-reduction') as _s:
             self.rd = self.reductor.reduce()
+            _s["sync"] = self.rd.A_red
         for ii in range(self.block_space.K):
             age_count[ii] = 1 if ii in marked else age_count[ii] + 1
         return len(marked)
@@ -112,7 +114,7 @@ class AdaptiveEnrichment:
         rb_size = self.rd.solution_dim
         from .utils.timers import GLOBAL_TIMINGS as _T
         while True:
-            with _T.span('enrich: ROM online step'):
+            with _T.span('enrich: ROM online step') as _s:
                 if hasattr(self.rd, "online_step"):
                     # one jitted dispatch per round (solve + localized
                     # estimate); compiled code reused across rounds within
@@ -121,6 +123,7 @@ class AdaptiveEnrichment:
                 else:
                     u = self.rd.solve(mu)
                     eta, _, indicators = self.estimate(u, mu, decompose=True)
+                _s["sync"] = eta
             eta = float(eta)
             if callback:
                 callback(self.rd, u, mu, {

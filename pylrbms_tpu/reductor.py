@@ -501,10 +501,102 @@ class LRBMSReductor:
 
         return _contract
 
-    def _make_image_update_fn(self, r_max: int, ch: int):
+    @staticmethod
+    def _subdomain_colors(grid):
+        """3-periodic subdomain coloring: same-color subdomains are >= 3
+        apart per axis, so their 3x3(x3) oversampling neighborhoods — and
+        hence the supports of Oswald/flux images of columns living on them
+        (both operators are one-element-layer local, tested in
+        tests/test_colored_images.py) — are DISJOINT.  Images of all
+        same-color columns can then be computed in ONE batch element
+        without contaminating each other's neighborhood slots.  Returns
+        (color[k] in [0, n_colors), n_colors) with colors compacted to the
+        ones actually used (small grids use fewer than 9/27).  ``None`` if
+        the grid exposes no structured subdomain lattice."""
+        K = grid.num_subdomains
+        if getattr(grid, "dim", 2) == 3:
+            if not hasattr(grid, "subdomain_coords"):
+                return None
+            coords = np.array([grid.subdomain_coords(k) for k in range(K)])
+            raw = (coords[:, 0] % 3 + 3 * (coords[:, 1] % 3)
+                   + 9 * (coords[:, 2] % 3))
+        else:
+            if not (hasattr(grid, "kx") and hasattr(grid, "ky")):
+                return None
+            sx = np.arange(K) % grid.kx
+            sy = np.arange(K) // grid.kx
+            raw = sx % 3 + 3 * (sy % 3)
+        uniq, color = np.unique(raw, return_inverse=True)
+        return color.astype(np.int64), int(len(uniq))
+
+    # colored image computation is exact (disjoint supports) — the flag
+    # exists so tests can compare against the row-chunked reference path
+    use_colored_images = True
+
+    @staticmethod
+    def _colored_rows(oswald, flux, lam_funcs, V, rows_safe, valid_f, store,
+                      color_k, n_colors: int):
+        """Memory-lean Wk/Tk via neighborhood-disjoint COLOR batching:
+        instead of one batch element per basis column (K*r_max global
+        [K, N] vectors pushed through Oswald/flux — the measured
+        re-reduction bound at SPE10 scale, each vector 99.6% zeros), one
+        batch element holds ALL same-color subdomains' columns of one slot
+        j.  Their images have disjoint supports (see
+        :meth:`_subdomain_colors`), so each neighborhood slot reads its own
+        column's image uncontaminated: n_colors * r_max applies replace
+        K * r_max — a ~K/n_colors (~28x at SPE10 scale) reduction.
+        Returns (Wk [K, P, N], Tk [Q, K, P, Nrt]); exact-equal to
+        :meth:`_patch_rows` (adding structural zeros is exact in IEEE)."""
+        K, r_max, N = V.shape
+        P = rows_safe.shape[1]
+        Nrt = flux.rt_l2g.shape[-1]
+        Q = len(lam_funcs)
+        kk = jnp.arange(K)
+        onehot = (jnp.asarray(color_k)[None, :]
+                  == jnp.arange(n_colors)[:, None]).astype(V.dtype)  # [C, K]
+        k_src = rows_safe // r_max
+        jj = rows_safe % r_max
+        c_src = jnp.asarray(color_k)[k_src]                          # [K, P]
+        # j-slab chunking bounds the [C*jc, K, N] batch (same role as
+        # _patch_rows' row chunking); one slab at typical buckets
+        jc = max(1, min(r_max, 64 // n_colors))
+        njc = -(-r_max // jc)
+        Wk0 = jnp.zeros((K, P, N), store)
+        Tk0 = jnp.zeros((Q, K, P, Nrt), store)
+
+        def body(i, acc):
+            Wk, Tk = acc
+            j0 = i * jc
+            jsl = j0 + jnp.arange(jc)
+            okj = (jsl < r_max)[None, :, None].astype(V.dtype)
+            Vs = V[:, jnp.minimum(jsl, r_max - 1), :] * okj    # [K, jc, N]
+            B = (onehot[:, None, :, None]
+                 * Vs.transpose(1, 0, 2)[None])                # [C, jc, K, N]
+            B = B.reshape(n_colors * jc, K, N)
+            in_sl = ((jj >= j0) & (jj < j0 + jc)
+                     & (valid_f > 0))                          # [K, P]
+            loc = c_src * jc + jnp.clip(jj - j0, 0, jc - 1)    # [K, P]
+            sel = in_sl[:, :, None].astype(store)
+            Wc = oswald.apply(B).astype(store)                 # [C*jc, K, N]
+            Wk = Wk + Wc[loc, kk[:, None], :] * sel
+            for q, lf in enumerate(lam_funcs):
+                Tc = flux.apply(lf, B).astype(store)           # [C*jc, K, Nrt]
+                Tk = Tk.at[q].add(Tc[loc, kk[:, None], :] * sel)
+            return Wk, Tk
+
+        return jax.lax.fori_loop(0, njc, body, (Wk0, Tk0))
+
+    def _make_image_update_fn(self, r_max: int, ch: int, n_batch: int = 0):
         """Jitted incremental image update for one (bucket, chunk) shape:
         computes the Oswald/flux images of up to ``ch`` NEW basis columns
-        and scatters them into the cached neighborhood stacks."""
+        and scatters them into the cached neighborhood stacks.
+
+        With ``n_batch`` > 0 the applies run COLOR-batched: the host
+        supplies ``batch_idx`` assigning each new column to a
+        (color, per-subdomain-rank) batch element with guaranteed-disjoint
+        image supports (:meth:`_subdomain_colors`), so the Oswald/flux
+        batch shrinks from ``ch`` global vectors to ``n_batch`` (~9 at
+        SPE10 scale vs 512) — the measured steady re-reduction bound."""
         d = self.d
         ed = d.estimator.data
         K, N = d.space.K, d.space.N
@@ -514,7 +606,8 @@ class LRBMSReductor:
 
         @jax.jit
         @hp
-        def _update(V, mask, new_ids, Wk, Tk, rows_safe, valid_f):
+        def _update(V, mask, new_ids, Wk, Tk, rows_safe, valid_f,
+                    batch_idx=None):
             # new_ids [ch]: ASCENDING global row ids (k*r_max + j), padded
             # at the END with the sentinel K*r_max (keeps searchsorted valid)
             sentinel = K * r_max
@@ -524,18 +617,27 @@ class LRBMSReductor:
             j_idx = rid % r_max
             Vm = V * mask[:, :, None]
             vals = Vm[k_idx, j_idx] * ok[:, None].astype(V.dtype)
-            B_chunk = jnp.zeros((ch, K, N), V.dtype)
-            B_chunk = B_chunk.at[jnp.arange(ch), k_idx].set(vals)
+            if n_batch:
+                # sentinel rows scatter into the extra row n_batch (sliced
+                # off before the applies) so they cannot clobber a real
+                # (batch, k) pair
+                bi = jnp.where(ok, batch_idx, n_batch)
+                B_chunk = jnp.zeros((n_batch + 1, K, N), V.dtype)
+                B_chunk = B_chunk.at[bi, k_idx].set(vals)[:n_batch]
+            else:
+                B_chunk = jnp.zeros((ch, K, N), V.dtype)
+                B_chunk = B_chunk.at[jnp.arange(ch), k_idx].set(vals)
             # slot membership: which (k, p) neighborhood slots hold new ids
             pos = jnp.searchsorted(new_ids, rows_safe)           # [K, P]
             pos = jnp.clip(pos, 0, ch - 1)
             hit = (new_ids[pos] == rows_safe) & (valid_f > 0)
             sel = hit[:, :, None].astype(Wk.dtype)
-            Wc = oswald.apply(B_chunk).astype(Wk.dtype)          # [ch, K, N]
-            Wk = Wk + Wc[pos, kk[:, None], :] * sel
+            gi = batch_idx[pos] if n_batch else pos              # [K, P]
+            Wc = oswald.apply(B_chunk).astype(Wk.dtype)
+            Wk = Wk + Wc[gi, kk[:, None], :] * sel
             for q, lf in enumerate(lam_funcs):
                 Tc = flux.apply(lf, B_chunk).astype(Tk.dtype)
-                Tk = Tk.at[q].add(Tc[pos, kk[:, None], :] * sel)
+                Tk = Tk.at[q].add(Tc[gi, kk[:, None], :] * sel)
             return Wk, Tk
 
         return _update
@@ -555,6 +657,8 @@ class LRBMSReductor:
         lam_funcs = ed.lambda_funcs
         oswald, flux = ed.oswald, ed.flux
         parabolic = getattr(self, 'parabolic_tensors', False)
+        colors = (self._subdomain_colors(d.grid)
+                  if self.use_colored_images else None)
 
         def _full(op_arrays, ed_arrays, rhs_q, V, mask, rows_safe, valid_f):
             A_red, b_red, B_all = LRBMSReductor._project(
@@ -599,7 +703,7 @@ class LRBMSReductor:
             kk = jnp.arange(K)
             if not (with_gramians or parabolic):
                 # at-scale path: never materialize B_all/W_all/T_all
-                # ([R, K, N] each, ~2.5 GB at SPE10 scale) — chunked
+                # ([R, K, N] each, ~2.5 GB at SPE10 scale) — batched
                 # apply + immediate neighborhood gather (B_all above is
                 # then dead and eliminated by XLA).  The gathered
                 # [K, P, *] tensors are small, so they accumulate in the
@@ -607,9 +711,17 @@ class LRBMSReductor:
                 # full precision or the online eta_r cancellation
                 # (rf - 2 r_fd + r_dd) floors at ~1e-7*rf — at SPE10
                 # scaling that is a ~1e7 absolute eta error.
-                Wk, Tk = LRBMSReductor._patch_rows(
-                    oswald, flux, lam_funcs, V * mask[:, :, None],
-                    rows_safe, valid_f, wide, ch)
+                if colors is not None:
+                    # neighborhood-disjoint color batching: K*r_max
+                    # column applies collapse to n_colors*r_max (~28x at
+                    # SPE10 scale; exact — see _colored_rows)
+                    Wk, Tk = LRBMSReductor._colored_rows(
+                        oswald, flux, lam_funcs, V * mask[:, :, None],
+                        rows_safe, valid_f, wide, colors[0], colors[1])
+                else:
+                    Wk, Tk = LRBMSReductor._patch_rows(
+                        oswald, flux, lam_funcs, V * mask[:, :, None],
+                        rows_safe, valid_f, wide, ch)
                 lean_images = (Wk, Tk)
             else:
                 lean_images = None
@@ -729,7 +841,7 @@ class LRBMSReductor:
         if getattr(self, "force_lean", False):     # test hook: exercise the
             with_gramians = False                  # at-scale path on CPU
         key = (K, N, r_max, Q, Qf, with_gramians,
-               getattr(self, "force_chunk", None))
+               getattr(self, "force_chunk", None), self.use_colored_images)
         return key, with_gramians
 
     def prefetch_bucket(self, r_next: int, mesh=None):
@@ -949,6 +1061,8 @@ class LRBMSReductor:
                 for k in range(K)]).astype(np.int64)
             if not hasattr(self, "_upd_cache"):
                 self._upd_cache = {}
+            colors = (self._subdomain_colors(self.d.grid)
+                      if self.use_colored_images else None)
             i = 0
             while i < len(new_rows):
                 n = len(new_rows) - i
@@ -957,13 +1071,26 @@ class LRBMSReductor:
                 take = min(n, ch)
                 ids = np.full(ch, K * r_max, np.int64)   # end sentinel
                 ids[:take] = np.sort(new_rows[i:i + take])
-                ukey = (r_max, ch)
+                n_batch = 0
+                bidx = None
+                if colors is not None:
+                    color_k, n_colors = colors
+                    kseq = ids[:take] // r_max           # ascending, same-k
+                    # per-subdomain rank within the chunk (adjacent runs)
+                    rank = np.arange(take) - np.searchsorted(kseq, kseq)
+                    mb = 1 << int(np.max(rank, initial=0)).bit_length() \
+                        if rank.size and rank.max() > 0 else 1
+                    n_batch = n_colors * mb
+                    bidx = np.zeros(ch, np.int64)
+                    bidx[:take] = color_k[kseq] * mb + rank
+                    bidx = jnp.asarray(bidx)
+                ukey = (r_max, ch, n_batch)
                 upd = self._upd_cache.get(ukey)
                 if upd is None:
-                    upd = self._make_image_update_fn(r_max, ch)
+                    upd = self._make_image_update_fn(r_max, ch, n_batch)
                     self._upd_cache[ukey] = upd
                 Wk, Tk = upd(V, mask, jnp.asarray(ids), Wk, Tk,
-                             rows_j, valid_j)
+                             rows_j, valid_j, bidx)
                 i += take
             contract = getattr(self, "_contract_fn", None)
             if contract is None:

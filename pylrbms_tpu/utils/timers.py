@@ -34,10 +34,12 @@ class Timings:
         self.spans[name].append(time.perf_counter() - t0)
 
     def report(self) -> str:
-        lines = [f"{'span':40s} {'calls':>6s} {'total[s]':>10s} {'mean[ms]':>10s}"]
+        lines = [f"{'span':40s} {'calls':>6s} {'total[s]':>10s} "
+                 f"{'mean[ms]':>10s} {'min[ms]':>10s} {'max[ms]':>10s}"]
         for name, ts in sorted(self.spans.items()):
             lines.append(f"{name:40s} {len(ts):6d} {sum(ts):10.3f} "
-                         f"{1e3 * sum(ts) / len(ts):10.2f}")
+                         f"{1e3 * sum(ts) / len(ts):10.2f} "
+                         f"{1e3 * min(ts):10.2f} {1e3 * max(ts):10.2f}")
         return "\n".join(lines)
 
     def as_json(self) -> str:
