@@ -1123,11 +1123,31 @@ class LRBMSReductor:
 
 
 class ParallelLRBMSReductor(LRBMSReductor):
-    """Interface-parity alias (<-> ``reductor.ParallelLRBMSReductor``,
-    ``reductor.py:81-147``): in the reference this adds MPI Allreduce of
-    reduced operators, but its `_reduce` returns before summing (dead code).
-    Here distribution is handled by sharding the K axis; nothing extra to do.
-    """
+    """Distributed-by-default reductor (<-> ``reductor.ParallelLRBMSReductor``,
+    ``reference reductor.py:81-147``: the reference's MPI Allreduce of reduced
+    operators is dead code — its ``_reduce`` returns before summing).
+
+    In this framework the base reductor is already mesh-capable
+    (``reduce(mesh=...)`` K-shards the whole projection graph over the
+    device mesh, and ``mesh=`` in ``__init__`` makes that the default).
+    This subclass makes distribution the DEFAULT: when no mesh is passed
+    and more than one device is visible, it builds a 1D
+    :class:`~pylrbms_tpu.parallel.mesh.SubdomainMesh` over the largest
+    device prefix that divides K, so every reduce / enrichment
+    re-reduction runs sharded without further plumbing.  On a single
+    device it degrades to the (identical-result) local path."""
+
+    def __init__(self, d, *args, mesh=None, **kwargs):
+        if mesh is None:
+            import jax
+            n = len(jax.devices())
+            K = d.space.K
+            while n > 1 and K % n:
+                n -= 1
+            if n > 1:
+                from .parallel.mesh import SubdomainMesh
+                mesh = SubdomainMesh.create(n)
+        super().__init__(d, *args, mesh=mesh, **kwargs)
 
 
 class ParabolicLRBMSReductor(LRBMSReductor):

@@ -104,3 +104,30 @@ def test_two_process_jax_distributed_smoke():
                          text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "distributed smoke: OK" in out.stdout
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_parallel_reductor_defaults_to_device_mesh():
+    """ParallelLRBMSReductor is the distributed-by-default entry point: with
+    no mesh passed it builds a SubdomainMesh over the largest device prefix
+    dividing K, and reduce() lands sharded with unsharded-identical results
+    (<-> ref reductor.py:81-147, whose MPI op-sum is dead code)."""
+    from pylrbms_tpu.reductor import LRBMSReductor, ParallelLRBMSReductor
+    gpd = init_grid_and_problem({'num_subdomains': [4, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, data = discretize(gpd)
+    red = ParallelLRBMSReductor(d, products=data['local_energy_dg_product'],
+                                order=0)
+    assert red.mesh is not None and red.mesh.mesh.devices.size == 8
+    ref = LRBMSReductor(d, products=data['local_energy_dg_product'], order=0)
+    for v in (0.3, 1.0):
+        U = d.solve({'diffusion': v})
+        red.extend_basis(U)
+        ref.extend_basis(U)
+    rd_sh, rd_ref = red.reduce(), ref.reduce()
+    assert len(set(s.device for s in rd_sh.G_nc.addressable_shards)) == 8
+    for name in ('A_red', 'b_red', 'G_nc', 'AA', 'ABT', 'BBT', 'DV', 'RD'):
+        np.testing.assert_allclose(np.asarray(getattr(rd_sh, name)),
+                                   np.asarray(getattr(rd_ref, name)),
+                                   rtol=1e-12, atol=1e-14, err_msg=name)
