@@ -487,19 +487,35 @@ class LRBMSReductor:
             A_red, b_red, _ = LRBMSReductor._project(
                 op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
                 mask, side_rows, edges)
-            (E_bar, BB, M_aa, M_ab, d_vec, R_dd, _l2, _div) = ed_arrays
             Vm = V * mask[:, :, None]
-            G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
-            BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
-            RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)
-            AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
-            ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
-            DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
-            return dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
-                        ABT=ABT, BBT=BBT, DV=DV, RD=RD,
-                        G_bb=None, G_Ab=None, G_AA=None)
+            out = LRBMSReductor._est_projections(ed_arrays, Vm, Wk, Tk)
+            out.update(A_red=A_red, b_red=b_red,
+                       G_bb=None, G_Ab=None, G_AA=None)
+            return out
 
         return _contract
+
+    @staticmethod
+    def _est_projections(ed_arrays, Vm, Wk, Tk):
+        """The six projected estimator tensors, contracted in the
+        est-tensor dtype: at scale on accelerators the matrix tensors
+        (M_aa/BB/R_dd/...) are stored f32 (discretize's est_f32 policy), so
+        promoting the f64 basis/image operands would push these einsums —
+        the measured bulk of the steady re-reduction contract — into the
+        x64-emulation path for no information gain (the data already
+        carries the f32 floor).  Measured 264 -> 26 ms at SPE10 scale;
+        identity on CPU/f64."""
+        (E_bar, BB, M_aa, M_ab, d_vec, R_dd, _l2, _div) = ed_arrays
+        Vc = Vm.astype(M_aa.dtype)
+        Wc = Wk.astype(E_bar.dtype)
+        Tc = Tk.astype(BB.dtype)
+        G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wc, E_bar, Wc)
+        BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tc, BB, Tc)
+        RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tc, R_dd, Tc)
+        AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vc, Vc)
+        ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vc, M_ab, Tc)
+        DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tc)
+        return dict(G_nc=G_nc, AA=AA, ABT=ABT, BBT=BBT, DV=DV, RD=RD)
 
     @staticmethod
     def _subdomain_colors(grid):
@@ -706,11 +722,13 @@ class LRBMSReductor:
                 # ([R, K, N] each, ~2.5 GB at SPE10 scale) — batched
                 # apply + immediate neighborhood gather (B_all above is
                 # then dead and eliminated by XLA).  The gathered
-                # [K, P, *] tensors are small, so they accumulate in the
-                # WIDE dtype: the projected RD/DV/BBT tensors must carry
-                # full precision or the online eta_r cancellation
-                # (rf - 2 r_fd + r_dd) floors at ~1e-7*rf — at SPE10
-                # scaling that is a ~1e7 absolute eta error.
+                # [K, P, *] image stacks are small and kept in the WIDE
+                # dtype (they also feed G_nc/A_red-adjacent uses); the
+                # estimator-tensor projections themselves contract in the
+                # est-tensor dtype (_est_projections) — at scale those
+                # tensors are stored f32 by discretize, so the data
+                # already carries the f32 floor the eta_r cancellation
+                # (rf - 2 r_fd + r_dd) sees.
                 if colors is not None:
                     # neighborhood-disjoint color batching: K*r_max
                     # column applies collapse to n_colors*r_max (~28x at
@@ -770,15 +788,9 @@ class LRBMSReductor:
             else:
                 G_bb = G_Ab = G_AA = None
 
-            G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
-            BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
-            RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)
             Vm = V * mask[:, :, None]
-            AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
-            ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
-            DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
-            out = dict(A_red=A_red, b_red=b_red, G_nc=G_nc, AA=AA,
-                       ABT=ABT, BBT=BBT, DV=DV, RD=RD,
+            out = LRBMSReductor._est_projections(ed_arrays, Vm, Wk, Tk)
+            out.update(A_red=A_red, b_red=b_red,
                        G_bb=G_bb, G_Ab=G_Ab, G_AA=G_AA)
             if lean_images is not None:
                 # expose the gathered image stacks so reduce() can cache
@@ -838,8 +850,11 @@ class LRBMSReductor:
         Qf = len(d.f_coeffs)
         with_gramians = not (K * r_max > 1024
                              and jax.default_backend() != "cpu")
-        if getattr(self, "force_lean", False):     # test hook: exercise the
-            with_gramians = False                  # at-scale path on CPU
+        if getattr(self, "force_lean", False):
+            # skip the algebraic-residual Gramians regardless of the size
+            # heuristic: set by tests (exercise the at-scale path on CPU)
+            # and by weak_greedy when its criterion never reads them
+            with_gramians = False
         key = (K, N, r_max, Q, Qf, with_gramians,
                getattr(self, "force_chunk", None), self.use_colored_images)
         return key, with_gramians
