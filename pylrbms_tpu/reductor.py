@@ -497,24 +497,27 @@ class LRBMSReductor:
 
     @staticmethod
     def _est_projections(ed_arrays, Vm, Wk, Tk):
-        """The six projected estimator tensors, contracted in the
-        est-tensor dtype: at scale on accelerators the matrix tensors
-        (M_aa/BB/R_dd/...) are stored f32 (discretize's est_f32 policy), so
-        promoting the f64 basis/image operands would push these einsums —
-        the measured bulk of the steady re-reduction contract — into the
-        x64-emulation path for no information gain (the data already
-        carries the f32 floor).  Measured 264 -> 26 ms at SPE10 scale;
-        identity on CPU/f64."""
+        """The six projected estimator tensors.
+
+        Contracted in the PROMOTED (wide) dtype even when the matrix
+        tensors are stored f32 at scale: eta_r (rf - 2 r_fd + r_dd) and
+        eta_df (aa + bb + 2 ab) are cancellation formulas, and contracting
+        in f32 floors them orders of magnitude higher — measured at SPE10
+        (98k dofs, contrast 3e6): online eta 5.8e2 with the promoted
+        contraction vs 2.4e7 (and no longer decreasing under enrichment)
+        with an f32 contraction of the same f32-stored tensors.  The f32
+        STORAGE rounding of the tensor entries largely cancels between the
+        r_fd/r_dd (ab/aa) terms because both derive from the same rounded
+        data; independent f32 accumulation noise does not.  The promoted
+        einsums cost ~264 ms at that scale — negligible against the
+        re-reduction total."""
         (E_bar, BB, M_aa, M_ab, d_vec, R_dd, _l2, _div) = ed_arrays
-        Vc = Vm.astype(M_aa.dtype)
-        Wc = Wk.astype(E_bar.dtype)
-        Tc = Tk.astype(BB.dtype)
-        G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wc, E_bar, Wc)
-        BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tc, BB, Tc)
-        RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tc, R_dd, Tc)
-        AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vc, Vc)
-        ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vc, M_ab, Tc)
-        DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tc)
+        G_nc = jnp.einsum("kpn,knm,kqm->kpq", Wk, E_bar, Wk)
+        BBT = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, BB, Tk)
+        RD = jnp.einsum("pkur,krs,qkvs->pqkuv", Tk, R_dd, Tk)
+        AA = jnp.einsum("prknm,kan,kbm->prkab", M_aa, Vm, Vm)
+        ABT = jnp.einsum("kan,pknr,qkur->pqkau", Vm, M_ab, Tk)
+        DV = jnp.einsum("fkr,qkur->fqku", d_vec, Tk)
         return dict(G_nc=G_nc, AA=AA, ABT=ABT, BBT=BBT, DV=DV, RD=RD)
 
     @staticmethod
@@ -909,16 +912,12 @@ class LRBMSReductor:
 
         def work():
             try:
-                # (Mesh contexts are thread-local — re-enter in the worker.)
-                if mesh is not None:
-                    with mesh.mesh:
-                        fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
-                                 rows_j, valid_j).compile()
-                else:
-                    fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
-                             rows_j, valid_j).compile()
-                self._project_cache[key] = fn
-                # also warm the ROM online-step compile for this bucket
+                # Compile order matters: at a bucket growth the foreground
+                # needs the ONLINE STEP + INCREMENTAL update/contract fns
+                # (the image cache carries over; the full projection is
+                # only the fallback), so warm those FIRST — the online-step
+                # warm needs only eval_shape of fn, not its compile.
+                # warm the ROM online-step compile for this bucket
                 # (finishes VERDICT round-1 item 5: the online step used to
                 # recompile mid-enrichment at every bucket growth): build a
                 # zero-filled ReducedModel with the projection's exact
@@ -926,13 +925,70 @@ class LRBMSReductor:
                 # populating the shape-keyed _ONLINE_JIT_CACHE.
                 outs = jax.eval_shape(fn, op_arrays, ed_arrays, rhs_q, V0,
                                       mask0, rows_j, valid_j)
-                zeros = {k: jnp.zeros(v.shape, v.dtype)
+                # lean outputs carry None for the Gramians — keep them None
+                # (a bare .shape access here used to abort the whole
+                # best-effort warm silently)
+                zeros = {k: (None if v is None
+                             else jnp.zeros(v.shape, v.dtype))
                          for k, v in outs.items()}
                 nb_idx, _, _ = self._bucket_rows(d.grid, K, r_next)
                 rd0 = self._build_reduced(zeros, np.full(K, r_next), r_next,
                                           nb_idx)
                 mu0 = ed.mu_bar or {}
                 rd0.online_step(mu0)
+                if not with_gramians:
+                    # also warm the INCREMENTAL path's compiles for this
+                    # bucket: the image-update fns for the production chunk
+                    # shapes (enrichment adds a few columns -> ch=8; greedy
+                    # adds one per subdomain -> the >=K rung) and the
+                    # contract fn — the r_max-bucket growth otherwise lands
+                    # these compiles mid-enrichment (measured ~54 s at
+                    # SPE10 scale, docs/results/spe10_greedy_tpu.txt).
+                    colors = (self._subdomain_colors(d.grid)
+                              if self.use_colored_images else None)
+                    if not hasattr(self, "_upd_cache"):
+                        self._upd_cache = {}
+                    Q = len(ed.lambda_funcs)
+                    Nrt = ed.BB.shape[-1]
+                    P = rows_j.shape[1]
+                    Wk0 = jnp.zeros((K, P, d.space.N), V0.dtype)
+                    Tk0 = jnp.zeros((Q, K, P, Nrt), V0.dtype)
+                    chs = {next((c for c in self._UPD_CHUNKS if c >= n),
+                                self._UPD_CHUNKS[-1])
+                           for n in (8, K)}
+                    for ch in sorted(chs):
+                        n_batch = colors[1] if colors is not None else 0
+                        ukey = (r_next, ch, n_batch)
+                        if ukey in self._upd_cache:
+                            continue
+                        upd = self._make_image_update_fn(r_next, ch,
+                                                         n_batch)
+                        ids0 = jnp.asarray(np.full(ch, K * r_next,
+                                                   np.int64))
+                        bidx0 = (jnp.asarray(np.zeros(ch, np.int64))
+                                 if n_batch else None)
+                        upd.lower(V0, mask0, ids0, Wk0, Tk0, rows_j,
+                                  valid_j, bidx0).compile()
+                        self._upd_cache[ukey] = upd
+                    contract = getattr(self, "_contract_fn", None)
+                    if contract is None:
+                        contract = self._make_contract_fn()
+                        self._contract_fn = contract
+                    contract.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                                   Wk0, Tk0).compile()
+                # the full projection LAST: it only runs when the image
+                # cache cannot be reused (fresh reductor / parabolic /
+                # sharded), so its multi-minute compile must not delay the
+                # growth-critical fns above
+                if mesh is not None:
+                    # (Mesh contexts are thread-local — re-enter here.)
+                    with mesh.mesh:
+                        fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                                 rows_j, valid_j).compile()
+                else:
+                    fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                             rows_j, valid_j).compile()
+                self._project_cache[key] = fn
             except Exception:      # noqa: BLE001 — prefetch is best-effort
                 pass
             finally:
@@ -988,8 +1044,21 @@ class LRBMSReductor:
         if not hasattr(self, "_project_cache"):
             self._project_cache = {}
         key, with_gramians = self._project_key(r_max)
+        # will the incremental image-cache path serve this reduce?  Then the
+        # full-projection fn is never CALLED (only threaded through as the
+        # fallback), so do NOT block on an in-flight prefetch compile of it
+        # — joining here cost ~90 s at the first bucket growth of an
+        # enrichment mu at SPE10 scale.
+        cache_ = getattr(self, "_img_cache", None)
+        incremental = (not with_gramians
+                       and not getattr(self, "parabolic_tensors", False)
+                       and cache_ is not None
+                       and not getattr(self, "force_full_projection", False)
+                       and cache_["r_max"] <= r_max
+                       and bool(np.all(sizes >= cache_["sizes"]))
+                       and mesh is None)
         fn = self._project_cache.get(key)
-        if fn is None:
+        if fn is None and not incremental:
             # reuse an in-flight prefetch compile rather than racing it with
             # a second identical foreground compile
             t = getattr(self, "_prefetching", {}).get(key)
@@ -998,7 +1067,8 @@ class LRBMSReductor:
                 fn = self._project_cache.get(key)
         if fn is None:
             fn = self._make_project_fn(with_gramians)
-            self._project_cache[key] = fn
+            if not incremental:
+                self._project_cache[key] = fn
 
 
         rows_j = jnp.asarray(rows_safe)

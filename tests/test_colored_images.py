@@ -105,3 +105,34 @@ def test_colored_incremental_update_matches_full(d66):
         np.testing.assert_allclose(np.asarray(getattr(rd_inc, name)),
                                    np.asarray(getattr(rd_full, name)),
                                    rtol=1e-10, atol=1e-12, err_msg=name)
+
+
+def test_colored_full_reduce_matches_rowchunked_3d():
+    """3D: 4x4x4 subdomains -> 27 colors, several batching multiple
+    subdomains; the colored lean projection must equal the row-chunked
+    path (3x3x3-neighborhood disjointness)."""
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem as igp3
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import \
+        discretize as discretize3d
+    gpd = igp3({'num_subdomains': [4, 4, 4],
+                'half_num_fine_elements_per_subdomain_and_dim': 1,
+                'num_refinements': 0})
+    d, data = discretize3d(gpd)
+    color, n_colors = LRBMSReductor._subdomain_colors(d.grid)
+    assert n_colors == 27 and np.bincount(color).max() >= 4
+
+    def build(colored):
+        red = LRBMSReductor(d, order=0)
+        red.force_lean = True
+        red.prefetch_next = False
+        red.use_colored_images = colored
+        for v in (0.3, 1.0):
+            red.extend_basis(np.asarray(d.solve({'diffusion': v}),
+                                        np.float64))
+        return red.reduce()
+
+    rd_c, rd_r = build(True), build(False)
+    for name in RED_TENSORS:
+        np.testing.assert_allclose(np.asarray(getattr(rd_c, name)),
+                                   np.asarray(getattr(rd_r, name)),
+                                   rtol=1e-13, atol=1e-15, err_msg=name)
