@@ -72,20 +72,33 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
             energy = energy + c * (
                 asm3.volume_elliptic(space, lf, kappa, dtype)
                 + prod3.penalty_product(space, lf, kappa, ipdg, dtype))
+        # assemble the estimator matrix tensors directly in f32 at scale
+        # (same policy + rationale as the 2D discretizer: the emulated-f64
+        # quadrature einsums of the O(Q^2 K N^2) forms dominated the
+        # discretize cost, while their consumers already live at the f32
+        # data floor via the downstream cast below)
+        est_f32 = (dtype == jnp.float64 and jax.default_backend() != "cpu"
+                   and space.K * space.N > 32768)
+        est_dtype = jnp.float32 if est_f32 else dtype
         if lean:
             M_aa = BB = M_ab = R_dd = None
         else:
             M_aa = jnp.stack([
-                jnp.stack([prod3.df_aa(space, lu, lv, lambda_hat, kappa, dtype)
+                jnp.stack([prod3.df_aa(space, lu, lv, lambda_hat, kappa,
+                                       est_dtype)
                            for lv in lambda_funcs])
                 for lu in lambda_funcs])                      # [Q, Q, K, N, N]
-            BB = prod3.df_bb(space, lambda_hat, kappa, dtype)
-            M_ab = jnp.stack([prod3.df_ab(space, lv, lambda_hat, kappa, dtype)
+            BB = prod3.df_bb(space, lambda_hat, kappa, est_dtype)
+            M_ab = jnp.stack([prod3.df_ab(space, lv, lambda_hat, kappa,
+                                          est_dtype)
                               for lv in lambda_funcs])
         A_div = prod3.divergence_matrix(space, dtype)
         if not lean:
-            R_dd = jnp.einsum("nr,knm,ms->krs", A_div, L2, A_div)
-        d_vec = jnp.einsum("nr,qkn->qkr", A_div, rhs_q)
+            R_dd = jnp.einsum("nr,knm,ms->krs", A_div.astype(est_dtype),
+                              L2.astype(est_dtype), A_div.astype(est_dtype))
+        dv_dt = dtype if lean else est_dtype   # lean estimate path keeps f64
+        d_vec = jnp.einsum("nr,qkn->qkr", A_div.astype(dv_dt),
+                           rhs_q.astype(dv_dt))
         rf_qq = jnp.stack([
             jnp.stack([asm3.volume_scalar(
                 space, lambda x, fu=fu, fv=fv: fu(x) * fv(x), dtype)
