@@ -205,6 +205,12 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
         # scale (r_max=4 bucket, where the heuristic keeps Gramians on):
         # 37.5 s -> ~2 s per steady greedy re-reduction.
         red.force_lean = True
+    # overlap the frozen-preconditioner build + solve compile (the first
+    # snapshot's one-time ~94 s at SPE10 scale) with the initial reduction
+    # and the first surrogate sweep; joined before the first FOM solve
+    prep_t = (d.prepare_solver(inverse_options=snapshot_options,
+                               background=True)
+              if hasattr(d, "prepare_solver") else None)
     from .utils.timers import GLOBAL_TIMINGS as _T0
     with _T0.span('greedy: initial reduction') as _s0:
         rd = red.reduce()
@@ -227,6 +233,9 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
                     f"training index {worst} (RB size {rd.solution_dim})")
         if max_eta <= target_error or retired.all():
             break
+        if prep_t is not None:
+            prep_t.join()
+            prep_t = None
         with _T.span('greedy: FOM snapshot solve') as _s:
             U = d.solve(mus[worst], inverse_options=snapshot_options)
             _s["sync"] = U
