@@ -290,18 +290,78 @@ class LRBMSReductor:
         self.bases[subdomain] = np.vstack([self.bases[subdomain], added])
         return added.shape[0]
 
+    # None = auto (device path for single-snapshot extensions at K >= 64);
+    # True/False force it on/off (tests)
+    batched_gs = None
+
     def extend_basis(self, U) -> int:
         """Blockwise extension with a global snapshot [.., K, N]
         (<-> ``GenericRBSystemReductor.extend_basis``)."""
         U = np.asarray(U, dtype=np.float64)
         if U.ndim == 2:
             U = U[None]
+        use_dev = self.batched_gs
+        if use_dev is None:
+            use_dev = U.shape[0] == 1 and self.d.space.K >= 64
+        if use_dev and U.shape[0] == 1:
+            return self._extend_basis_batched(U[0])
         total = 0
         for ii in range(self.d.space.K):
             try:
                 total += self.extend_basis_local(ii, U[:, ii, :])
             except ExtensionError:
                 pass
+        if total == 0:
+            raise ExtensionError("no new basis vectors on any subdomain")
+        return total
+
+    def _extend_basis_batched(self, u: np.ndarray, rtol: float = 1e-10) -> int:
+        """Device-batched Gram-Schmidt for the greedy shape (ONE new column
+        per subdomain): all K projections against the local bases run as
+        three batched einsums instead of a K-long host loop of per-subdomain
+        numpy products (which also pulls each product block over the device
+        boundary — the measured 0.2-1.7 s 'basis extension' span at SPE10
+        scale).  Since the existing bases are P-orthonormal, the classical
+        (sum) projection equals the host loop's sequential (modified-GS)
+        projection in exact arithmetic; the same two re-orthogonalization
+        passes bound the roundoff.  Acceptance semantics mirror
+        :func:`gram_schmidt` (reject when the orthogonal remainder falls
+        below rtol * the initial P-norm)."""
+        K, N = self.d.space.K, self.d.space.N
+        sizes = self.basis_sizes()
+        r_max = max(1, int(sizes.max()))
+        V = jnp.asarray(self._padded_bases(r_max))
+        mask = jnp.asarray((np.arange(r_max)[None, :]
+                            < sizes[:, None]).astype(np.float64))
+        if not hasattr(self, "_gs_cache"):
+            self._gs_cache = {}
+        fn = self._gs_cache.get((r_max, rtol))
+        if fn is None:
+            @jax.jit
+            @hp
+            def fn(P, V, mask, u):
+                def pnorm(v):
+                    q = jnp.einsum("kn,knm,km->k", v, P, v)
+                    return jnp.sqrt(jnp.maximum(q, 0.0))
+                norm0 = pnorm(u)
+                v = u
+                for _ in range(2):   # re-orthogonalization pass
+                    Pv = jnp.einsum("knm,km->kn", P, v)
+                    coef = jnp.einsum("krn,kn->kr", V, Pv) * mask
+                    v = v - jnp.einsum("kr,krn->kn", coef, V)
+                norm = pnorm(v)
+                accept = (norm > rtol * norm0) & (norm0 > 0.0)
+                w = v / jnp.where(norm > 0.0, norm, 1.0)[:, None]
+                return w, accept
+            self._gs_cache[(r_max, rtol)] = fn
+        w, accept = fn(jnp.asarray(self.products), V, mask,
+                       jnp.asarray(u, jnp.float64))
+        w = np.asarray(w, dtype=np.float64)
+        accept = np.asarray(accept)
+        total = 0
+        for k in np.where(accept)[0]:
+            self.bases[k] = np.vstack([self.bases[k], w[k]])
+            total += 1
         if total == 0:
             raise ExtensionError("no new basis vectors on any subdomain")
         return total

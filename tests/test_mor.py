@@ -239,3 +239,58 @@ def test_incremental_reduce_matches_full():
     red.extend_basis_local(0, rng.normal(size=(4, d.space.N)))
     assert max(red.basis_sizes()) > 4
     check()
+
+
+def test_batched_gs_extension_matches_host():
+    """The device-batched Gram-Schmidt extension (the greedy's
+    one-column-per-subdomain fast path) must produce a P-orthonormal basis
+    spanning the same local spaces as the host loop, with identical
+    acceptance decisions; the ROMs built from either basis are equivalent
+    (same reduced solution reconstructions)."""
+    from pylrbms_tpu.reductor import LRBMSReductor
+    gpd = init_grid_and_problem({'num_subdomains': [4, 2],
+                  'half_num_fine_elements_per_subdomain_and_dim': 1,
+                  'num_refinements': 1})
+    d, data = discretize(gpd)
+    P = np.asarray(data['local_energy_dg_product'])
+
+    red_h = LRBMSReductor(d, products=data['local_energy_dg_product'],
+                          order=0)
+    red_d = LRBMSReductor(d, products=data['local_energy_dg_product'],
+                          order=0)
+    red_h.batched_gs = False
+    red_d.batched_gs = True
+    snaps = [np.asarray(d.solve({'diffusion': v})) for v in (0.3, 1.0)]
+    # a duplicate snapshot must be REJECTED identically on both paths
+    snaps.append(snaps[-1])
+    for U in snaps:
+        try:
+            nh = red_h.extend_basis(U)
+        except Exception:
+            nh = 0
+        try:
+            nd = red_d.extend_basis(U)
+        except Exception:
+            nd = 0
+        assert nh == nd
+    assert (red_h.basis_sizes() == red_d.basis_sizes()).all()
+    K = d.space.K
+    for k in range(K):
+        Vd = red_d.bases[k]
+        # P-orthonormality
+        G = Vd @ P[k] @ Vd.T
+        np.testing.assert_allclose(G, np.eye(Vd.shape[0]), atol=1e-9)
+        # same span: the P-orthogonal projectors agree
+        Vh = red_h.bases[k]
+        Ph = Vh.T @ Vh @ P[k]
+        Pd = Vd.T @ Vd @ P[k]
+        np.testing.assert_allclose(Ph, Pd, atol=1e-8)
+    # ROM equivalence: same reconstructed solutions
+    rd_h, rd_d = red_h.reduce(), red_d.reduce()
+    mu = {'diffusion': 0.55}
+    Uh = np.asarray(red_h.reconstruct(rd_h.solve(mu)))
+    Ud = np.asarray(red_d.reconstruct(rd_d.solve(mu)))
+    np.testing.assert_allclose(Uh, Ud, rtol=0, atol=1e-9)
+    eh = float(rd_h.estimate(rd_h.solve(mu), mu))
+    ed = float(rd_d.estimate(rd_d.solve(mu), mu))
+    assert abs(eh - ed) <= 1e-8 * abs(eh)
