@@ -290,9 +290,14 @@ class LRBMSReductor:
         self.bases[subdomain] = np.vstack([self.bases[subdomain], added])
         return added.shape[0]
 
-    # None = auto (device path for single-snapshot extensions at K >= 64);
-    # True/False force it on/off (tests)
-    batched_gs = None
+    # Device-batched Gram-Schmidt for single-snapshot extensions: OFF by
+    # default — measured SLOWER than the host loop at SPE10 f64 scale
+    # (5-10 s vs 0.2-1.7 s: the [K,N,N] product einsums are f64-EMULATED on
+    # the chip, i.e. the same flops as host numpy, and the greedy's
+    # monotonically growing r_max forces a remote recompile every
+    # iteration).  Kept as an option (True) for f32 models / large batches
+    # where the einsums run native; tested equivalent in test_mor.py.
+    batched_gs = False
 
     def extend_basis(self, U) -> int:
         """Blockwise extension with a global snapshot [.., K, N]
@@ -300,9 +305,7 @@ class LRBMSReductor:
         U = np.asarray(U, dtype=np.float64)
         if U.ndim == 2:
             U = U[None]
-        use_dev = self.batched_gs
-        if use_dev is None:
-            use_dev = U.shape[0] == 1 and self.d.space.K >= 64
+        use_dev = bool(self.batched_gs)
         if use_dev and U.shape[0] == 1:
             return self._extend_basis_batched(U[0])
         total = 0
