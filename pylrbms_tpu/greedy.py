@@ -170,8 +170,13 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
     contrast (the preconditioner is frozen at mu_bar, so the tail flattens
     for far-away mus)."""
     logger = getLogger("pylrbms.greedy")
-    if snapshot_options is None:
-        snapshot_options = {"precision": 1e-8}
+    # MERGE onto the model's own solver options (model.solve treats
+    # inverse_options as a full replacement): a model constructed with
+    # e.g. {'type': 'dense'} or a post-check keeps those for its snapshot
+    # solves, with only the precision default relaxed on top
+    snapshot_options = {**(d.solver_options or {}),
+                        "precision": 1e-8,
+                        **(snapshot_options or {})}
     if (criterion == "residual" and d.space.K * d.space.N > 32768
             and d.estimator is not None
             and getattr(d.estimator.data, "lambda_funcs", None)):
@@ -197,14 +202,20 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
                         f"(RB size {sum(b.shape[0] for b in red.bases)})")
     if red is None:
         red = reductor or LRBMSReductor(d, products=products, order=order)
-    if criterion != "residual":
+    if criterion != "residual" and reductor is None:
         # the direct-residual criteria never read the algebraic-residual
         # Gramians (G_bb/G_Ab/G_AA): force the LEAN projection so every
         # (re-)reduction skips them AND runs the incremental image-cache
         # path regardless of the bucket-size heuristic.  Measured at SPE10
         # scale (r_max=4 bucket, where the heuristic keeps Gramians on):
-        # 37.5 s -> ~2 s per steady greedy re-reduction.
+        # 37.5 s -> ~2 s per steady greedy re-reduction.  Only applied to
+        # reductors this function OWNS (created here or checkpoint-loaded)
+        # — a caller-supplied reductor may read the Gramians afterwards.
         red.force_lean = True
+    elif criterion != "residual" and not getattr(red, "force_lean", False):
+        logger.info("greedy: caller-supplied reductor keeps Gramian "
+                    "projections; set reductor.force_lean=True for the "
+                    "lean/incremental re-reduction path")
     # overlap the frozen-preconditioner build + solve compile (the first
     # snapshot's one-time ~94 s at SPE10 scale) with the initial reduction
     # and the first surrogate sweep; joined before the first FOM solve

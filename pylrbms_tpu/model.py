@@ -16,9 +16,16 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import contextlib
+import threading
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# guards the lazy init of the matrix-free operator + jit cache (raced by
+# the background prepare_solver thread vs the foreground sweep)
+_MF_INIT_LOCK = threading.Lock()
 
 from .grid import Grid
 from .ops.spaces import BlockDGSpace
@@ -193,9 +200,15 @@ class StationaryBlockModel:
         cache = getattr(self, "_solution_cache", None)
         key = None
         if cache is not None:
-            key = tuple(sorted((k, tuple(np.asarray(v).ravel().tolist()))
-                               for k, v in mu.items()))
+            # key includes the effective solver options: a 1e-8 snapshot
+            # solve must not be served to a later 1e-10 request
+            opts_eff = inverse_options or self.solver_options or {}
+            key = (tuple(sorted((k, tuple(np.asarray(v).ravel().tolist()))
+                                for k, v in mu.items())),
+                   tuple(sorted((k, repr(v)) for k, v in opts_eff.items())))
             if key in cache:
+                # a cached solution carries no fresh Krylov count
+                object.__setattr__(self, "last_solve_iters", None)
                 return cache[key]
         options = inverse_options or self.solver_options
         b = self.rhs(mu)
@@ -262,13 +275,23 @@ class StationaryBlockModel:
                                          StencilOperator as Op)
         sop = getattr(self, "_mf_sop", None)
         if sop is None:
-            dtype = self.op.A_diag.dtype
-            sten = jax.jit(hp(lambda: tuple(
-                mk(self.space, lf, None, dtype=dtype)
-                for lf in self.estimator.data.lambda_funcs)))()
-            sop = Op(self.space, sten)
-            object.__setattr__(self, "_mf_sop", sop)
-            object.__setattr__(self, "_mf_jit_cache", {})
+            # double-checked under a lock: the background prepare_solver
+            # thread and the foreground residual_fom sweep both reach this
+            # lazy init concurrently during the greedy's opening overlap
+            with _MF_INIT_LOCK:
+                sop = getattr(self, "_mf_sop", None)
+                if sop is None:
+                    if not hasattr(self, "_mf_pre_lock"):
+                        import threading
+                        object.__setattr__(self, "_mf_pre_lock",
+                                           threading.Lock())
+                    dtype = self.op.A_diag.dtype
+                    sten = jax.jit(hp(lambda: tuple(
+                        mk(self.space, lf, None, dtype=dtype)
+                        for lf in self.estimator.data.lambda_funcs)))()
+                    object.__setattr__(self, "_mf_jit_cache", {})
+                    sop = Op(self.space, sten)
+                    object.__setattr__(self, "_mf_sop", sop)  # publish LAST
         return sop
 
     def _mf_solve(self, theta, b, options):
@@ -382,25 +405,30 @@ class StationaryBlockModel:
             cache[key] = _solve
         # preconditioner frozen at the first theta (see docstring)
         Pkey = ("precond", bool(two_level), coarse_space, coarse_modes)
-        pre = cache.get(Pkey)
-        if pre is None:
-            A0 = jax.jit(hp(lambda op, th: op.assemble(th)))(self.op, theta)
-            bf = jax.jit(hp(lambda A: A.block_jacobi_factors()))(A0)
-            C = ci = None
-            if two_level:
-                if coarse_space == "harvested":
-                    C_np = harvested_coarse_basis(A0, bf, self.space,
-                                                  n_harvest=coarse_modes,
-                                                  extra_modal=3)
-                elif coarse_space == "geneo":
-                    C_np = geneo_coarse_basis(neumann_blocks(self, theta),
-                                              self.products["l2"],
-                                              coarse_modes)
-                else:
-                    C_np = _ABO.coarse_modes_basis(self.space, coarse_modes)
-                C, ci = prepare_coarse(A0, C_np)
-            pre = (bf, C, ci)
-            cache[Pkey] = pre
+        # serialized: the frozen-preconditioner build takes ~60 s at SPE10
+        # scale — without the lock a foreground solve racing the background
+        # prepare_solver thread would duplicate it (and re-freeze at a
+        # different theta)
+        with getattr(self, "_mf_pre_lock", contextlib.nullcontext()):
+            pre = cache.get(Pkey)
+            if pre is None:
+                A0 = jax.jit(hp(lambda op, th: op.assemble(th)))(self.op, theta)
+                bf = jax.jit(hp(lambda A: A.block_jacobi_factors()))(A0)
+                C = ci = None
+                if two_level:
+                    if coarse_space == "harvested":
+                        C_np = harvested_coarse_basis(A0, bf, self.space,
+                                                      n_harvest=coarse_modes,
+                                                      extra_modal=3)
+                    elif coarse_space == "geneo":
+                        C_np = geneo_coarse_basis(neumann_blocks(self, theta),
+                                                  self.products["l2"],
+                                                  coarse_modes)
+                    else:
+                        C_np = _ABO.coarse_modes_basis(self.space, coarse_modes)
+                    C, ci = prepare_coarse(A0, C_np)
+                pre = (bf, C, ci)
+                cache[Pkey] = pre
         bf, C, ci = pre
         sop32 = None
         if mixed:

@@ -789,12 +789,10 @@ class LRBMSReductor:
                 # apply + immediate neighborhood gather (B_all above is
                 # then dead and eliminated by XLA).  The gathered
                 # [K, P, *] image stacks are small and kept in the WIDE
-                # dtype (they also feed G_nc/A_red-adjacent uses); the
-                # estimator-tensor projections themselves contract in the
-                # est-tensor dtype (_est_projections) — at scale those
-                # tensors are stored f32 by discretize, so the data
-                # already carries the f32 floor the eta_r cancellation
-                # (rf - 2 r_fd + r_dd) sees.
+                # dtype; the estimator-tensor projections also contract
+                # PROMOTED — an f32 contraction floors the eta_r/eta_df
+                # cancellations orders of magnitude higher (measured: see
+                # _est_projections' docstring before "optimizing" this).
                 if colors is not None:
                     # neighborhood-disjoint color batching: K*r_max
                     # column applies collapse to n_colors*r_max (~28x at
@@ -974,12 +972,30 @@ class LRBMSReductor:
             rows_j, valid_j = put(rows_j, k0), put(valid_j, k0)
 
         def work():
+            # On the SHARDED path the incremental image-cache path never
+            # runs (reduce requires mesh is None), so the full-projection
+            # compile is the one thing the foreground will join on —
+            # compile it FIRST and skip the incremental warms entirely.
+            if mesh is not None:
+                try:
+                    # (Mesh contexts are thread-local — re-enter here.)
+                    with mesh.mesh:
+                        fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                                 rows_j, valid_j).compile()
+                    self._project_cache[key] = fn
+                except Exception:   # noqa: BLE001 — best-effort
+                    pass
+                finally:
+                    self._prefetching.pop(key, None)
+                return
+            # UNSHARDED: at a bucket growth the foreground needs the
+            # ONLINE STEP + INCREMENTAL update/contract fns (the image
+            # cache carries over; the full projection is only the
+            # fallback), so warm those FIRST — the online-step warm needs
+            # only eval_shape of fn, not its compile.  Each stage fails
+            # independently: a warm failure must not prevent the full
+            # projection from being compiled and cached.
             try:
-                # Compile order matters: at a bucket growth the foreground
-                # needs the ONLINE STEP + INCREMENTAL update/contract fns
-                # (the image cache carries over; the full projection is
-                # only the fallback), so warm those FIRST — the online-step
-                # warm needs only eval_shape of fn, not its compile.
                 # warm the ROM online-step compile for this bucket
                 # (finishes VERDICT round-1 item 5: the online step used to
                 # recompile mid-enrichment at every bucket growth): build a
@@ -1039,18 +1055,15 @@ class LRBMSReductor:
                         self._contract_fn = contract
                     contract.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
                                    Wk0, Tk0).compile()
+            except Exception:      # noqa: BLE001 — warms are best-effort
+                pass
+            try:
                 # the full projection LAST: it only runs when the image
-                # cache cannot be reused (fresh reductor / parabolic /
-                # sharded), so its multi-minute compile must not delay the
+                # cache cannot be reused (fresh reductor / parabolic), so
+                # its multi-minute compile must not delay the
                 # growth-critical fns above
-                if mesh is not None:
-                    # (Mesh contexts are thread-local — re-enter here.)
-                    with mesh.mesh:
-                        fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
-                                 rows_j, valid_j).compile()
-                else:
-                    fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
-                             rows_j, valid_j).compile()
+                fn.lower(op_arrays, ed_arrays, rhs_q, V0, mask0,
+                         rows_j, valid_j).compile()
                 self._project_cache[key] = fn
             except Exception:      # noqa: BLE001 — prefetch is best-effort
                 pass
@@ -1128,10 +1141,11 @@ class LRBMSReductor:
             if t is not None:
                 t.join()
                 fn = self._project_cache.get(key)
-        if fn is None:
+        if fn is None and not incremental:
             fn = self._make_project_fn(with_gramians)
-            if not incremental:
-                self._project_cache[key] = fn
+            self._project_cache[key] = fn
+        # when incremental, fn may stay None — _reduce_unsharded only
+        # needs it on the fallback path and builds it lazily there
 
 
         rows_j = jnp.asarray(rows_safe)
@@ -1248,6 +1262,13 @@ class LRBMSReductor:
             self._img_cache = {"r_max": r_max, "sizes": sizes.copy(),
                                "Wk": Wk, "Tk": Tk}
             return out
+        if fn is None:      # reduce() skipped building it (incremental
+            # was expected to serve); build + cache for this rare fallback
+            key, _ = self._project_key(r_max)
+            fn = self._project_cache.get(key)
+            if fn is None:
+                fn = self._make_project_fn(with_gramians)
+                self._project_cache[key] = fn
         out = fn(op_arrays, ed_arrays, rhs_j, V, mask, rows_j, valid_j)
         Wk = out.pop("_Wk", None)
         Tk = out.pop("_Tk", None)
