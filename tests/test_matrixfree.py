@@ -112,3 +112,51 @@ def test_matrixfree_pcg_two_level_coarse():
         coarse_inv=dense_inv_mixed(A_dense.coarse_matrix()))
     err = float(jnp.abs(x - x_ref).max() / jnp.abs(x_ref).max())
     assert err < 1e-8, err
+
+
+def test_prepare_solver_background_freeze():
+    """prepare_solver(background=True) builds the frozen two-level
+    preconditioner off-thread (joined before the first solve, as
+    weak_greedy does); a concurrent foreground solve must not duplicate or
+    corrupt the preconditioner cache (model._mf_pre_lock), and the solve
+    after the join must match the dense reference."""
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    opts = {"type": "mf_pcg", "precision": 1e-12,
+            "coarse_space": "modal", "coarse_modes": 3}
+    t = d.prepare_solver(mu=0.5, inverse_options=opts, background=True)
+    assert t is not None
+    # race a foreground solve against the background freeze
+    mu = d.parse_parameter(0.7)
+    U = np.asarray(d.solve(mu, inverse_options=opts))
+    t.join()
+    U_ref = np.asarray(d.op.assemble(d.theta(mu)).solve_dense(d.rhs(mu)))
+    assert np.abs(U - U_ref).max() / np.abs(U_ref).max() < 1e-8
+    # exactly one preconditioner entry (no duplicate freeze keys)
+    pkeys = [k for k in d._mf_jit_cache if isinstance(k, tuple)
+             and k and k[0] == "precond"]
+    assert len(pkeys) == 1
+
+
+def test_solution_cache_keyed_by_options():
+    """The solve memoization must not serve a loose-tolerance snapshot
+    solve to a later tight-tolerance request (cache key includes the
+    effective inverse_options)."""
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    d.enable_caching()
+    mu = 0.7
+    U1 = d.solve(mu, inverse_options={"type": "mf_pcg", "precision": 1e-2,
+                                      "coarse_modes": 3})
+    U2 = d.solve(mu, inverse_options={"type": "mf_pcg", "precision": 1e-12,
+                                      "coarse_modes": 3})
+    r1 = np.asarray(U1 - U2)
+    assert np.abs(r1).max() > 0.0          # distinct solves, not a cache hit
+    U3 = d.solve(mu, inverse_options={"type": "mf_pcg", "precision": 1e-12,
+                                      "coarse_modes": 3})
+    assert U3 is U2                        # same options DO hit the cache
+    d.disable_caching()
