@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--mf", action="store_true",
                     help="matrix-free two-level FOM solve (the at-scale "
                          "path: O(K s^3 nb^2) stencil matvecs)")
+    ap.add_argument("--greedy", type=int, default=0,
+                    help="run the weak greedy (this many max extensions) "
+                         "over a --training-sized uniform training set — "
+                         "the 2D north-star offline pipeline in native 3D")
+    ap.add_argument("--training", type=int, default=6)
     ap.add_argument("--xl", action="store_true",
                     help="stencil-ONLY build + solve (no dense per-subdomain "
                          "blocks anywhere): cell-Jacobi + subdomain-constant "
@@ -108,6 +113,28 @@ def main():
     print(f"FOM estimate: eta = {eta:.4e}  ({time.perf_counter()-t0:.1f} s)")
 
     if args.lean:
+        return
+
+    if args.greedy:
+        from pylrbms_tpu.greedy import weak_greedy
+        from pylrbms_tpu.utils.timers import GLOBAL_TIMINGS
+        train = [{"switch": m}
+                 for m in np.linspace(0.1, 1.0, args.training)]
+        t0 = time.perf_counter()
+        res = weak_greedy(d, train, target_error=1e-3,
+                          max_extensions=args.greedy)
+        print(f"3D weak greedy: {len(res.max_etas)} iterations, "
+              f"{res.fom_solves} FOM solves, surrogate "
+              f"{res.max_etas[0]:.3e} -> {res.max_etas[-1]:.3e}, "
+              f"RB size {int(res.rd.sizes.sum())}, "
+              f"{time.perf_counter()-t0:.1f} s")
+        mu_t = d.parse_parameter({"switch": 0.7})
+        c = res.rd.solve(mu_t)
+        eta_rom = float(res.rd.estimate(c, mu_t))
+        eta_rec = float(d.estimate(res.reductor.reconstruct(c), mu_t))
+        print(f"ROM vs FOM(reconstruction) estimate: {eta_rom:.4e} vs "
+              f"{eta_rec:.4e} (rel diff {abs(eta_rom-eta_rec)/eta_rec:.1e})")
+        print(GLOBAL_TIMINGS.report())
         return
 
     red = LRBMSReductor(d, order=0)
