@@ -16,6 +16,8 @@ import numpy as np
 
 def main(levels=3):
     import jax
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
     from pylrbms_tpu.problems.academic3d import init_grid_and_problem
     from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize

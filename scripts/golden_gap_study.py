@@ -43,6 +43,8 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 from pylrbms_tpu.problems.os2015 import init_grid_and_problem
 from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
 

@@ -35,6 +35,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

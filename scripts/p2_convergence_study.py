@@ -39,6 +39,8 @@ def true_energy_err(sp, U):
 
 def main():
     import jax
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
 
     from pylrbms_tpu.problems.non_parametric import init_grid_and_problem

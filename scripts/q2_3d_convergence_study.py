@@ -35,6 +35,8 @@ def true_energy_err(sp, U):
 
 def main():
     import jax.numpy as jnp
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from pylrbms_tpu.problems.academic3d import init_grid_and_problem
     from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
 

@@ -51,6 +51,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     # SPE10 contrast needs f64 operators everywhere (same policy as the 2D
     # north-star, scripts/spe10_greedy.py): on TPU f64 is emulated but the
     # preconditioner/factorizations stay f32 (la/block.py handles v5e's
