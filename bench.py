@@ -23,11 +23,8 @@ def main(cfg=None):
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pylrbms")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     dtype = jnp.float32 if on_tpu else jnp.float64
@@ -161,6 +158,13 @@ def main(cfg=None):
         "value": round(tpu_s * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_s / tpu_s, 3),
+        # the interactive shape, so the batched headline can't be read as
+        # the single-request latency: one query, one dispatch, including the
+        # host<->chip round-trip (RTT-dominated on the remote-tunnel chip)
+        "single_query_ms": round(lat_s * 1e3, 3),
+        # streamed distinct-mu dispatches (no batching), per query
+        "streamed_query_ms": round(stream_s * 1e3, 3),
+        "cpu_baseline_query_ms": round(cpu_s * 1e3, 3),
     }
     print(json.dumps(result))
     return result

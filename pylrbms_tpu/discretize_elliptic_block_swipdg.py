@@ -58,6 +58,8 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     ``order=2`` builds the full pipeline on the P2 block space with the
     degree-matched RT1 flux reconstruction and order-2 Oswald interpolation
     (``ops/rt1.py`` — beyond the reference, whose estimator is P1-only)."""
+    from .config import validate_solver_options
+    solver_options = validate_solver_options(solver_options)
     gpd = grid_and_problem_data
     grid: Grid = gpd["grid"]
     space = BlockDGSpace(grid, order=order)

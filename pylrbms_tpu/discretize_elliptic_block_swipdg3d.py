@@ -42,6 +42,8 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     degree-matched RT_[1] hex flux reconstruction and order-2 Oswald
     interpolation (``ops/rt1hex.py`` — beyond-reference 3D Q2 estimation;
     the 2D analog is ``discretize(..., order=2)`` on the 2D families)."""
+    from .config import validate_solver_options
+    solver_options = validate_solver_options(solver_options)
     gpd = grid_and_problem_data
     grid: Grid3D = gpd["grid"]
     space = BlockDGSpace3D(grid, order=order)

@@ -36,6 +36,8 @@ def monolithic_grid(grid: Grid) -> Grid:
 @hp
 def discretize(grid_and_problem_data: dict, polorder: int = 1, solver_options=None,
                ipdg: IPDGParams = DEFAULT_IPDG, dtype=jnp.float64):
+    from .config import validate_solver_options
+    solver_options = validate_solver_options(solver_options)
     gpd = grid_and_problem_data
     grid = monolithic_grid(gpd["grid"])
     space = BlockDGSpace(grid, order=polorder)

@@ -12,11 +12,13 @@ from ..grid3d import make_grid3d
 from ..grid import make_boundary_info
 from ..functions import make_expression_function_1x1
 from ..parameters import ExpressionParameterFunctional
+from ..config import validate_config
 
 COS3 = "(cos(0.5*pi*x[0])*cos(0.5*pi*x[1])*cos(0.5*pi*x[2]))"
 
 
 def init_grid_and_problem(config, mu_bar=1, mu_hat=1, mpi_comm=None):
+    config = validate_config(config)
     grid = make_grid3d(((-1, -1, -1), (1, 1, 1)),
                        config["num_subdomains"],
                        config["half_num_fine_elements_per_subdomain_and_dim"],

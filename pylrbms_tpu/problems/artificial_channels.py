@@ -11,6 +11,7 @@ from ..functions import (make_constant_function_1x1, make_constant_function_2x2,
                          make_indicator_function_1x1)
 from ..parameters import (ExpressionParameterFunctional,
                           ProjectionParameterFunctional)
+from ..config import validate_config
 
 
 def _horizontal_channels(value):
@@ -33,6 +34,7 @@ def _switched_vertical(value):
 
 
 def init_grid_and_problem(config, mu_bar=(1,), mu_hat=(1,)):
+    config = validate_config(config)
     lower_left, upper_right = [0, 0], [1, 1]
     mu_min = min((0.01,) + tuple(mu_bar) + tuple(mu_hat))
     mu_max = max((1,) + tuple(mu_bar) + tuple(mu_hat))

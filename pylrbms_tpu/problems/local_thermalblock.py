@@ -10,9 +10,11 @@ from ..functions import (make_checkerboard_function_1x1,
                          make_constant_function_2x2,
                          make_expression_function_1x1)
 from ..parameters import ExpressionParameterFunctional
+from ..config import validate_config
 
 
 def init_grid_and_problem(config):
+    config = validate_config(config)
     lower_left, upper_right = [-1, -1], [1, 1]
     grid = make_grid((lower_left, upper_right),
                      config["num_subdomains"],

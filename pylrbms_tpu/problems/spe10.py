@@ -23,6 +23,7 @@ from ..grid import make_grid, make_boundary_info
 from ..functions import (make_cellwise_function_1x1, make_constant_function_1x1,
                          make_constant_function_2x2)
 from ..parameters import ExpressionParameterFunctional
+from ..config import validate_config
 
 SPE10_NX, SPE10_NY, SPE10_NZ = 60, 220, 85
 
@@ -64,6 +65,7 @@ def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,),
     clips the normalized field to [1/max_contrast, 1] (the raw SPE10-like
     contrast of ~1e6-1e7 makes the linear systems brutal — useful for
     conditioning studies, configurable for solver benchmarking)."""
+    config = validate_config(config)
     grid = make_grid(((0, 0), (1, 1)),
                      config["num_subdomains"],
                      config["half_num_fine_elements_per_subdomain_and_dim"],
@@ -133,6 +135,7 @@ def init_grid_and_problem_3d(config, layers=(40, 44), mu_bar=(1,), mu_hat=(1,),
     of the 60 x 220 x 85 field on the unit-normalized box, cellwise-constant
     diffusion on the hex grid, 2-term affine split
     lambda(mu) = floor + mu * perm (parameter 'switch', as in 2D)."""
+    config = validate_config(config)
     from ..grid3d import make_grid3d
     from ..functions import make_cellwise_function3d
 

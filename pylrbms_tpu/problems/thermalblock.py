@@ -13,9 +13,11 @@ from ..functions import (make_checkerboard_function_1x1,
                          make_constant_function_2x2,
                          make_expression_function_1x1)
 from ..parameters import ProjectionParameterFunctional
+from ..config import validate_config
 
 
 def init_grid_and_problem(config, mu_bar=(1, 1, 1, 1), mu_hat=(1, 1, 1, 1)):
+    config = validate_config(config)
     lower_left, upper_right = [-1, -1], [1, 1]
     grid = make_grid((lower_left, upper_right),
                      config["num_subdomains"],

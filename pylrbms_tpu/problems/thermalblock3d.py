@@ -15,6 +15,7 @@ from ..grid3d import make_grid3d
 from ..grid import make_boundary_info
 from ..functions import ScalarFunction, make_expression_function_1x1
 from ..parameters import ProjectionParameterFunctional
+from ..config import validate_config
 
 NB = 2          # blocks per dim
 
@@ -38,6 +39,7 @@ def _block_indicator3d(lower_left, upper_right, values, name="checkerboard3d"):
 
 
 def init_grid_and_problem(config, mu_bar=None, mu_hat=None):
+    config = validate_config(config)
     lower_left, upper_right = [-1, -1, -1], [1, 1, 1]
     n_par = NB ** 3
     mu_bar = tuple(mu_bar) if mu_bar is not None else (1.0,) * n_par

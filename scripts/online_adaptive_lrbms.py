@@ -19,15 +19,23 @@ enable_compile_cache()
 set_log_levels({'pylrbms': 'INFO'})
 logger = getLogger('online_adaptive_lrbms')
 
-config = {'num_subdomains': [4, 4],
-          'half_num_fine_elements_per_subdomain_and_dim': 2,
-          'initial_RB_order': 0,
-          'enrichment_target_error': 1e-2,
-          'marking_doerfler_theta': 0.33,
-          'marking_max_age': 4,
-          'num_refinements': 1}
+# typed config (SURVEY.md §5.6): validated at construction — a typo'd key
+# raises here instead of silently falling through dict.get defaults; the
+# reference's flat dict spelling stays accepted via LRBMSConfig.from_dict
+from pylrbms_tpu.config import LRBMSConfig, SolverConfig
 
-solver_options = {'type': 'pcg', 'max_iter': 400, 'precision': 1e-10}
+CFG = LRBMSConfig.from_dict({
+    'num_subdomains': [4, 4],
+    'half_num_fine_elements_per_subdomain_and_dim': 2,
+    'initial_RB_order': 0,
+    'enrichment_target_error': 1e-2,
+    'marking_doerfler_theta': 0.33,
+    'marking_max_age': 4,
+    'num_refinements': 1})
+config = CFG.flat_dict()
+
+solver_options = SolverConfig(type='pcg', max_iter=400, precision=1e-10,
+                              post_check_solves_system=None).as_dict()
 
 
 def main(num_online_mus: int = 5, enrichment_steps: int = 3):

@@ -15,11 +15,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pylrbms")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     if jax.default_backend() == "cpu":
         print("NOTE: running on CPU — numbers will not reflect the chip")
     else:

@@ -42,6 +42,11 @@ def main():
                          "over a --training-sized uniform training set — "
                          "the 2D north-star offline pipeline in native 3D")
     ap.add_argument("--training", type=int, default=6)
+    ap.add_argument("--online-mus", type=int, default=0,
+                    help="after --greedy: run this many online adaptive "
+                         "enrichment parameters (3 rounds each) — the full "
+                         "north-star pipeline (offline greedy + online "
+                         "enrichment) in native 3D")
     ap.add_argument("--xl", action="store_true",
                     help="stencil-ONLY build + solve (no dense per-subdomain "
                          "blocks anywhere): cell-Jacobi + subdomain-constant "
@@ -119,12 +124,13 @@ def main():
 
     if args.greedy:
         from pylrbms_tpu.greedy import weak_greedy
-        from pylrbms_tpu.utils.timers import GLOBAL_TIMINGS
+        from pylrbms_tpu.utils.timers import GLOBAL_TIMINGS as T
         train = [{"switch": m}
                  for m in np.linspace(0.1, 1.0, args.training)]
         t0 = time.perf_counter()
-        res = weak_greedy(d, train, target_error=1e-3,
-                          max_extensions=args.greedy)
+        with T.span("offline greedy"):
+            res = weak_greedy(d, train, target_error=1e-3,
+                              max_extensions=args.greedy)
         print(f"3D weak greedy: {len(res.max_etas)} iterations, "
               f"{res.fom_solves} FOM solves, surrogate "
               f"{res.max_etas[0]:.3e} -> {res.max_etas[-1]:.3e}, "
@@ -136,7 +142,24 @@ def main():
         eta_rec = float(d.estimate(res.reductor.reconstruct(c), mu_t))
         print(f"ROM vs FOM(reconstruction) estimate: {eta_rom:.4e} vs "
               f"{eta_rec:.4e} (rel diff {abs(eta_rom-eta_rec)/eta_rec:.1e})")
-        print(GLOBAL_TIMINGS.report())
+        if args.online_mus:
+            # the online leg of the north-star pipeline (<-> the 2D
+            # scripts/spe10_greedy.py): adaptive local enrichment at unseen
+            # parameters, 3 rounds each
+            from pylrbms_tpu.online_enrichment import AdaptiveEnrichment
+            online = AdaptiveEnrichment(gpd, d, d.space, res.reductor,
+                                        res.rd, target_error=1e-3,
+                                        marking_doerfler_theta=0.33,
+                                        marking_max_age=4)
+            rng = np.random.default_rng(3)
+            for i, m in enumerate(rng.uniform(0.1, 1.0, args.online_mus)):
+                mu_i = {"switch": float(m)}
+                with T.span(f"online mu #{i}"):
+                    u, rd, _ = online.solve(mu_i, enrichment_steps=3)
+                print(f"online mu #{i} (switch={m:.3f}): "
+                      f"eta {float(online.estimate(rd.solve(mu_i), mu_i)):.3e} "
+                      f"RB size {rd.solution_dim}")
+        print(T.report())
         return
 
     red = LRBMSReductor(d, order=0)

@@ -40,11 +40,8 @@ def main():
     import jax
     jax.config.update("jax_enable_x64", True)       # env-independent (f64
     import jax.numpy as jnp                         # FOM, like spe10_greedy)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pylrbms")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from pylrbms_tpu.problems.spe10 import init_grid_and_problem
     from pylrbms_tpu.discretize_parabolic_block_swipdg import discretize

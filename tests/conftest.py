@@ -22,8 +22,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: repeated suite runs skip recompiles
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("PYLRBMS_JAX_CACHE", "/tmp/jax_cache_pylrbms"))
+# (resolve_cache_dir honors PYLRBMS_JAX_CACHE and falls back per-user)
+from pylrbms_tpu.utils.cache import resolve_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", resolve_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 try:
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
