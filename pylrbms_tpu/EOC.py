@@ -179,7 +179,21 @@ class StationaryEocStudy(EocStudy):
             return
         self._gpd[-1] = self._init(self._cfg[-1])
         self._d[-1], self._data[-1] = discretize_elliptic_swipdg(self._gpd[-1], self.p_ref)
-        self._U[-1] = self._d[-1].solve(self._d[-1].parse_parameter(self.mu))
+        d_ref = self._d[-1]
+        mu = d_ref.parse_parameter(self.mu)
+        if d_ref.space.K * d_ref.space.N > 20000:
+            # the monolithic p=2 reference is ONE big block — its dense /
+            # block-Jacobi solvers are O(N^2) memory; a host sparse direct
+            # solve is the right tool at this size (offline, once per study)
+            import scipy.sparse.linalg as spla
+            from .la.block import to_scipy_csr
+            A = to_scipy_csr(d_ref.assemble(mu)).tocsc()
+            b = np.asarray(d_ref.rhs(mu), np.float64).ravel()
+            x = spla.splu(A).solve(b)
+            self._U[-1] = jnp.asarray(
+                x.reshape(d_ref.space.K, d_ref.space.N))
+        else:
+            self._U[-1] = d_ref.solve(mu)
 
     def _prolonged(self, level):
         if level in self._U_ref:

@@ -186,7 +186,7 @@ class EllipticEstimator:
 
         eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, E_bar, U_o)
 
-        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, d.rf_qq)
+        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, g("rf_qq", d.rf_qq))
         r_fd = jnp.einsum("p,pkn,...kn->...k", theta_f, d_vec, t)
         r_dd = jnp.einsum("...kn,knm,...km->...k", t, R_dd, t)
         eta_r = rf - 2.0 * r_fd + r_dd
@@ -204,7 +204,8 @@ class EllipticEstimator:
             eta_r = eta_r - 2.0 * jnp.einsum("...kn,knm,...km->...k",
                                              BUF_R, L2_t, div_t)
 
-        scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
+        scale = (self.poincare_constant / g("min_ev", d.min_ev)) \
+            * g("diam", d.diam) ** 2
         eta_r = eta_r * scale
 
         aa = jnp.einsum("p,r,prknm,...kn,...km->...k", theta, theta, M_aa, U, U)

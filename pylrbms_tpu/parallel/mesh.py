@@ -53,6 +53,31 @@ class SubdomainMesh:
     def replicated(self):
         return NamedSharding(self.mesh, P())
 
+    def put(self, x, sharding):
+        """``device_put`` that also works when the mesh spans multiple
+        processes (``jax.distributed``): non-fully-addressable shardings
+        go through ``make_array_from_callback``, each process materializing
+        only its addressable shards from the (process-replicated) host
+        value — the moral equivalent of the reference's rank-local
+        subdomain ownership (``grid.subdomains_on_rank``)."""
+        if getattr(sharding, "is_fully_addressable", True):
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    def globalize(self, x):
+        """Replicate a host value onto the (possibly multi-process) mesh."""
+        return self.put(x, self.replicated())
+
+    def to_host(self, x):
+        """Full host value of a (possibly multi-process) global array."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.global_array_to_host_local_array(
+            x, self.mesh, P()))
+
     # ------------------------------------------------------------------
     def distribute_model(self, d):
         """Shard the big per-subdomain tensors of a StationaryBlockModel
@@ -62,11 +87,11 @@ class SubdomainMesh:
         assert K % n == 0, f"K={K} not divisible by mesh size {n}"
         sk1 = self.shard_k(1)    # [Q, K, ...]
         sk0 = self.shard_k(0)    # [K, ...]
-        d.op.A_diag = jax.device_put(d.op.A_diag, sk1)
-        d.rhs_q = jax.device_put(d.rhs_q, sk1)
+        d.op.A_diag = self.put(d.op.A_diag, sk1)
+        d.rhs_q = self.put(d.rhs_q, sk1)
         for key, v in list(d.products.items()):
             if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == K:
-                d.products[key] = jax.device_put(v, sk0)
+                d.products[key] = self.put(v, sk0)
         ed = d.estimator.data if d.estimator else None
         if ed is not None:
             # lean models carry None for the matrix-form tensors (the
@@ -74,7 +99,7 @@ class SubdomainMesh:
             def put(name, sharding):
                 v = getattr(ed, name)
                 if v is not None:
-                    setattr(ed, name, jax.device_put(v, sharding))
+                    setattr(ed, name, self.put(v, sharding))
             for name in ("E_bar", "L2", "BB", "R_dd", "min_ev", "diam"):
                 put(name, sk0)
             put("M_aa", self.shard_k(2))
@@ -104,8 +129,8 @@ class SubdomainMesh:
 
         def put(x):
             if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == K:
-                return jax.device_put(x, sk)
-            return jax.device_put(x, repl)
+                return self.put(x, sk)
+            return self.put(x, repl)
 
         return jax.tree.map(put, sop)
 
@@ -129,20 +154,38 @@ class SubdomainMesh:
 
     def jit_online_step(self, d, tol: float = 1e-8, maxiter: int = 500):
         """Jitted sharded online step: assemble + PCG solve + localized
-        estimate; outputs sharded over K."""
+        estimate; outputs sharded over K.
+
+        All sharded model tensors enter as jit ARGUMENTS (pytrees), never as
+        closure constants — required for multi-process meshes (jax forbids
+        closing over non-addressable arrays) and the remote-compile path
+        (captured arrays become HLO constants)."""
         import jax.numpy as jnp
 
         from ..utils.precision import hp
 
-        def step(theta, theta_f, mu):
-            A = d.op.assemble(theta)
-            b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
+        est = d.estimator
+        tensor_names = ("E_bar", "L2", "BB", "R_dd", "min_ev", "diam",
+                        "M_aa", "M_ab", "d_vec", "rf_qq")
+
+        def step(op, rhs_q, tensors, theta, theta_f, mu):
+            A = op.assemble(theta)
+            b = jnp.einsum("q,qkn->kn", theta_f, rhs_q)
             U = A.solve_pcg(b, tol=tol, maxiter=maxiter)
-            nc, r, df = d.estimator.local_quantities(U, mu)
+            nc, r, df = est.local_quantities(U, mu, tensors=tensors)
             return U, nc + r + df
 
         with self.mesh:
-            return jax.jit(hp(step), out_shardings=(self.shard_k(0), self.shard_k(0)))
+            jitted = jax.jit(hp(step),
+                             out_shardings=(self.shard_k(0), self.shard_k(0)))
+
+        def call(theta, theta_f, mu):
+            tensors = {n: getattr(est.data, n) for n in tensor_names
+                       if getattr(est.data, n) is not None}
+            with self.mesh:
+                return jitted(d.op, d.rhs_q, tensors, theta, theta_f, mu)
+
+        return call
 
 
 def psum_norm(local_sq, axis_name: str):

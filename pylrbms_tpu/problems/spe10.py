@@ -58,13 +58,44 @@ def _synthetic_spe10_layer(seed: int, nx: int, ny: int) -> np.ndarray:
     return 10.0 ** (logk - 1.5)
 
 
+def pool_log_mean(perm: np.ndarray, ry: int, rx: int,
+                  mode: str = "log-mean") -> np.ndarray:
+    """Block pooling of a permeability raster to [ry, rx].  Used by the EOC/
+    efficiency studies to make the coefficient EXACTLY representable on
+    every grid level (grids whose cell counts are multiples of ry/rx), so
+    all levels solve the SAME problem and efficiency = error/estimate is
+    clean of coefficient-resampling error.
+
+    ``mode='log-mean'``: geometric mean per block (the natural homogenized
+    coarsening — but it smooths the contrast away at coarse rasters).
+    ``mode='nearest'``: the block-center value (keeps the field's pointwise
+    contrast — what the solver/estimator stress tests want)."""
+    ny, nx = perm.shape
+    if mode == "nearest":
+        cy = ((np.arange(ry) + 0.5) / ry * ny).astype(int)
+        cx = ((np.arange(rx) + 0.5) / rx * nx).astype(int)
+        return perm[np.clip(cy, 0, ny - 1)[:, None],
+                    np.clip(cx, 0, nx - 1)[None, :]]
+    iy = np.minimum((np.arange(ny) * ry) // ny, ry - 1)
+    ix = np.minimum((np.arange(nx) * rx) // nx, rx - 1)
+    out = np.zeros((ry, rx))
+    cnt = np.zeros((ry, rx))
+    np.add.at(out, (iy[:, None], ix[None, :]), np.log(perm))
+    np.add.at(cnt, (iy[:, None], ix[None, :]), 1.0)
+    return np.exp(out / np.maximum(cnt, 1.0))
+
+
 def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,),
-                          max_contrast: float = None):
+                          max_contrast: float = None, raster=None,
+                          raster_mode: str = "log-mean"):
     """config needs num_subdomains / half_num...; the permeability raster is
     resampled (nearest) onto the fine grid.  ``max_contrast`` optionally
     clips the normalized field to [1/max_contrast, 1] (the raw SPE10-like
     contrast of ~1e6-1e7 makes the linear systems brutal — useful for
-    conditioning studies, configurable for solver benchmarking)."""
+    conditioning studies, configurable for solver benchmarking).
+    ``raster=(ry, rx)`` first pools the field to that blockwise raster
+    (:func:`pool_log_mean`) so grids resolving it see the exact same
+    coefficient on every refinement level (EOC/efficiency studies)."""
     config = validate_config(config)
     grid = make_grid(((0, 0), (1, 1)),
                      config["num_subdomains"],
@@ -72,6 +103,8 @@ def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,),
                      num_refinements=config.get("num_refinements", 2),
                      grid_type=config.get("grid_type", "tri"))
     perm = load_spe10_layer(layer)
+    if raster is not None:
+        perm = pool_log_mean(perm, raster[0], raster[1], mode=raster_mode)
     ny, nx = perm.shape
     # nearest resample to the fine raster
     iy = (np.arange(grid.global_ny) + 0.5) / grid.global_ny * ny

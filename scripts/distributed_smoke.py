@@ -64,6 +64,48 @@ def worker(pid: int, nprocs: int, port: int) -> None:
           f"global devices={jax.device_count()}, allgather sum={total}, "
           f"psum={got})")
 
+    # ---- the real thing (VERDICT r2 #3): ONE K-sharded online solve over
+    # the two-process device mesh, parity-asserted against the unsharded
+    # single-process result (<-> the reference testing real MPI semantics on
+    # a small world, mpitest.py — but with an actual distributed solve)
+    jax.config.update("jax_enable_x64", True)
+    from pylrbms_tpu.problems.os2015 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    from pylrbms_tpu.parallel.mesh import SubdomainMesh
+
+    gpd = init_grid_and_problem(
+        {"num_subdomains": [2, 4],
+         "half_num_fine_elements_per_subdomain_and_dim": 1,
+         "num_refinements": 1})
+    d, _ = discretize(gpd)           # deterministic: identical on every rank
+    theta = jnp.asarray([1.0, 0.5], jnp.float64)
+    theta_f = jnp.asarray([1.0], jnp.float64)
+    mu = d.parse_parameter(0.5)
+
+    # unsharded reference (process-local compute)
+    A = d.op.assemble(theta)
+    b = jnp.einsum("q,qkn->kn", theta_f, d.rhs_q)
+    U_ref = np.asarray(A.solve_pcg(b, tol=1e-10, maxiter=500))
+    nc, r, dfq = d.estimator.local_quantities(jnp.asarray(U_ref), mu)
+    ind_ref = np.asarray(nc + r + dfq)
+
+    # K = 8 sharded over ALL devices of BOTH processes
+    sm = SubdomainMesh(Mesh(np.array(jax.devices()), ("k",)))
+    assert not sm.replicated().is_fully_addressable      # really multi-proc
+    sm.distribute_model(d)
+    step = sm.jit_online_step(d, tol=1e-10, maxiter=500)
+    U, ind = step(sm.globalize(theta), sm.globalize(theta_f),
+                  {k: sm.globalize(v) for k, v in mu.items()})
+    U_np, ind_np = sm.to_host(U), sm.to_host(ind)
+    scale = float(np.abs(U_ref).max())
+    assert np.abs(U_np - U_ref).max() <= 1e-8 * scale, \
+        np.abs(U_np - U_ref).max() / scale
+    assert np.abs(ind_np - ind_ref).max() <= 1e-8 * np.abs(ind_ref).max()
+    print(f"worker {pid}/{nprocs}: K-sharded solve over "
+          f"{jax.device_count()} devices / {nprocs} processes == unsharded "
+          f"to 1e-8 (K={d.space.K}, max rel diff "
+          f"{np.abs(U_np - U_ref).max() / scale:.2e})")
+
 
 def main() -> int:
     import socket
@@ -77,6 +119,13 @@ def main() -> int:
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(pid), str(nprocs), str(port)],
             env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 # 4 virtual devices per process -> an 8-device 2-process
+                 # mesh for the K-sharded solve leg (drop any inherited
+                 # device-count flag, e.g. the test suite's =8)
+                 "XLA_FLAGS": " ".join(
+                     [f for f in os.environ.get("XLA_FLAGS", "").split()
+                      if "xla_force_host_platform_device_count" not in f]
+                     + ["--xla_force_host_platform_device_count=4"]),
                  "PYTHONPATH": os.pathsep.join(
                      [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
                      + os.environ.get("PYTHONPATH", "").split(os.pathsep))},
@@ -87,7 +136,8 @@ def main() -> int:
     if any(rcs):
         print(f"distributed smoke FAILED: rcs={rcs}", file=sys.stderr)
         return 1
-    print("distributed smoke: OK (2 processes, cross-process allgather + psum)")
+    print("distributed smoke: OK (2 processes, cross-process allgather + "
+          "psum + K-sharded solve == unsharded)")
     return 0
 
 
