@@ -1027,14 +1027,23 @@ class InstationaryBlockModel:
         return jnp.concatenate([u0[None], traj], axis=0)
 
     @hp
-    def _solve_mf(self, mu, dt, tol: float = 1e-10, maxiter: int = 500):
+    def _solve_mf(self, mu, dt, tol: float = 1e-10, maxiter: int = 500,
+                  two_level: bool = None, coarse_modes: int = 16,
+                  coarse_space: str = "harvested"):
         """Matrix-free implicit Euler at scale: the mass joins the affine
         stencil family as one extra component (G = M + dt A, see
         :func:`~pylrbms_tpu.ops.matrixfree.mass_stencil`), the per-mu
         subdomain-block-Jacobi factors of G are built once and reused
         across all steps, each step's PCG warm-starts from the previous
         step, and the WHOLE trajectory is one jitted ``lax.scan`` with all
-        model tensors as arguments (remote-compile safe)."""
+        model tensors as arguments (remote-compile safe).
+
+        ``two_level`` (default: on past 32k dofs) adds the harvested coarse
+        level on G = M + dt A, FROZEN at the first mu seen per (dt, space)
+        — the same spectral-equivalence freeze as the stationary solve.
+        At SPE10-contrast coarse modes dominate block-Jacobi convergence
+        even with the mass shift: measured 415 -> ~95 ms/step at the 98k
+        north-star config (docs/results/spe10_parabolic_tpu.txt)."""
         if getattr(self.stationary.space, "dim", 2) == 3:
             from .ops.matrixfree3d import (
                 mass_stencil3 as mass_stencil,
@@ -1063,8 +1072,33 @@ class InstationaryBlockModel:
             cache["parab_bf_fn"] = bf_fn
         bf = bf_fn(st.op.A_diag, self.mass, dt * theta)
         K, N = st.space.K, st.space.N
+        if two_level is None:
+            two_level = K * N > 32768
+        C = ci = None
+        if two_level:
+            Pkey = ("parab_precond", float(dt), coarse_space,
+                    int(coarse_modes))
+            pre = cache.get(Pkey)
+            if pre is None:
+                from .la.block import (AssembledBlockOp,
+                                       harvested_coarse_basis,
+                                       prepare_coarse)
+                A = jax.jit(hp(lambda op, th: op.assemble(th)))(st.op, theta)
+                sdt = (lambda Cc: None if Cc is None else dt * Cc)
+                G0 = AssembledBlockOp(
+                    A.static, self.mass + dt * A.A_diag,
+                    dt * A.C_R_io, dt * A.C_R_oi,
+                    dt * A.C_U_io, dt * A.C_U_oi,
+                    sdt(A.C_W_io), sdt(A.C_W_oi))
+                bf0 = jax.jit(hp(lambda g: g.block_jacobi_factors()))(G0)
+                C_np = harvested_coarse_basis(G0, bf0, st.space,
+                                              n_harvest=coarse_modes,
+                                              extra_modal=3)
+                pre = prepare_coarse(G0, C_np)
+                cache[Pkey] = pre
+            C, ci = pre
         key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
-               int(maxiter))
+               int(maxiter), bool(two_level))
         fn = cache.get(key)
         if fn is None:
             f_coeffs = st.f_coeffs
@@ -1072,7 +1106,7 @@ class InstationaryBlockModel:
 
             @jax.jit
             @hp
-            def _traj(G_sop_, theta_G_, bf_, rhs_q, mu_):
+            def _traj(G_sop_, theta_G_, bf_, C_, ci_, rhs_q, mu_):
                 G = G_sop_.assemble(theta_G_)
                 # the mass apply = the family's first component assembled
                 # alone (dimension-generic: works for 2D and 3D stencils)
@@ -1090,7 +1124,9 @@ class InstationaryBlockModel:
                     f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
                     rhs = M_op.apply(u) + dt * f
                     u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                         block_factors=bf_, x0=u)
+                                         block_factors=bf_, coarse_basis=C_,
+                                         coarse_inv=ci_, coarse_f32=True,
+                                         x0=u)
                     return u_next, u_next
 
                 u0 = jnp.zeros((K, N), dtype)
@@ -1099,7 +1135,7 @@ class InstationaryBlockModel:
 
             fn = _traj
             cache[key] = fn
-        return fn(G_sop, theta_G, bf, st.rhs_q, mu)
+        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu)
 
     def operator_apply(self, U, mu):
         return self.stationary.operator_apply(U, mu)

@@ -103,6 +103,20 @@ class BatchedCorrector:
             # slice algebra is 2D-only so far)
             self.stencils = jax.tree.map(lambda a: a.astype(cdt),
                                          d.mf_operator().stencils)
+        # per-component subdomain-constant coarse matrices [Q, K, K]: the
+        # patch preconditioner's second level.  EXACT for the masked patch
+        # operator: the coarse vectors 1_k live within single subdomains, so
+        # C^T (pm A pm) C = pm (C^T A C) pm entrywise; the patch-boundary
+        # Dirichlet penalties only add to the diagonal (applied per batch
+        # inside the solver from dir_mask).  Block-Jacobi alone leaves the
+        # patch-constant modes unpreconditioned — the measured online-
+        # enrichment bound at high contrast (same structure as the global
+        # two-level solve, la/block.py coarse_matrix).
+        Q = len(comps)
+        eyeQ = np.eye(Q)
+        self.A0c_q = jax.jit(hp(lambda op: jnp.stack([
+            op.assemble(jnp.asarray(eyeQ[q], op.A_diag.dtype)).coarse_matrix()
+            for q in range(Q)])))(d.op).astype(cdt)
         self._jit_cache = {}
 
     def enable_stencil(self):
@@ -113,7 +127,7 @@ class BatchedCorrector:
 
     # ------------------------------------------------------------------
     def _make_solver(self, B: int, tol: float, maxiter: int,
-                     use_stencil: bool = False):
+                     use_stencil: bool = False, two_level: bool = True):
         st = self.st
         K, N, s, nb = st.K, st.N, st.s, st.nb
         space = self.d.space
@@ -273,8 +287,30 @@ class BatchedCorrector:
             if not use_stencil:
                 apply = apply_dense
 
-            def M(r):
-                return jnp.einsum("knm,bkm->bkn", Minv, r) * pmask[:, :, None]
+            if two_level:
+                # additive patch-constant coarse level: Ac[b] = the global
+                # subdomain-constant coarse matrix masked to the patch +
+                # the patch-boundary Dirichlet penalty diagonal + identity
+                # on the masked-out block (exact inverse of the block
+                # structure [[A_pp, 0], [0, I]])
+                from ..la import block as _lb
+                A0c = jnp.einsum("q,qkl->kl", theta, arrays["coarse0"])
+                d0 = jnp.stack([jnp.sum(D[sd], axis=(1, 2, 3))
+                                for sd in self.SIDES], axis=-1)   # [K, S]
+                diagD = jnp.einsum("bks,ks->bk", dir_mask, d0)    # [B, K]
+                Ac = (pmask[:, :, None] * A0c[None] * pmask[:, None, :])
+                idx = jnp.arange(pm_table.shape[1])
+                Ac = Ac.at[:, idx, idx].add(diagD + (1.0 - pmask))
+                cinv = _lb.dense_inv_mixed(Ac)                    # [B, K, K]
+
+                def M(r):
+                    fine = jnp.einsum("knm,bkm->bkn", Minv, r)
+                    y = jnp.einsum("bkl,bl->bk", cinv, r.sum(axis=2))
+                    return (fine + y[:, :, None]) * pmask[:, :, None]
+            else:
+                def M(r):
+                    return (jnp.einsum("knm,bkm->bkn", Minv, r)
+                            * pmask[:, :, None])
 
             b = rhs_full[None] * pmask[:, :, None]
 
@@ -344,7 +380,7 @@ class BatchedCorrector:
 
         d = self.d
         use_stencil = self.stencils is not None
-        arrays = {"A_loc": self.A_loc}
+        arrays = {"A_loc": self.A_loc, "coarse0": self.A0c_q}
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})
@@ -357,7 +393,7 @@ class BatchedCorrector:
 
         def work():
             for B in buckets:
-                key = (B, tol, maxiter, use_stencil)
+                key = (B, tol, maxiter, use_stencil, True)
                 if key in self._jit_cache:
                     continue
                 try:
@@ -375,7 +411,7 @@ class BatchedCorrector:
 
     def solve(self, marked, mu=None, current_solution=None, mode="residual",
               tol: float = 1e-10, maxiter: int = 300, mesh=None,
-              rhs_full=None):
+              rhs_full=None, two_level: bool = True):
         """marked: list[int] -> corrections [B, N] (per marked subdomain).
 
         ``rhs_full`` [K, N], when given, overrides the built-in rhs modes —
@@ -406,11 +442,11 @@ class BatchedCorrector:
         marked = np.asarray(marked + [marked[0]] * (B - n_marked),
                             dtype=np.int64)
         use_stencil = self.stencils is not None
-        key = (B, tol, maxiter, use_stencil)
+        key = (B, tol, maxiter, use_stencil, two_level)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._make_solver(B, tol, maxiter,
-                                                     use_stencil)
-        arrays = {"A_loc": self.A_loc}
+                                                     use_stencil, two_level)
+        arrays = {"A_loc": self.A_loc, "coarse0": self.A0c_q}
         arrays.update({"D_" + sd: self.D_side[sd] for sd in self.SIDES})
         arrays.update({"R_" + nm: v for nm, v in self.R.items()})
         arrays.update({"U_" + nm: v for nm, v in self.U.items()})

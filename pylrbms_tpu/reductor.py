@@ -871,13 +871,25 @@ class LRBMSReductor:
                 # branch), all N-independent online.
                 L2 = l2_blocks
                 Linv = dense_inv_mixed(L2)
-                AV = jnp.stack(AVs)                            # [Q,R,K,N]
-                MAV = jnp.einsum("knm,qrkm->qrkn", Linv, AV)   # [Q,R,K,N]
+                # keep the Q mass-preconditioned applies as a LIST and the
+                # Gramian as chunked block-dots (like G_AA above): a stacked
+                # [Q,R,K,N] copy plus a one-shot einsum materializes
+                # chunk-broadcast temporaries of O(chunk*Q*R*K*N) — measured
+                # 25.7 GB compile-OOM at the SPE10 98k-dof / r_max=16 config
+                MAVs = [
+                    _map_rows(lambda blk: jnp.einsum(
+                        "knm,ckm->ckn", Linv, blk).astype(store), AVq)
+                    for AVq in AVs]                            # Q x [R,K,N]
                 FR = jnp.einsum("knm,fkm->fkn", Linv, rhs_q)   # [Qf,K,N]
                 # time residual Gramian: (A_q V)^T M^-1 (A_q' V) [Q,Q,R,R]
-                out["G_MAA"] = jnp.einsum("prkn,qskn->pqrs", MAV, AV)
+                out["G_MAA"] = jnp.stack([jnp.stack([
+                    _map_rows(lambda c, Aq=Aq: jnp.einsum(
+                        "ckn,skn->cks", c, Aq).astype(wide).sum(axis=1),
+                              MAVp)
+                    for Aq in AVs]) for MAVp in MAVs])         # [Q,Q,R,R]
                 # neighborhood-padded per-subdomain tensors
-                Bk = (MAV[:, rows_safe, kk[:, None], :]
+                Bk = (jnp.stack([MAVq[rows_safe, kk[:, None], :]
+                                 for MAVq in MAVs])
                       * valid_f[None, :, :, None])             # [Q,K,P,N]
                 divTk = jnp.einsum("nr,qkur->qkun", A_div_c, Tk)  # [Q,K,P,N]
                 out["G_BLB"] = jnp.einsum("pkun,knm,qkvm->pqkuv", Bk, L2, Bk)
@@ -1351,46 +1363,69 @@ class ReducedParabolicModel:
         return getattr(self.elliptic, name)
 
     def solve(self, mu, T: float = None, nt: int = None):
+        """Reduced implicit-Euler trajectory, ONE jitted dispatch for the
+        whole scan (reduced tensors as arguments): eager per-step dispatches
+        cost one chip round-trip each on the remote path — measured 60
+        ms/step for an N-independent solve that runs in ~1 ms/step jitted.
+        On backends without f64 LU the factorization runs f32 with one f64
+        iterative-refinement step per solve."""
         rd = self.elliptic
         d = rd.d
         im = self._instationary
         T = T if T is not None else im.T
-        nt = nt if nt is not None else im.nt
+        nt = int(nt if nt is not None else im.nt)
         mu = d.parse_parameter(mu)
         dt = T / nt
-        theta = d.theta(mu)
-        A = jnp.einsum("q,qij->ij", theta, rd.A_red)
-        G = self.M_red + dt * A
-        # keep padding rows solvable
-        G = G + jnp.diag(jnp.where(jnp.diag(G) == 0, 1.0, 0.0))
-        if G.dtype == jnp.float64 and jax.default_backend() != "cpu":
-            G32 = G.astype(jnp.float32)
-            lu, piv = jax.scipy.linalg.lu_factor(G32)
-            lu_dtype = jnp.float32
-        else:
-            lu, piv = jax.scipy.linalg.lu_factor(G)
-            lu_dtype = G.dtype
-        b_red = rd.b_red
-        f_coeffs = d.f_coeffs
-
-        def theta_f_at(t):
-            mu_t = dict(mu)
-            mu_t["_t"] = t
-            return evaluate_coefficients(f_coeffs, mu_t)
-
         K, r_max = len(rd.sizes), rd.r_max
+        cache = getattr(self, "_traj_cache", None)
+        if cache is None:
+            cache = self._traj_cache = {}
+        key = (float(dt), nt, K, int(r_max))
+        fn = cache.get(key)
+        if fn is None:
+            lambda_coeffs, f_coeffs = d.lambda_coeffs, d.f_coeffs
+            from .utils.precision import hp
 
-        def step(c, n):
-            f = jnp.einsum("q,qi->i", theta_f_at((n + 1.0) * dt), b_red)
-            rhs = self.M_red @ c + dt * f
-            c_next = jax.scipy.linalg.lu_solve(
-                (lu, piv), rhs.astype(lu_dtype)).astype(rhs.dtype)
-            return c_next, c_next
+            @jax.jit
+            @hp
+            def _traj(A_red_q, M_red, b_red_q, mu_):
+                theta = evaluate_coefficients(lambda_coeffs, mu_)
+                A = jnp.einsum("q,qij->ij", theta, A_red_q)
+                G = M_red + dt * A
+                # keep padding rows solvable
+                G = G + jnp.diag(jnp.where(jnp.diag(G) == 0, 1.0, 0.0))
+                refine = (G.dtype == jnp.float64
+                          and jax.default_backend() != "cpu")
+                lu_dtype = jnp.float32 if refine else G.dtype
+                lu, piv = jax.scipy.linalg.lu_factor(G.astype(lu_dtype))
 
-        c0 = jnp.zeros((K * r_max,))
-        _, traj = jax.lax.scan(step, c0, jnp.arange(nt))
-        traj = jnp.concatenate([c0[None], traj], axis=0)
-        return traj.reshape(nt + 1, K, r_max)
+                def lsolve(rhs):
+                    x = jax.scipy.linalg.lu_solve(
+                        (lu, piv), rhs.astype(lu_dtype)).astype(rhs.dtype)
+                    if refine:
+                        r = rhs - G @ x
+                        x = x + jax.scipy.linalg.lu_solve(
+                            (lu, piv), r.astype(lu_dtype)).astype(rhs.dtype)
+                    return x
+
+                def theta_f_at(t):
+                    mu_t = dict(mu_)
+                    mu_t["_t"] = t
+                    return evaluate_coefficients(f_coeffs, mu_t)
+
+                def step(c, n):
+                    f = jnp.einsum("q,qi->i", theta_f_at((n + 1.0) * dt),
+                                   b_red_q)
+                    c_next = lsolve(M_red @ c + dt * f)
+                    return c_next, c_next
+
+                c0 = jnp.zeros((K * r_max,), G.dtype)
+                _, traj = jax.lax.scan(step, c0, jnp.arange(nt))
+                traj = jnp.concatenate([c0[None], traj], axis=0)
+                return traj.reshape(nt + 1, K, r_max)
+
+            fn = cache[key] = _traj
+        return fn(rd.A_red, self.M_red, rd.b_red, mu)
 
     def attach_instationary(self, im):
         self._instationary = im
