@@ -31,7 +31,9 @@ FLAT_CONFIG_KEYS = frozenset({
     "num_grid_refinements",               # EOC scripts
 })
 
-GRID_TYPES = ("tri", "crisscross", "alu", "quad", "yasp")
+GRID_TYPES_2D = ("tri", "crisscross", "alu", "quad", "yasp")
+GRID_TYPES_3D = ("hex",)
+GRID_TYPES = GRID_TYPES_2D + GRID_TYPES_3D
 
 # every key the solver/option plumbing consumes (AssembledBlockOp.solve,
 # model._mf_solve, model.solve post-check, mixed-precision refinement,
@@ -90,9 +92,12 @@ def validate_config(config) -> dict:
         raise ValueError(
             f"unknown config key(s) {sorted(unknown)}; known keys: "
             f"{sorted(FLAT_CONFIG_KEYS)}")
-    gt = config.get("grid_type", "tri")
-    if gt not in GRID_TYPES:
-        raise ValueError(f"config['grid_type'] = {gt!r} not in {GRID_TYPES}")
+    dim = len(config.get("num_subdomains", (1, 1)))
+    allowed = GRID_TYPES_3D if dim == 3 else GRID_TYPES_2D
+    gt = config.get("grid_type", allowed[0] if dim == 3 else "tri")
+    if gt not in allowed:
+        raise ValueError(
+            f"config['grid_type'] = {gt!r} not in {allowed} ({dim}D)")
     return dict(config)
 
 
@@ -109,7 +114,14 @@ class GridConfig:
         assert len(self.num_subdomains) in (2, 3)
         assert self.half_num_fine_elements_per_subdomain_and_dim >= 1
         assert self.num_refinements >= 0
-        assert self.grid_type in GRID_TYPES
+        if len(self.num_subdomains) == 3 and self.grid_type == "tri":
+            # dimension-aware default: 3D has a single grid family
+            object.__setattr__(self, "grid_type", "hex")
+        allowed = GRID_TYPES_3D if len(self.num_subdomains) == 3 \
+            else GRID_TYPES_2D
+        assert self.grid_type in allowed, \
+            f"grid_type {self.grid_type!r} not in {allowed} for " \
+            f"{len(self.num_subdomains)}D"
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)

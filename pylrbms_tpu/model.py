@@ -150,7 +150,8 @@ class StationaryBlockModel:
         daemon thread (best-effort) and returns the thread so callers can
         join before their first solve."""
         from .config import validate_solver_options
-        validate_solver_options(inverse_options, "inverse_options")
+        inverse_options = validate_solver_options(inverse_options,
+                                                  "inverse_options")
         options = dict(inverse_options or self.solver_options or {})
         kind = options.get("type", "auto")
         if kind == "auto" and self.space.K * self.space.N > 32768 \
@@ -199,7 +200,8 @@ class StationaryBlockModel:
         recovery, which the reference lacks (its check only aborts).
         ``fallback=False`` in the options restores raise-only behaviour."""
         from .config import validate_solver_options
-        validate_solver_options(inverse_options, "inverse_options")
+        inverse_options = validate_solver_options(inverse_options,
+                                                  "inverse_options")
         mu = self.parse_parameter(mu)
         cache = getattr(self, "_solution_cache", None)
         key = None

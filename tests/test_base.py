@@ -102,6 +102,30 @@ def test_config_unknown_keys_raise():
     gpd2 = init_grid_and_problem(GC(num_subdomains=(2, 2),
                                     num_refinements=1))
     assert gpd2['grid'].num_subdomains == 4
+    # a SolverConfig instance is accepted by the model entry points, not
+    # just the validator (regression: the converted dict was discarded)
+    U = d.solve(1.0, inverse_options=SolverConfig(type='pcg',
+                                                  precision=1e-10))
+    import numpy as np
+    assert np.all(np.isfinite(np.asarray(U)))
+
+
+def test_config_3d_grid_types():
+    """3D configs validate with the hex family and reject 2D-only grid
+    types (regression: GRID_TYPES omitted 'hex' so every 3D run through
+    the typed config raised)."""
+    from pylrbms_tpu.config import GridConfig, validate_config
+    g = GridConfig(num_subdomains=(2, 2, 2),
+                   half_num_fine_elements_per_subdomain_and_dim=1)
+    assert g.grid_type == 'hex'   # dimension-aware default
+    flat = validate_config({'num_subdomains': (2, 2, 2),
+                            'half_num_fine_elements_per_subdomain_and_dim': 1,
+                            'grid_type': 'hex'})
+    assert flat['grid_type'] == 'hex'
+    with pytest.raises(ValueError, match="not in"):
+        validate_config({'num_subdomains': (2, 2, 2), 'grid_type': 'tri'})
+    with pytest.raises(ValueError, match="not in"):
+        validate_config({'num_subdomains': (2, 2), 'grid_type': 'hex'})
 
 
 def test_solver_post_check_detects_failure():
