@@ -29,6 +29,42 @@ import jax.numpy as jnp
 from ..utils.precision import hp
 
 
+def patch_coarse_matrix(A0c, pmask, fams):
+    """Exact Galerkin coarse matrix [B, K, K] of the masked patch operator
+    on the subdomain-constant space.
+
+    ``A0c`` [K, K] is the GLOBAL operator's coarse matrix; masking it to the
+    patch (``pm A0c pm``) is exact for intra-patch faces and the physical
+    boundary, but on patch-CROSSING faces it keeps the global in_in/out_out
+    coupling contribution that the patch operator replaces with the
+    one-sided Dirichlet penalty.  Swap the two there: per crossing face,
+    subtract the coupling block's entry sum and add the penalty block's
+    entry sum (a previous version added the penalty without removing the
+    coupling term, double-counting crossing faces — the coarse level was a
+    valid but inexact preconditioner).
+
+    ``fams``: per coupling family ``(Cq, D_in, D_out, kl, kr)`` with
+    ``Cq['in_in']/['out_out']`` [E, f, i, j] the theta-assembled coupling
+    diagonals, ``D_in/D_out`` [K, f, i, j] the penalty blocks on the side of
+    kl facing kr / of kr facing kl, and ``kl/kr`` the edge endpoint lists.
+    """
+    Ac = pmask[:, :, None] * A0c[None] * pmask[:, None, :]
+    diag = jnp.zeros_like(pmask)
+    for Cq, D_in, D_out, kl, kr in fams:
+        if kl.size == 0:
+            continue
+        gL = pmask[:, kl] * (1.0 - pmask[:, kr])          # [B, E]
+        gR = pmask[:, kr] * (1.0 - pmask[:, kl])
+        cin = (jnp.sum(D_in[kl], axis=(1, 2, 3))
+               - jnp.sum(Cq["in_in"], axis=(1, 2, 3)))    # [E]
+        cout = (jnp.sum(D_out[kr], axis=(1, 2, 3))
+                - jnp.sum(Cq["out_out"], axis=(1, 2, 3)))
+        diag = diag.at[:, kl].add(gL * cin[None])
+        diag = diag.at[:, kr].add(gR * cout[None])
+    idx = jnp.arange(pmask.shape[1])
+    return Ac.at[:, idx, idx].add(diag)
+
+
 class BatchedCorrector:
     SIDES = ("left", "right", "bottom", "top")
 
@@ -288,19 +324,19 @@ class BatchedCorrector:
                 apply = apply_dense
 
             if two_level:
-                # additive patch-constant coarse level: Ac[b] = the global
-                # subdomain-constant coarse matrix masked to the patch +
-                # the patch-boundary Dirichlet penalty diagonal + identity
-                # on the masked-out block (exact inverse of the block
-                # structure [[A_pp, 0], [0, I]])
+                # additive patch-constant coarse level: the EXACT Galerkin
+                # coarse matrix of the masked patch operator (see
+                # patch_coarse_matrix), + identity on the masked-out block
+                # (exact inverse of the block structure [[A_pp, 0], [0, I]])
                 from ..la import block as _lb
                 A0c = jnp.einsum("q,qkl->kl", theta, arrays["coarse0"])
-                d0 = jnp.stack([jnp.sum(D[sd], axis=(1, 2, 3))
-                                for sd in self.SIDES], axis=-1)   # [K, S]
-                diagD = jnp.einsum("bks,ks->bk", dir_mask, d0)    # [B, K]
-                Ac = (pmask[:, :, None] * A0c[None] * pmask[:, None, :])
+                fams = [(Rq, D["right"], D["left"], left_k, right_k),
+                        (Uq, D["top"], D["bottom"], low_k, up_k)]
+                if Wq is not None:
+                    fams.append((Wq, D["far"], D["near"], near_k, far_k))
+                Ac = patch_coarse_matrix(A0c, pmask, fams)
                 idx = jnp.arange(pm_table.shape[1])
-                Ac = Ac.at[:, idx, idx].add(diagD + (1.0 - pmask))
+                Ac = Ac.at[:, idx, idx].add(1.0 - pmask)
                 cinv = _lb.dense_inv_mixed(Ac)                    # [B, K, K]
 
                 def M(r):

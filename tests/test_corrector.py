@@ -43,7 +43,45 @@ def test_batched_corrector_f_mode(fom):
     assert np.abs(W[0] - w_ref).max() / np.abs(w_ref).max() < 1e-7
 
 
-import pytest
+def test_patch_coarse_matrix_exact(fom):
+    """The two-level patch preconditioner's coarse matrix is the EXACT
+    Galerkin coarse matrix of the masked patch operator (regression: a
+    previous version kept the global in_in/out_out coupling contribution
+    on patch-crossing faces AND added the Dirichlet penalty — valid as a
+    preconditioner but double-counted against the host patch assembly)."""
+    from pylrbms_tpu.ops.corrector import patch_coarse_matrix
+    d = fom
+    mu = d.parse_parameter(0.7)
+    theta = np.asarray(d.theta(mu))
+    bc = BatchedCorrector(d)
+    st = d.op.static
+    D = {sd: jnp.einsum("q,qkfij->kfij", theta, bc.D_side[sd])
+         for sd in bc.SIDES}
+    Rq = {nm: jnp.einsum("q,qefij->efij", theta, v)
+          for nm, v in bc.R.items()}
+    Uq = {nm: jnp.einsum("q,qefij->efij", theta, v)
+          for nm, v in bc.U.items()}
+    A0c = jnp.einsum("q,qkl->kl", theta, bc.A0c_q)
+    marked = [0, 1, 4]
+    pmask = bc.patch_mask_table[np.asarray(marked)]
+    fams = [(Rq, D["right"], D["left"], jnp.asarray(st.left_k),
+             jnp.asarray(st.right_k)),
+            (Uq, D["top"], D["bottom"], jnp.asarray(st.low_k),
+             jnp.asarray(st.up_k))]
+    Ac = np.asarray(patch_coarse_matrix(A0c, pmask, fams))
+    N = d.space.N
+    for b, k in enumerate(marked):
+        members, A_q, _ = d.assemble_patch(k, mu)
+        A_patch = sum(float(t) * np.asarray(A)
+                      for t, A in zip(theta, A_q))
+        m = len(members)
+        ref = A_patch.reshape(m, N, m, N).sum(axis=(1, 3))     # [m, m]
+        got = Ac[b][np.ix_(members, members)]
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+        # rows/cols outside the patch are zero
+        outside = np.setdiff1d(np.arange(d.space.K), members)
+        if outside.size:
+            assert np.abs(Ac[b][np.ix_(outside, outside)]).max() == 0.0
 
 
 @pytest.mark.parametrize("grid_type", ["tri", "crisscross"])
