@@ -92,18 +92,38 @@ class Oswald3D:
         U = jnp.moveaxis(U, -3, -4)      # sy next to ky
         return U.reshape(lead + (-1,))
 
+    @property
+    def vertex_ids_block(self):
+        """``vertex_ids`` re-indexed to the block dof layout [K*N] (same
+        rationale as the 2D ``OswaldOperator.vertex_ids_block``: avoids
+        materializing the tiny-minor-dim global-cell-order temp that pads
+        ~8x under TPU tiling)."""
+        vb = getattr(self, "_vertex_ids_block", None)
+        if vb is None:
+            sp, g = self.space, self.space.grid
+            perm = np.arange(sp.K * sp.N).reshape(
+                g.kz, g.ky, g.kx, sp.s, sp.s, sp.s, sp.nb)
+            perm = np.moveaxis(perm, 3, 1)             # sz next to kz
+            perm = np.moveaxis(perm, 4, 3)             # sy next to ky
+            perm = perm.reshape(-1)
+            vb = np.empty(sp.K * sp.N, dtype=np.int64)
+            vb[perm] = self.vertex_ids
+            self._vertex_ids_block = vb
+        return vb
+
     def interpolate(self, U):
         """I_os(u): [..., K, N] -> [..., K, N] (conforming, zero on the
         domain boundary)."""
         lead = U.shape[:-2]
-        vals = self._block_to_global_cells(U)
-        vid = jnp.asarray(self.vertex_ids)
+        sp = self.space
+        vals = U.reshape(lead + (-1,))
+        vid = jnp.asarray(self.vertex_ids_block)
         sums = jnp.zeros(lead + (self.n_vertices,), U.dtype)
         sums = sums.at[..., vid].add(vals)
         avg = sums / jnp.asarray(self.counts, U.dtype)
         avg = avg * jnp.asarray(self.interior_mask, U.dtype)
         out = avg[..., vid]
-        return self._global_cells_to_block(out, lead)
+        return out.reshape(lead + (sp.K, sp.N))
 
     def _global_cells_to_block(self, V, lead):
         """Inverse of :meth:`_block_to_global_cells` (permutation verified
