@@ -474,12 +474,11 @@ class LRBMSReductor:
 
         b_red = jnp.einsum("qkn,krn->qkr", rhs_q, V).reshape(-1, R)
         b_red = b_red * flat_mask[None, :]
-
-        # --- Oswald / flux / operator applies over all basis vectors ---
-        B_all = jnp.zeros((K * r_max, K, N), V.dtype)
-        B_all = B_all.at[blk_r.reshape(-1), jnp.repeat(kk, r_max), :].set(
-            V.reshape(K * r_max, N))
-        return A_red, b_red, B_all
+        # NOTE: no [R, K, N] column stack is built here — its zeros
+        # broadcast alone was a measured 12 GB padded HLO temp at SPE10
+        # scale (compile-OOM); consumers chunk-build columns from V
+        # (_full's _map_rowsV / _patch_rows / _colored_rows)
+        return A_red, b_red
 
     @staticmethod
     def _patch_rows(oswald, flux, lam_funcs, V, rows_safe, valid_f, store,
@@ -547,7 +546,7 @@ class LRBMSReductor:
         @jax.jit
         @hp
         def _contract(op_arrays, ed_arrays, rhs_q, V, mask, Wk, Tk):
-            A_red, b_red, _ = LRBMSReductor._project(
+            A_red, b_red = LRBMSReductor._project(
                 op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
                 mask, side_rows, edges)
             Vm = V * mask[:, :, None]
@@ -743,7 +742,7 @@ class LRBMSReductor:
                   if self.use_colored_images else None)
 
         def _full(op_arrays, ed_arrays, rhs_q, V, mask, rows_safe, valid_f):
-            A_red, b_red, B_all = LRBMSReductor._project(
+            A_red, b_red = LRBMSReductor._project(
                 op_arrays, ed_arrays, rhs_q, V * mask[:, :, None],
                 mask, side_rows, edges)
             (E_bar, BB, M_aa, M_ab, d_vec, R_dd,
@@ -754,16 +753,48 @@ class LRBMSReductor:
             # materializes [R, faces, nq] temporaries (~4 GB at K=256) —
             # chunk the R axis with lax.map (serialized, memory-bounded;
             # a no-op chunking for small K)
-            R_all = B_all.shape[0]
+            K_, r_max, N_ = V.shape
+            R_all = K_ * r_max
             ch = max(1, min(R_all, 4096 // K))
             if getattr(self, "force_chunk", None):   # test hook
                 ch = int(self.force_chunk)
+            # chunk width for the maps whose STACKED output is [nch, ch,
+            # K, N]: XLA lays those out with the chunk axis minor-most in
+            # the 128-lane position, so a small ch pads 8x (a measured
+            # 12 GB HLO temp for ch=16 at SPE10 scale, compile-OOM) —
+            # lane-align it
+            chV = max(ch, min(R_all, 128))
+            if getattr(self, "force_chunk", None):
+                chV = ch
 
-            def _map_rows(f, B):
-                pad = (-B.shape[0]) % ch
+            def _map_rows(f, B, c=None):
+                c = ch if c is None else c
+                pad = (-B.shape[0]) % c
                 Bp = jnp.pad(B, ((0, pad),) + ((0, 0),) * (B.ndim - 1))
-                out = jax.lax.map(f, Bp.reshape((-1, ch) + B.shape[1:]))
+                out = jax.lax.map(f, Bp.reshape((-1, c) + B.shape[1:]))
                 return out.reshape((-1,) + out.shape[2:])[:B.shape[0]]
+
+            def _map_rowsV(f):
+                """f applied to [chV, K, N] chunks of the VIRTUAL column
+                stack B[k*r_max+j] = e_k (x) V[k, j], built on the fly —
+                the materialized [R, K, N] stack's zeros broadcast alone
+                was a measured 12 GB padded HLO temp at SPE10 scale
+                (compile-OOM in the parabolic reduce)."""
+                Vm_ = V * mask[:, :, None]
+                nch = -(-R_all // chV)
+
+                def body(i):
+                    r_idx = i * chV + jnp.arange(chV)
+                    ok = (r_idx < R_all)
+                    r_cl = jnp.minimum(r_idx, R_all - 1)
+                    k_idx = r_cl // r_max
+                    vals = (Vm_[k_idx, r_cl % r_max]
+                            * ok[:, None].astype(V.dtype))
+                    B_chunk = jnp.zeros((chV, K, N_), V.dtype)
+                    return f(B_chunk.at[jnp.arange(chV), k_idx].set(vals))
+
+                out = jax.lax.map(body, jnp.arange(nch))
+                return out.reshape((-1,) + out.shape[2:])[:R_all]
 
             # on accelerators the f64 [R, K, N] intermediates are
             # software-emulated (2x storage, ~4x dot temporaries): store
@@ -783,51 +814,41 @@ class LRBMSReductor:
                 store = jnp.float32
 
             kk = jnp.arange(K)
-            if not (with_gramians or parabolic):
-                # at-scale path: never materialize B_all/W_all/T_all
-                # ([R, K, N] each, ~2.5 GB at SPE10 scale) — batched
-                # apply + immediate neighborhood gather (B_all above is
-                # then dead and eliminated by XLA).  The gathered
-                # [K, P, *] image stacks are small and kept in the WIDE
-                # dtype; the estimator-tensor projections also contract
-                # PROMOTED — an f32 contraction floors the eta_r/eta_df
-                # cancellations orders of magnitude higher (measured: see
-                # _est_projections' docstring before "optimizing" this).
-                if colors is not None:
-                    # neighborhood-disjoint color batching: K*r_max
-                    # column applies collapse to n_colors*r_max (~28x at
-                    # SPE10 scale; exact — see _colored_rows)
-                    Wk, Tk = LRBMSReductor._colored_rows(
-                        oswald, flux, lam_funcs, V * mask[:, :, None],
-                        rows_safe, valid_f, wide, colors[0], colors[1])
-                else:
-                    Wk, Tk = LRBMSReductor._patch_rows(
-                        oswald, flux, lam_funcs, V * mask[:, :, None],
-                        rows_safe, valid_f, wide, ch)
-                lean_images = (Wk, Tk)
+            # Wk/Tk in EVERY mode via batched apply + immediate
+            # neighborhood gather — never materialize the [R, K, N]
+            # W_all/T_all stacks (~2.5 GB each at SPE10 scale).  The
+            # gathered [K, P, *] image stacks are small and kept in the
+            # WIDE dtype; the estimator-tensor projections also contract
+            # PROMOTED — an f32 contraction floors the eta_r/eta_df
+            # cancellations orders of magnitude higher (measured: see
+            # _est_projections' docstring before "optimizing" this).
+            if colors is not None:
+                # neighborhood-disjoint color batching: K*r_max
+                # column applies collapse to n_colors*r_max (~28x at
+                # SPE10 scale; exact — see _colored_rows)
+                Wk, Tk = LRBMSReductor._colored_rows(
+                    oswald, flux, lam_funcs, V * mask[:, :, None],
+                    rows_safe, valid_f, wide, colors[0], colors[1])
             else:
-                lean_images = None
-                W_all = oswald.apply(B_all).astype(store)        # [R, K, N]
-                T_all = jnp.stack([
-                    _map_rows(lambda blk, lf=lf: flux.apply(lf, blk)
-                              .astype(store), B_all)
-                    for lf in lam_funcs])
-                Wk = W_all[rows_safe, kk[:, None], :] * valid_f[:, :, None]
-                Tk = (T_all[:, rows_safe, kk[:, None], :]
-                      * valid_f[None, :, :, None])               # [Q, K, P, Nrt]
+                Wk, Tk = LRBMSReductor._patch_rows(
+                    oswald, flux, lam_funcs, V * mask[:, :, None],
+                    rows_safe, valid_f, wide, ch)
+            lean_images = ((Wk, Tk) if not (with_gramians or parabolic)
+                           else None)
             A_diag_q, CRio, CRoi, CUio, CUoi, *Wq = op_arrays
             CWio, CWoi = Wq if Wq else (None, None)
             if with_gramians or parabolic:
                 # keep the Q operator applies as a LIST (a stacked
                 # [Q, R, K, N] copy is gigabytes at SPE10 scale, doubled
-                # again by the f64-on-TPU split representation)
+                # again by the f64-on-TPU split representation), each
+                # chunk-built from V (_map_rowsV)
                 AVs = [
-                    _map_rows(lambda blk, q=q: AssembledBlockOp(
+                    _map_rowsV(lambda blk, q=q: AssembledBlockOp(
                         st, A_diag_q[q], CRio[q], CRoi[q], CUio[q],
                         CUoi[q],
                         None if CWio is None else CWio[q],
                         None if CWoi is None else CWoi[q],
-                    ).apply(blk).astype(store), B_all)
+                    ).apply(blk).astype(store))
                     for q in range(len(lam_funcs))]              # Q x [R, K, N]
             if with_gramians:
                 G_bb = jnp.einsum("pkn,rkn->pr", rhs_q, rhs_q)
@@ -878,7 +899,8 @@ class LRBMSReductor:
                 # 25.7 GB compile-OOM at the SPE10 98k-dof / r_max=16 config
                 MAVs = [
                     _map_rows(lambda blk: jnp.einsum(
-                        "knm,ckm->ckn", Linv, blk).astype(store), AVq)
+                        "knm,ckm->ckn", Linv, blk).astype(store), AVq,
+                        c=chV)
                     for AVq in AVs]                            # Q x [R,K,N]
                 FR = jnp.einsum("knm,fkm->fkn", Linv, rhs_q)   # [Qf,K,N]
                 # time residual Gramian: (A_q V)^T M^-1 (A_q' V) [Q,Q,R,R]
@@ -943,7 +965,16 @@ class LRBMSReductor:
         middle of an online-enrichment round at scale
         (docs/results/spe10_greedy_tpu.txt: the r_max bucket growth at
         online mu #2 cost ~450 s of compiles).  With ``mesh`` the lowering
-        uses the same K-axis shardings as ``reduce(mesh=...)``."""
+        uses the same K-axis shardings as ``reduce(mesh=...)``.
+        Best-effort end to end: a prefetch failure (e.g. a device_put
+        RESOURCE_EXHAUSTED on a full chip) must never fail the reduce
+        that triggered it."""
+        try:
+            self._prefetch_bucket(r_next, mesh)
+        except Exception:       # noqa: BLE001 — prefetch is best-effort
+            pass
+
+    def _prefetch_bucket(self, r_next: int, mesh=None):
         import threading
         d = self.d
         K = d.space.K
@@ -957,10 +988,20 @@ class LRBMSReductor:
             return
         fn = self._make_project_fn(with_gramians)
         _, rows_safe, valid = self._bucket_rows(d.grid, K, r_next)
-        V0 = jnp.asarray(np.zeros((K, r_next, d.space.N)))
-        mask0 = jnp.asarray(np.ones((K, r_next)))
+        # lowering inputs are SHAPE-ONLY: ShapeDtypeStructs cost no HBM
+        # (a real zeros V0 device_put used to RESOURCE_EXHAUST the chip
+        # when the prefetch fired while the FOM working set was resident)
+        wdt = d.rhs_q.dtype
+        k0sh = mesh.shard_k(0) if mesh is not None else None
+
+        def _sds(shape, dt=wdt):
+            return (jax.ShapeDtypeStruct(shape, dt, sharding=k0sh)
+                    if k0sh is not None else jax.ShapeDtypeStruct(shape, dt))
+
+        V0 = _sds((K, r_next, d.space.N))
+        mask0 = _sds((K, r_next))
         rows_j = jnp.asarray(rows_safe)
-        valid_j = jnp.asarray(valid, V0.dtype)
+        valid_j = jnp.asarray(valid, wdt)
         op_arrays = ((d.op.A_diag, d.op.C_R_io, d.op.C_R_oi,
                       d.op.C_U_io, d.op.C_U_oi)
                      + ((d.op.C_W_io, d.op.C_W_oi)
@@ -980,7 +1021,8 @@ class LRBMSReductor:
                          put(M_ab, k1), put(d_vec, k1), put(R_dd, k0),
                          put(L2b, k0), put(A_div_c, rep))
             rhs_q = put(rhs_q, k1)
-            V0, mask0 = put(V0, k0), put(mask0, k0)
+            # V0/mask0 are ShapeDtypeStructs already carrying the k0
+            # sharding (built in _sds above)
             rows_j, valid_j = put(rows_j, k0), put(valid_j, k0)
 
         def work():
@@ -1042,8 +1084,8 @@ class LRBMSReductor:
                     Q = len(ed.lambda_funcs)
                     Nrt = ed.BB.shape[-1]
                     P = rows_j.shape[1]
-                    Wk0 = jnp.zeros((K, P, d.space.N), V0.dtype)
-                    Tk0 = jnp.zeros((Q, K, P, Nrt), V0.dtype)
+                    Wk0 = jax.ShapeDtypeStruct((K, P, d.space.N), wdt)
+                    Tk0 = jax.ShapeDtypeStruct((Q, K, P, Nrt), wdt)
                     chs = {next((c for c in self._UPD_CHUNKS if c >= n),
                                 self._UPD_CHUNKS[-1])
                            for n in (8, K)}
