@@ -305,11 +305,18 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
     chosen: List[dict] = []
     fom_solves = 0
     for it in range(max_extensions):
-        ests = []
-        for mu in mus:
-            c = rd.solve(mu)
-            e, _ = rd.estimate(c, mu, projected=True)
-            ests.append(float(e))
+        if rd.elliptic.parabolic is not None:
+            # the whole training sweep (B reduced trajectories + B projected
+            # estimates) runs as TWO jitted dispatches instead of ~4B eager
+            # remote round-trips
+            cs = rd.solve_batch(mus)
+            ests = [float(e) for e in np.asarray(rd.estimate_batch(cs, mus))]
+        else:
+            ests = []
+            for mu in mus:
+                c = rd.solve(mu)
+                e, _ = rd.estimate(c, mu, projected=True)
+                ests.append(float(e))
         worst = int(np.argmax(ests))
         max_ests.append(ests[worst])
         logger.info(f"pod-greedy iter {it}: max estimate {ests[worst]:.3e} "

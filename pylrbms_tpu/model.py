@@ -1046,6 +1046,33 @@ class InstationaryBlockModel:
         At SPE10-contrast coarse modes dominate block-Jacobi convergence
         even with the mass shift: measured 415 -> ~95 ms/step at the 98k
         north-star config (docs/results/spe10_parabolic_tpu.txt)."""
+        G_sop, bf_fn, cache = self._mf_parab_setup()
+        st = self.stationary
+        theta = st.theta(mu)
+        one = jnp.ones((1,), theta.dtype)
+        theta_G = jnp.concatenate([one, dt * theta])
+        # per-mu preconditioner (frozen across the nt steps; G is
+        # time-independent under implicit Euler with fixed dt)
+        bf = bf_fn(st.op.A_diag, self.mass, dt * theta)
+        K, N = st.space.K, st.space.N
+        if two_level is None:
+            two_level = K * N > 32768
+        C = ci = None
+        if two_level:
+            C, ci = self._mf_parab_coarse(dt, theta, coarse_space,
+                                          coarse_modes)
+        key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
+               int(maxiter), bool(two_level))
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = jax.jit(
+                self._mf_traj_core(dt, tol, maxiter))
+        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu)
+
+    def _mf_parab_setup(self):
+        """Shared mf machinery: G = M + dt A as one stencil family (mass is
+        the first component) + the jitted per-theta block-Jacobi factor
+        builder.  Returns (G_sop, bf_fn, cache)."""
         if getattr(self.stationary.space, "dim", 2) == 3:
             from .ops.matrixfree3d import (
                 mass_stencil3 as mass_stencil,
@@ -1062,82 +1089,151 @@ class InstationaryBlockModel:
                 sop.stencils[0])
             cache["mass_stencil"] = m_st
         G_sop = StencilOperator(st.space, (m_st,) + tuple(sop.stencils))
-        theta = st.theta(mu)
-        one = jnp.ones((1,), theta.dtype)
-        theta_G = jnp.concatenate([one, dt * theta])
-        # per-mu preconditioner (frozen across the nt steps; G is
-        # time-independent under implicit Euler with fixed dt)
         bf_fn = cache.get("parab_bf_fn")
         if bf_fn is None:
             bf_fn = jax.jit(hp(lambda Ad, M, th: block_jacobi_factors(
                 M + jnp.einsum("q,qkij->kij", th, Ad))))
             cache["parab_bf_fn"] = bf_fn
-        bf = bf_fn(st.op.A_diag, self.mass, dt * theta)
+        return G_sop, bf_fn, cache
+
+    def _mf_parab_coarse(self, dt, theta, coarse_space, coarse_modes):
+        """Two-level coarse space on G = M + dt A, FROZEN at the first theta
+        seen per (dt, space) — the same spectral-equivalence freeze as the
+        stationary solve."""
+        st = self.stationary
+        cache = st._mf_jit_cache
+        Pkey = ("parab_precond", float(dt), coarse_space, int(coarse_modes))
+        pre = cache.get(Pkey)
+        if pre is None:
+            from .la.block import (AssembledBlockOp,
+                                   harvested_coarse_basis,
+                                   prepare_coarse)
+            A = jax.jit(hp(lambda op, th: op.assemble(th)))(st.op, theta)
+            sdt = (lambda Cc: None if Cc is None else dt * Cc)
+            G0 = AssembledBlockOp(
+                A.static, self.mass + dt * A.A_diag,
+                dt * A.C_R_io, dt * A.C_R_oi,
+                dt * A.C_U_io, dt * A.C_U_oi,
+                sdt(A.C_W_io), sdt(A.C_W_oi))
+            bf0 = jax.jit(hp(lambda g: g.block_jacobi_factors()))(G0)
+            C_np = harvested_coarse_basis(G0, bf0, st.space,
+                                          n_harvest=coarse_modes,
+                                          extra_modal=3)
+            pre = prepare_coarse(G0, C_np)
+            cache[Pkey] = pre
+        return pre
+
+    def _mf_traj_core(self, dt, tol, maxiter):
+        """The (unjitted) whole-trajectory core: one ``lax.scan`` of
+        warm-started PCG solves with all model tensors as arguments.  Jitted
+        directly for a single mu; ``jax.vmap`` over (theta_G, [bf,] mu) for
+        the batched-serving path (:meth:`solve_batch`)."""
+        st = self.stationary
+        f_coeffs = st.f_coeffs
+        K, N = st.space.K, st.space.N
+        nt, dtype = self.nt, st.dtype
+
+        @hp
+        def _traj(G_sop_, theta_G_, bf_, C_, ci_, rhs_q, mu_):
+            G = G_sop_.assemble(theta_G_)
+            # the mass apply = the family's first component assembled
+            # alone (dimension-generic: works for 2D and 3D stencils)
+            M_op = type(G_sop_)(G_sop_.space,
+                                (G_sop_.stencils[0],)).assemble(
+                jnp.ones((1,), theta_G_.dtype))
+
+            def theta_f_at(t):
+                mu_t = dict(mu_)
+                mu_t["_t"] = t
+                return evaluate_coefficients(f_coeffs, mu_t)
+
+            def step(u, n):
+                t_next = (n + 1.0) * dt
+                f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
+                rhs = M_op.apply(u) + dt * f
+                u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
+                                     block_factors=bf_, coarse_basis=C_,
+                                     coarse_inv=ci_, coarse_f32=True,
+                                     x0=u)
+                return u_next, u_next
+
+            u0 = jnp.zeros((K, N), dtype)
+            _, traj = jax.lax.scan(step, u0, jnp.arange(nt))
+            return jnp.concatenate([u0[None], traj], axis=0)
+
+        return _traj
+
+    @hp
+    def solve_batch(self, mus, shared_preconditioner: bool = True,
+                    tol: float = 1e-10, maxiter: int = 500,
+                    two_level: bool = None, coarse_modes: int = 16,
+                    coarse_space: str = "harvested"):
+        """Batched-mu parabolic serving: B implicit-Euler trajectories in ONE
+        jitted dispatch — the parabolic analog of the elliptic batched online
+        step (:func:`make_online_step`).  Returns [B, nt+1, K, N].
+
+        The per-iteration HBM stream (affine stencils, coarse level and —
+        with ``shared_preconditioner=True`` — the block-Jacobi factors built
+        at mu_bar, spectrally equivalent across the parameter range) is
+        shared across the whole batch; the scan's PCG solves run lock-step
+        until the slowest lane converges.  ``shared_preconditioner=False``
+        builds exact per-mu factors instead (B x [K, N, N] extra HBM).
+
+        The reference's parabolic pipeline answers parameter queries one
+        ISTL-factorize-per-mu at a time (``ImplicitEulerTimeStepper``,
+        reference ``discretize_parabolic_block_swipdg.py:27-40``); this is
+        the many-query production shape (POD-greedy training sweeps,
+        parabolic serving)."""
+        st = self.stationary
+        if not (st.estimator is not None
+                and getattr(st.estimator.data, "lambda_funcs", None)):
+            raise NotImplementedError(
+                "solve_batch needs the matrix-free stencil path "
+                "(estimator data with lambda_funcs)")
+        dt = self.T / self.nt
+        mus = [self.parse_parameter(m) for m in mus]
+        G_sop, bf_fn, cache = self._mf_parab_setup()
+        thetas = jnp.stack([st.theta(m) for m in mus])          # [B, Q]
+        ones = jnp.ones((thetas.shape[0], 1), thetas.dtype)
+        theta_G = jnp.concatenate([ones, dt * thetas], axis=1)  # [B, 1+Q]
         K, N = st.space.K, st.space.N
         if two_level is None:
             two_level = K * N > 32768
         C = ci = None
         if two_level:
-            Pkey = ("parab_precond", float(dt), coarse_space,
-                    int(coarse_modes))
-            pre = cache.get(Pkey)
-            if pre is None:
-                from .la.block import (AssembledBlockOp,
-                                       harvested_coarse_basis,
-                                       prepare_coarse)
-                A = jax.jit(hp(lambda op, th: op.assemble(th)))(st.op, theta)
-                sdt = (lambda Cc: None if Cc is None else dt * Cc)
-                G0 = AssembledBlockOp(
-                    A.static, self.mass + dt * A.A_diag,
-                    dt * A.C_R_io, dt * A.C_R_oi,
-                    dt * A.C_U_io, dt * A.C_U_oi,
-                    sdt(A.C_W_io), sdt(A.C_W_oi))
-                bf0 = jax.jit(hp(lambda g: g.block_jacobi_factors()))(G0)
-                C_np = harvested_coarse_basis(G0, bf0, st.space,
-                                              n_harvest=coarse_modes,
-                                              extra_modal=3)
-                pre = prepare_coarse(G0, C_np)
-                cache[Pkey] = pre
-            C, ci = pre
-        key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
-               int(maxiter), bool(two_level))
+            C, ci = self._mf_parab_coarse(dt, thetas[0], coarse_space,
+                                          coarse_modes)
+        if shared_preconditioner:
+            theta_bar = self._theta_bar()
+            bf = bf_fn(st.op.A_diag, self.mass, dt * theta_bar)
+            bf_ax = None
+        else:
+            bf = jax.vmap(bf_fn, in_axes=(None, None, 0))(
+                st.op.A_diag, self.mass, dt * thetas)
+            bf_ax = 0
+        key = ("parab_mf_traj_batched", K, N, self.nt, float(dt),
+               float(tol), int(maxiter), bool(two_level), bf_ax,
+               thetas.shape[0])
         fn = cache.get(key)
         if fn is None:
-            f_coeffs = st.f_coeffs
-            nt, dtype = self.nt, st.dtype
+            core = self._mf_traj_core(dt, tol, maxiter)
+            fn = cache[key] = jax.jit(jax.vmap(
+                core, in_axes=(None, 0, bf_ax, None, None, None, 0)))
+        mus_stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in mus])
+                       for k in mus[0]}
+        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mus_stacked)
 
-            @jax.jit
-            @hp
-            def _traj(G_sop_, theta_G_, bf_, C_, ci_, rhs_q, mu_):
-                G = G_sop_.assemble(theta_G_)
-                # the mass apply = the family's first component assembled
-                # alone (dimension-generic: works for 2D and 3D stencils)
-                M_op = type(G_sop_)(G_sop_.space,
-                                    (G_sop_.stencils[0],)).assemble(
-                    jnp.ones((1,), theta_G_.dtype))
-
-                def theta_f_at(t):
-                    mu_t = dict(mu_)
-                    mu_t["_t"] = t
-                    return evaluate_coefficients(f_coeffs, mu_t)
-
-                def step(u, n):
-                    t_next = (n + 1.0) * dt
-                    f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
-                    rhs = M_op.apply(u) + dt * f
-                    u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                         block_factors=bf_, coarse_basis=C_,
-                                         coarse_inv=ci_, coarse_f32=True,
-                                         x0=u)
-                    return u_next, u_next
-
-                u0 = jnp.zeros((K, N), dtype)
-                _, traj = jax.lax.scan(step, u0, jnp.arange(nt))
-                return jnp.concatenate([u0[None], traj], axis=0)
-
-            fn = _traj
-            cache[key] = fn
-        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu)
+    def _theta_bar(self):
+        """theta at the estimator's reference parameter mu_bar (the frozen-
+        preconditioner anchor); all-ones component sum when unavailable."""
+        st = self.stationary
+        mu_bar = getattr(st, "mu_bar", None)
+        if mu_bar is None and st.estimator is not None:
+            mu_bar = getattr(st.estimator.data, "mu_bar", None)
+        try:
+            return st.theta(mu_bar or {})
+        except KeyError:
+            return jnp.ones((st.op.A_diag.shape[0],), st.op.A_diag.dtype)
 
     def operator_apply(self, U, mu):
         return self.stationary.operator_apply(U, mu)

@@ -153,26 +153,30 @@ class ReducedModel:
                         self.G_AA.astype(wide), cf, cf)
         return jnp.sqrt(jnp.maximum(bb - 2.0 * Ab + AA, 0.0))
 
-    def local_quantities(self, c, mu):
+    def local_quantities(self, c, mu, tensors=None):
         """Reduced localized squared quantities; c [..., K, r_max] -> [..., K].
 
         Algebraically identical to the FOM estimator applied to the
-        reconstruction (exact Galerkin projection), at N-independent cost."""
+        reconstruction (exact Galerkin projection), at N-independent cost.
+        ``tensors``: optional explicit tensor dict (jit-argument form, so the
+        Gramians never become HLO constants in a caller's compiled graph)."""
+        t = tensors if tensors is not None else {
+            n: getattr(self, n) for n in self._ARRAY_FIELDS}
         theta = self.d.theta(mu)
         theta_f = self.d.theta_f(mu)
         ch = self._gather_neighborhood(c)              # [..., K, P]
 
-        eta_nc = jnp.einsum("...kp,kpr,...kr->...k", ch, self.G_nc, ch)
+        eta_nc = jnp.einsum("...kp,kpr,...kr->...k", ch, t["G_nc"], ch)
 
-        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, self.rf_qq)
-        r_fd = jnp.einsum("f,q,fqkp,...kp->...k", theta_f, theta, self.DV, ch)
-        r_dd = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.RD, ch, ch)
-        scale = (1.0 / (jnp.pi ** 2) / self.min_ev) * self.diam ** 2
+        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, t["rf_qq"])
+        r_fd = jnp.einsum("f,q,fqkp,...kp->...k", theta_f, theta, t["DV"], ch)
+        r_dd = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["RD"], ch, ch)
+        scale = (1.0 / (jnp.pi ** 2) / t["min_ev"]) * t["diam"] ** 2
         eta_r = (rf - 2.0 * r_fd + r_dd) * scale
 
-        aa = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.AA, c, c)
-        bb = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.BBT, ch, ch)
-        ab = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.ABT, c, ch)
+        aa = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["AA"], c, c)
+        bb = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["BBT"], ch, ch)
+        ab = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["ABT"], c, ch)
         eta_df = aa + bb + 2.0 * ab
         return eta_nc, eta_r, eta_df
 
@@ -1418,17 +1422,39 @@ class ReducedParabolicModel:
         nt = int(nt if nt is not None else im.nt)
         mu = d.parse_parameter(mu)
         dt = T / nt
+        fn = self._traj_fn(dt, nt, batched=False)
+        return fn(self.elliptic.A_red, self.M_red, self.elliptic.b_red, mu)
+
+    def solve_batch(self, mus, T: float = None, nt: int = None):
+        """B reduced trajectories in ONE jitted dispatch ([B, nt+1, K, r]):
+        the POD-greedy training sweep / parabolic ROM serving shape (the
+        per-mu reduced solve is latency-bound on the remote path — one
+        dispatch amortizes it B-fold, like the elliptic batched online
+        step)."""
+        rd = self.elliptic
+        im = self._instationary
+        T = T if T is not None else im.T
+        nt = int(nt if nt is not None else im.nt)
+        mus = [rd.d.parse_parameter(m) for m in mus]
+        dt = T / nt
+        fn = self._traj_fn(dt, nt, batched=True)
+        mus_stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in mus])
+                       for k in mus[0]}
+        return fn(rd.A_red, self.M_red, rd.b_red, mus_stacked)
+
+    def _traj_fn(self, dt, nt, batched: bool):
+        rd = self.elliptic
+        d = rd.d
         K, r_max = len(rd.sizes), rd.r_max
         cache = getattr(self, "_traj_cache", None)
         if cache is None:
             cache = self._traj_cache = {}
-        key = (float(dt), nt, K, int(r_max))
+        key = (float(dt), nt, K, int(r_max), batched)
         fn = cache.get(key)
         if fn is None:
             lambda_coeffs, f_coeffs = d.lambda_coeffs, d.f_coeffs
             from .utils.precision import hp
 
-            @jax.jit
             @hp
             def _traj(A_red_q, M_red, b_red_q, mu_):
                 theta = evaluate_coefficients(lambda_coeffs, mu_)
@@ -1466,12 +1492,62 @@ class ReducedParabolicModel:
                 traj = jnp.concatenate([c0[None], traj], axis=0)
                 return traj.reshape(nt + 1, K, r_max)
 
-            fn = cache[key] = _traj
-        return fn(rd.A_red, self.M_red, rd.b_red, mu)
+            if batched:
+                fn = jax.jit(jax.vmap(_traj, in_axes=(None, None, None, 0)))
+            else:
+                fn = jax.jit(_traj)
+            cache[key] = fn
+        return fn
 
     def attach_instationary(self, im):
         self._instationary = im
         return self
+
+    def estimate_batch(self, cs, mus):
+        """B projected parabolic estimates in ONE jitted dispatch.
+
+        ``cs`` [B, nt+1, K, r_max] (e.g. from :meth:`solve_batch`), ``mus``
+        a length-B list -> etas [B].  The POD-greedy training-sweep shape:
+        the eager per-mu projected estimate costs one remote round-trip per
+        einsum, here the whole sweep is one compiled program with the
+        reduced tensors as arguments (remote-compile safe)."""
+        import dataclasses
+        rd = self.elliptic
+        d = rd.d
+        mus = [dict(d.parse_parameter(m)) for m in mus]
+        for m in mus:
+            m.setdefault("_t", 0.0)
+        mus_stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in mus])
+                       for k in mus[0]}
+        arrays = {n: getattr(rd, n) for n in rd._ARRAY_FIELDS
+                  if getattr(rd, n) is not None}
+        pb = rd.parabolic
+        cache = getattr(self, "_est_batch_cache", None)
+        if cache is None:
+            cache = self._est_batch_cache = {}
+        key = (tuple(map(int, cs.shape)),
+               tuple((n, tuple(map(int, a.shape)))
+                     for n, a in sorted(arrays.items())))
+        fn = cache.get(key)
+        if fn is None:
+            skeleton = self
+
+            @jax.jit
+            @hp
+            def fn(arrays_, M_red_, pb_, cs_, mus_):
+                rdt = dataclasses.replace(skeleton.elliptic, **arrays_,
+                                          parabolic=pb_)
+                pm = ReducedParabolicModel(elliptic=rdt, M_red=M_red_)
+                pm._instationary = skeleton._instationary
+
+                def one(c, mu_):
+                    eta, _ = pm.estimate(c, mu_, projected=True)
+                    return eta
+
+                return jax.vmap(one)(cs_, mus_)
+
+            cache[key] = fn
+        return fn(arrays, self.M_red, pb, cs, mus_stacked)
 
     def estimate(self, c, mu, decompose: bool = False, projected: bool = True):
         """Parabolic reduced estimate.

@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--rom-snapshots", type=int, default=8,
                     help="trajectory snapshots kept for the reduced basis "
                          "(evenly strided; GS truncates dependents)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also run B batched-mu FOM trajectories in one "
+                         "vmapped dispatch (solve_batch) and report "
+                         "ms/step/mu vs the single-mu trajectory")
+    ap.add_argument("--batch-exact-precond", action="store_true",
+                    help="per-mu block-Jacobi factors in the batched run "
+                         "(default: one frozen factor set shared across "
+                         "the batch)")
     args = ap.parse_args()
 
     import jax
@@ -120,6 +128,37 @@ def main():
                  f"{err:.2e}")
         log.info(f"device vs host (factorize+steps): "
                  f"{(t_fac + t_steps) / t_warm:.1f}x")
+
+    if args.batch:
+        # batched-mu parabolic serving: B trajectories in ONE vmapped scan —
+        # the affine stencil + coarse (+ shared block-Jacobi) HBM stream is
+        # read once per CG iteration for the WHOLE batch
+        B = args.batch
+        shared = not args.batch_exact_precond
+        mus_b = [im.parse_parameter({"switch": m})
+                 for m in np.linspace(0.3, 0.95, B)]
+        t0 = time.perf_counter()
+        Ub = im.solve_batch(mus_b, shared_preconditioner=shared)
+        Ub.block_until_ready()
+        t_cold = time.perf_counter() - t0
+        mus_b2 = [im.parse_parameter({"switch": m})
+                  for m in np.linspace(0.35, 0.9, B)]
+        t0 = time.perf_counter()
+        Ub2 = im.solve_batch(mus_b2, shared_preconditioner=shared)
+        Ub2.block_until_ready()
+        t_bwarm = time.perf_counter() - t0
+        # one lane cross-checked against the single-mu path
+        lane = B // 2
+        ref = im.solve(mus_b2[lane])
+        rel = float(jnp.abs(Ub2[lane] - ref).max() / jnp.abs(ref).max())
+        log.info(
+            f"batched trajectories [B={B}, "
+            f"{'shared' if shared else 'per-mu'} block-Jacobi]: cold "
+            f"{t_cold:.1f} s, warm {t_bwarm:.2f} s = "
+            f"{t_bwarm / args.nt * 1e3 / B:.1f} ms/step/mu "
+            f"({t_warm / (t_bwarm / B):.1f}x the single-mu trajectory per "
+            f"query); lane vs single-mu solve: {rel:.2e}")
+        assert rel < 1e-8, rel
 
     if args.rom:
         # certified parabolic ROM: snapshot basis from the mu-trajectory,

@@ -244,3 +244,52 @@ def test_parabolic_adaptive_enrichment_converges_to_fom():
     assert errs[-1] < 0.15, errs
     # the estimate converges to the FOM certification floor
     assert abs(etas[-1] / eta_fom - 1.0) < 0.3, (etas, eta_fom)
+
+
+def test_parabolic_fom_solve_batch_matches_per_mu():
+    """Batched-mu parabolic trajectories (B implicit-Euler scans in ONE
+    vmapped dispatch, preconditioner stream shared across the batch) == the
+    per-mu solves — the parabolic serving / POD-greedy training-sweep shape
+    (the reference factorizes per mu, ``ImplicitEulerTimeStepper``)."""
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=0.5, nt=6)
+    mus = [im.parse_parameter({'switch': s}) for s in (0.2, 0.5, 0.9)]
+    batch = np.asarray(im.solve_batch(mus))
+    assert batch.shape[0] == 3
+    for i, mu in enumerate(mus):
+        ref = np.asarray(im.solve(mu))
+        err = np.abs(batch[i] - ref).max() / max(np.abs(ref).max(), 1e-300)
+        assert err < 1e-8, (i, err)
+    # exact per-mu block-Jacobi factors: same trajectories, different
+    # iteration paths
+    exact = np.asarray(im.solve_batch(mus, shared_preconditioner=False))
+    err = np.abs(exact - batch).max() / np.abs(batch).max()
+    assert err < 1e-8, err
+
+
+def test_parabolic_rom_batch_matches_per_mu():
+    """Reduced batched trajectories + batched projected estimates == the
+    per-mu reduced solve/estimate: the POD-greedy sweep runs as TWO jitted
+    dispatches."""
+    from pylrbms_tpu.reductor import ParabolicLRBMSReductor
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=0.5, nt=6)
+    mu0 = im.parse_parameter({'switch': 0.5})
+    traj = np.asarray(im.solve(mu0))
+    red = ParabolicLRBMSReductor(im.stationary)
+    red.extend_basis(traj[1::2])
+    rd = red.reduce().attach_instationary(im)
+    mus = [im.parse_parameter({'switch': s}) for s in (0.3, 0.5, 0.8)]
+    cs = rd.solve_batch(mus)
+    etas = np.asarray(rd.estimate_batch(cs, mus))
+    cs = np.asarray(cs)
+    for i, mu in enumerate(mus):
+        c = np.asarray(rd.solve(mu))
+        assert np.abs(cs[i] - c).max() < 1e-10 * max(1.0, np.abs(c).max())
+        e, _ = rd.estimate(jnp.asarray(c), mu, projected=True)
+        assert abs(etas[i] - float(e)) < 1e-8 * max(1.0, abs(float(e))), \
+            (i, etas[i], float(e))
