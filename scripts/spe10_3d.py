@@ -47,6 +47,19 @@ def main():
                          "enrichment parameters (3 rounds each) — the full "
                          "north-star pipeline (offline greedy + online "
                          "enrichment) in native 3D")
+    ap.add_argument("--skip-estimate", action="store_true",
+                    help="skip the FOM estimate (at --lean scale the "
+                         "positive-form f64 integrals are an offline-grade "
+                         "op; use when timing the solve/parabolic legs)")
+    ap.add_argument("--parabolic", type=int, default=0, metavar="NT",
+                    help="also run the native-3D implicit-Euler trajectory "
+                         "with this many steps (T=1.0, "
+                         "discretize_parabolic_block_swipdg3d semantics: "
+                         "one jitted lax.scan; matrix-free G = M + dt*A "
+                         "at scale)")
+    ap.add_argument("--parabolic-batch", type=int, default=0,
+                    help="additionally run B batched-mu 3D trajectories in "
+                         "one vmapped dispatch (solve_batch)")
     ap.add_argument("--xl", action="store_true",
                     help="stencil-ONLY build + solve (no dense per-subdomain "
                          "blocks anywhere): cell-Jacobi + subdomain-constant "
@@ -115,9 +128,73 @@ def main():
     print(f"FOM solve: {t_solve*1e3:.0f} ms, {int(it)} CG iterations, "
           f"rel residual {r:.1e}")
 
-    t0 = time.perf_counter()
-    eta = float(d.estimate(U, mu, paper_convention=True))
-    print(f"FOM estimate: eta = {eta:.4e}  ({time.perf_counter()-t0:.1f} s)")
+    if not args.skip_estimate:
+        t0 = time.perf_counter()
+        eta = float(d.estimate(U, mu, paper_convention=True))
+        print(f"FOM estimate: eta = {eta:.4e}  "
+              f"({time.perf_counter()-t0:.1f} s)")
+
+    if args.parabolic:
+        # the parabolic north-star leg in its native 3D form (<-> the 2D
+        # scripts/spe10_parabolic.py; reference pipeline is 2D-only,
+        # discretize_parabolic_block_swipdg.py:27-40)
+        from pylrbms_tpu.model import InstationaryBlockModel
+        nt = args.parabolic
+        im = InstationaryBlockModel(stationary=d, T=1.0, nt=nt)
+        dt = im.T / nt
+        mup = d.parse_parameter(mu)
+        t0 = time.perf_counter()
+        traj = im.solve(mup)
+        traj.block_until_ready()
+        t_cold = time.perf_counter() - t0
+        mup2 = d.parse_parameter({"switch": 0.8})
+        t0 = time.perf_counter()
+        traj2 = im.solve(mup2)
+        traj2.block_until_ready()
+        t_pwarm = time.perf_counter() - t0
+        print(f"3D trajectory [{nt} implicit-Euler steps]: cold "
+              f"{t_cold:.1f} s (incl. compile), warm {t_pwarm:.2f} s "
+              f"({t_pwarm / nt * 1e3:.0f} ms/step)")
+        # self-check: the final step satisfies its implicit-Euler equation
+        A2 = d.op.assemble(d.theta(mup2))
+        M = im.mass
+        u_prev, u_last = traj2[-2], traj2[-1]
+        f2 = d.rhs(mup2)
+        lhs = jnp.einsum("knm,km->kn", M, u_last) + dt * A2.apply(u_last)
+        rhs2 = jnp.einsum("knm,km->kn", M, u_prev) + dt * f2
+        rel = float(jnp.linalg.norm((lhs - rhs2).reshape(-1))
+                    / jnp.linalg.norm(rhs2.reshape(-1)))
+        print(f"3D final-step implicit-Euler residual: {rel:.2e}")
+        assert rel < 1e-6, rel
+        if args.parabolic_batch:
+            B = args.parabolic_batch
+            mus_b = [d.parse_parameter({"switch": m})
+                     for m in np.linspace(0.3, 0.95, B)]
+            t0 = time.perf_counter()
+            Ub = im.solve_batch(mus_b)
+            Ub.block_until_ready()
+            t_bcold = time.perf_counter() - t0
+            mus_b2 = [d.parse_parameter({"switch": m})
+                      for m in np.linspace(0.35, 0.9, B)]
+            t0 = time.perf_counter()
+            Ub2 = im.solve_batch(mus_b2)
+            Ub2.block_until_ready()
+            t_bwarm = time.perf_counter() - t0
+            lane = B // 2
+            ref = im.solve(mus_b2[lane])
+            rel_b = float(jnp.abs(Ub2[lane] - ref).max()
+                          / jnp.abs(ref).max())
+            print(f"3D batched trajectories [B={B}]: cold {t_bcold:.1f} s, "
+                  f"warm {t_bwarm:.2f} s = "
+                  f"{t_bwarm / nt * 1e3 / B:.1f} ms/step/mu "
+                  f"({t_pwarm / (t_bwarm / B):.1f}x the single-mu "
+                  f"trajectory per query); lane vs single-mu: {rel_b:.2e}")
+            assert rel_b < 1e-8, rel_b
+        if not args.lean:
+            t0 = time.perf_counter()
+            eta_p, _parts = im.estimate(traj2, mup2)
+            print(f"3D parabolic estimate: {time.perf_counter()-t0:.1f} s, "
+                  f"eta = {float(eta_p):.6e}")
 
     if args.lean:
         return

@@ -266,3 +266,22 @@ def test_hex3d_thermalblock_multiparameter():
     e_rom = float(rd.estimate(c, mu_t))
     e_fom = float(d.estimate(rd.reconstruct(c), mu_t))
     assert abs(e_rom - e_fom) / e_fom < 1e-9
+
+
+def test_hex3d_parabolic_solve_batch_matches_per_mu():
+    """3D batched-mu trajectories (vmapped stencil scan with the z-coupling
+    family; mass as the stencil family's first component) == per-mu
+    solves."""
+    from pylrbms_tpu.discretize_parabolic_block_swipdg3d import (
+        discretize as discretize_par)
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    im, _ = discretize_par(gpd, T=1.0, nt=5)
+    mus = [im.parse_parameter({'diffusion': s}) for s in (0.3, 0.7, 1.0)]
+    batch = np.asarray(im.solve_batch(mus))
+    assert batch.shape[0] == 3
+    for i, mu in enumerate(mus):
+        ref = np.asarray(im.solve(mu))
+        err = np.abs(batch[i] - ref).max() / max(np.abs(ref).max(), 1e-300)
+        assert err < 1e-8, (i, err)
