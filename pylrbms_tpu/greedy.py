@@ -279,7 +279,8 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
 
 def pod_greedy(im, training_set, target_error: float = 1e-4,
                max_extensions: int = 20, products=None, pod_modes: int = 1,
-               order: int = 0) -> GreedyResult:
+               order: int = 0, checkpoint_path: Optional[str] = None,
+               resume: bool = True) -> GreedyResult:
     """POD-greedy (Haasdonk/Ohlberger-style) for the parabolic LRBMS FOM —
     offline basis construction the reference lacks entirely (its
     ``ParabolicLRBMSReductor`` is a ``pass`` stub, ``reductor.py:149-180``).
@@ -294,17 +295,36 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
     online-enrichment loop it is floored by the FOM discretization error,
     so on coarse meshes it plateaus there while the ROM-vs-FOM trajectory
     error keeps converging (assert on reconstruction error in tests).
+
+    ``checkpoint_path``/``resume``: same semantics as :func:`weak_greedy` —
+    bases + selection state written atomically after every extension, an
+    interrupted offline run continues without redoing FOM trajectory
+    solves.
     """
     from .reductor import ParabolicLRBMSReductor
     logger = getLogger("pylrbms.pod_greedy")
     d = im.stationary
-    red = ParabolicLRBMSReductor(d, products=products, order=order)
-    rd = red.reduce().attach_instationary(im)
     mus = [d.parse_parameter(mu) for mu in training_set]
     max_ests: List[float] = []
-    chosen: List[dict] = []
+    chosen_idx: List[int] = []
+    it0 = 0
+    red = None
+    if resume and checkpoint_path is not None:
+        import os
+        from .utils.checkpoint import load_greedy_state
+        p = checkpoint_path if checkpoint_path.endswith(".npz") \
+            else checkpoint_path + ".npz"
+        if os.path.exists(p):
+            red, it0, _, max_ests, chosen_idx = load_greedy_state(
+                d, p, products=products, cls=ParabolicLRBMSReductor)
+            logger.info(f"pod-greedy: resumed from {p} at iteration {it0} "
+                        f"(RB size {sum(b.shape[0] for b in red.bases)})")
+    if red is None:
+        red = ParabolicLRBMSReductor(d, products=products, order=order)
+    rd = red.reduce().attach_instationary(im)
+    chosen = [mus[i] for i in chosen_idx]
     fom_solves = 0
-    for it in range(max_extensions):
+    for it in range(it0, max_extensions):
         if rd.elliptic.parabolic is not None:
             # the whole training sweep (B reduced trajectories + B projected
             # estimates) runs as TWO jitted dispatches instead of ~4B eager
@@ -328,6 +348,7 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
         U = np.asarray(im.solve(mu_w))                 # [nt+1, K, N]
         fom_solves += 1
         chosen.append(mu_w)
+        chosen_idx.append(worst)
         E = U - np.asarray(red.reconstruct(rd.solve(mu_w)))
         added = 0
         for k in range(d.space.K):
@@ -347,5 +368,10 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
             logger.info("pod-greedy: no local basis grew — stopping")
             break
         rd = red.reduce().attach_instationary(im)
+        if checkpoint_path is not None:
+            from .utils.checkpoint import save_greedy_state
+            save_greedy_state(red, checkpoint_path, it=it + 1,
+                              retired=np.zeros(len(mus), dtype=bool),
+                              max_etas=max_ests, chosen_idx=chosen_idx)
     return GreedyResult(reductor=red, rd=rd, max_etas=max_ests,
                         chosen_mus=chosen, fom_solves=fom_solves)

@@ -60,9 +60,14 @@ def save_greedy_state(reductor, path: str, *, it: int, retired, max_etas,
     return path
 
 
-def load_greedy_state(d, path: str, products=None, solver_options=None):
-    """-> (reductor, it, retired, max_etas, chosen_idx)."""
-    from ..reductor import LRBMSReductor
+def load_greedy_state(d, path: str, products=None, solver_options=None,
+                      cls=None):
+    """-> (reductor, it, retired, max_etas, chosen_idx).
+
+    ``cls``: reductor class to rebuild (default ``LRBMSReductor``; the
+    parabolic POD-greedy resumes with ``ParabolicLRBMSReductor``)."""
+    if cls is None:
+        from ..reductor import LRBMSReductor as cls
     if not path.endswith(".npz"):
         path += ".npz"
     with np.load(path, allow_pickle=False) as zz:
@@ -72,6 +77,6 @@ def load_greedy_state(d, path: str, products=None, solver_options=None):
         max_etas = list(np.asarray(zz["__max_etas__"], dtype=float))
         chosen_idx = list(np.asarray(zz["__chosen_idx__"], dtype=int))
     assert meta["N"] == d.space.N, "checkpoint does not match the discretization"
-    red = LRBMSReductor(d, bases=bases, products=products,
-                        solver_options=solver_options, order=None)
+    red = cls(d, bases=bases, products=products,
+              solver_options=solver_options, order=None)
     return red, int(meta["it"]), retired, max_etas, chosen_idx

@@ -34,6 +34,10 @@ if '--crisscross' in __import__('sys').argv:
 
 
 def main(max_levels=2, paper_convention=False):
+    import jax
+    # env-independent f64 (library policy for the parity/golden
+    # flows; without x64 the TPU path silently truncates to f32)
+    jax.config.update("jax_enable_x64", True)
     print('M. Ohlberger, F. Schindler, 2015, Error control for the Localized Reduced')
     print('Basis Multiscale method with adaptive on-line enrichment — Block SWIPDG P1')
     if paper_convention:

@@ -45,6 +45,10 @@ config = {'num_subdomains': [2, 2],
 
 
 def main(max_levels=1, paper_convention=False):
+    import jax
+    # env-independent f64 (library policy for the parity/golden
+    # flows; without x64 the TPU path silently truncates to f32)
+    jax.config.update("jax_enable_x64", True)
     print('OS2015 tables for the reduced model (snapshots at mu=1)'
           + (' — paper convention' if paper_convention else ''))
     StationaryEocStudy(init_grid_and_problem, discretize_reduced, config,

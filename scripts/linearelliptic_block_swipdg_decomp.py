@@ -38,6 +38,10 @@ PAPER = "--paper-convention" in sys.argv
 
 
 def main():
+    import jax
+    # env-independent f64 (library policy for the parity/golden
+    # flows; without x64 the TPU path silently truncates to f32)
+    jax.config.update("jax_enable_x64", True)
     grid_and_problem_data = init_grid_and_problem(config)
     d, d_data = discretize(grid_and_problem_data)
     mu = d.parse_parameter(1.)

@@ -14,6 +14,10 @@ config = {'num_subdomains': [4, 4],
 
 
 def main():
+    import jax
+    # env-independent f64 (library policy for the parity/golden
+    # flows; without x64 the TPU path silently truncates to f32)
+    jax.config.update("jax_enable_x64", True)
     gpd = init_grid_and_problem(config)
     d, _ = discretize(gpd, solver_options={'type': 'pcg', 'precision': 1e-10,
                                            'max_iter': 400})

@@ -39,6 +39,10 @@ solver_options = SolverConfig(type='pcg', max_iter=400, precision=1e-10,
 
 
 def main(num_online_mus: int = 5, enrichment_steps: int = 3):
+    import jax
+    # env-independent f64 (library policy for the parity/golden
+    # flows; without x64 the TPU path silently truncates to f32)
+    jax.config.update("jax_enable_x64", True)
     # Phase 1: problem
     grid_and_problem_data = init_grid_and_problem(config)
 

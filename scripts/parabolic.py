@@ -19,6 +19,10 @@ def main(T=1.0, nt=20, subdomains=(4, 4), half=1, nref=1,
     ``--training``-sized uniform training set — the parabolic basis
     construction the reference lacks."""
     import time
+    import jax
+    # env-independent f64 (same policy as the spe10 scripts): the channel
+    # contrast (switch down to 0.01) NaNs the f32 estimator path on TPU
+    jax.config.update("jax_enable_x64", True)
     config = {'num_subdomains': list(subdomains),
               'half_num_fine_elements_per_subdomain_and_dim': half,
               'num_refinements': nref,

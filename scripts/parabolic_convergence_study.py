@@ -21,6 +21,10 @@ def discretize(grid_and_problem_data, T, nt):
 
 
 def main(max_levels=1):
+    import jax
+    # env-independent f64 (library policy for the parity/golden
+    # flows; without x64 the TPU path silently truncates to f32)
+    jax.config.update("jax_enable_x64", True)
     base_cfg = {'num_subdomains': [2, 2],
                 'half_num_fine_elements_per_subdomain_and_dim': 1,
                 'num_refinements': 0,

@@ -165,3 +165,32 @@ def test_weak_greedy_sweep_sharded_matches_unsharded(fom):
     assert [tuple(np.asarray(m["diffusion"]).ravel()) for m in out.chosen_mus] \
         == [tuple(np.asarray(m["diffusion"]).ravel()) for m in ref.chosen_mus]
     np.testing.assert_allclose(out.max_etas, ref.max_etas, rtol=1e-9)
+
+
+def test_pod_greedy_checkpoint_resume(tmp_path):
+    """pod_greedy checkpoint/resume: an interrupted run continues from the
+    saved bases without redoing FOM trajectory solves, ending bit-identical
+    to the uninterrupted run."""
+    from pylrbms_tpu.problems.artificial_channels import \
+        init_grid_and_problem as channels
+    from pylrbms_tpu.discretize_parabolic_block_swipdg import \
+        discretize as discretize_parabolic
+    from pylrbms_tpu.greedy import pod_greedy
+    gpd = channels({'num_subdomains': [2, 2],
+                    'half_num_fine_elements_per_subdomain_and_dim': 1,
+                    'num_refinements': 1})
+    im, _ = discretize_parabolic(gpd, T=0.5, nt=4)
+    training = im.stationary.parameter_space.sample_uniformly(3)
+    p = str(tmp_path / "podck")
+    ref = pod_greedy(im, training, target_error=1e-12, max_extensions=2,
+                     pod_modes=1)
+    part = pod_greedy(im, training, target_error=1e-12, max_extensions=1,
+                      pod_modes=1, checkpoint_path=p)
+    assert part.fom_solves == 1
+    full = pod_greedy(im, training, target_error=1e-12, max_extensions=2,
+                      pod_modes=1, checkpoint_path=p)
+    assert full.fom_solves == 1          # only the second extension re-ran
+    for b1, b2 in zip(full.reductor.bases, ref.reductor.bases):
+        assert b1.shape == b2.shape
+        assert np.allclose(b1, b2, atol=1e-12)
+    assert np.allclose(full.max_etas, ref.max_etas, rtol=1e-10)
