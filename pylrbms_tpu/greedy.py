@@ -280,7 +280,7 @@ def weak_greedy(d, training_set, target_error: float = 1e-4,
 def pod_greedy(im, training_set, target_error: float = 1e-4,
                max_extensions: int = 20, products=None, pod_modes: int = 1,
                order: int = 0, checkpoint_path: Optional[str] = None,
-               resume: bool = True) -> GreedyResult:
+               resume: bool = False) -> GreedyResult:
     """POD-greedy (Haasdonk/Ohlberger-style) for the parabolic LRBMS FOM —
     offline basis construction the reference lacks entirely (its
     ``ParabolicLRBMSReductor`` is a ``pass`` stub, ``reductor.py:149-180``).

@@ -188,7 +188,7 @@ def test_pod_greedy_checkpoint_resume(tmp_path):
                       pod_modes=1, checkpoint_path=p)
     assert part.fom_solves == 1
     full = pod_greedy(im, training, target_error=1e-12, max_extensions=2,
-                      pod_modes=1, checkpoint_path=p)
+                      pod_modes=1, checkpoint_path=p, resume=True)
     assert full.fom_solves == 1          # only the second extension re-ran
     for b1, b2 in zip(full.reductor.bases, ref.reductor.bases):
         assert b1.shape == b2.shape
