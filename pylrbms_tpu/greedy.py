@@ -324,6 +324,14 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
     rd = red.reduce().attach_instationary(im)
     chosen = [mus[i] for i in chosen_idx]
     fom_solves = 0
+
+    def _save(it_next):
+        if checkpoint_path is not None:
+            from .utils.checkpoint import save_greedy_state
+            save_greedy_state(red, checkpoint_path, it=it_next,
+                              retired=np.zeros(len(mus), dtype=bool),
+                              max_etas=max_ests, chosen_idx=chosen_idx)
+
     for it in range(it0, max_extensions):
         if rd.elliptic.parabolic is not None:
             # the whole training sweep (B reduced trajectories + B projected
@@ -332,6 +340,7 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
             cs = rd.solve_batch(mus)
             ests = [float(e) for e in np.asarray(rd.estimate_batch(cs, mus))]
         else:
+            cs = None
             ests = []
             for mu in mus:
                 c = rd.solve(mu)
@@ -343,13 +352,16 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
                     f"at training index {worst} "
                     f"(RB size {int(red.basis_sizes().sum())})")
         if ests[worst] <= target_error:
+            _save(it + 1)      # keep the converged max_etas on disk
             break
         mu_w = mus[worst]
         U = np.asarray(im.solve(mu_w))                 # [nt+1, K, N]
         fom_solves += 1
         chosen.append(mu_w)
         chosen_idx.append(worst)
-        E = U - np.asarray(red.reconstruct(rd.solve(mu_w)))
+        # the sweep already holds the reduced trajectory for mu_w
+        c_w = cs[worst] if cs is not None else rd.solve(mu_w)
+        E = U - np.asarray(red.reconstruct(c_w))
         added = 0
         for k in range(d.space.K):
             Ek = E[:, k, :]
@@ -366,12 +378,9 @@ def pod_greedy(im, training_set, target_error: float = 1e-4,
                 pass
         if added == 0:
             logger.info("pod-greedy: no local basis grew — stopping")
+            _save(it + 1)
             break
         rd = red.reduce().attach_instationary(im)
-        if checkpoint_path is not None:
-            from .utils.checkpoint import save_greedy_state
-            save_greedy_state(red, checkpoint_path, it=it + 1,
-                              retired=np.zeros(len(mus), dtype=bool),
-                              max_etas=max_ests, chosen_idx=chosen_idx)
+        _save(it + 1)
     return GreedyResult(reductor=red, rd=rd, max_etas=max_ests,
                         chosen_mus=chosen, fom_solves=fom_solves)

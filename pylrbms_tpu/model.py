@@ -688,6 +688,21 @@ class StationaryBlockModel:
         return write_dg_vtu(self.space, np.asarray(U), filename)
 
 
+def _resolve_theta_bar(d):
+    """theta at the model's reference parameter mu_bar (falling back to the
+    estimator data's) — the frozen-preconditioner anchor shared by the
+    stationary two-level build and the batched parabolic factors.  With no
+    usable mu_bar: all-ones thetas (the component sum), still spectrally
+    equivalent to every A(mu) over a compact mu range."""
+    mu_bar = getattr(d, "mu_bar", None)
+    if mu_bar is None and d.estimator is not None:
+        mu_bar = getattr(d.estimator.data, "mu_bar", None)
+    try:
+        return d.theta(mu_bar or {})
+    except KeyError:
+        return jnp.ones((d.op.A_diag.shape[0],), d.op.A_diag.dtype)
+
+
 def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                      maxiter: int = 400, with_estimate: bool = True,
                      positive_form: bool = True,
@@ -777,16 +792,7 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
             _mk_stencil(d.space, lf, None, dtype=dtype)
             for lf in d.estimator.data.lambda_funcs)))()
     if fixed_preconditioner or two_level:
-        mu_bar = getattr(d, "mu_bar", None)
-        if mu_bar is None and d.estimator is not None:
-            mu_bar = getattr(d.estimator.data, "mu_bar", None)
-        try:
-            theta_bar = d.theta(mu_bar or {})
-        except KeyError:
-            # no usable mu_bar: all-ones thetas (the component sum) is still
-            # spectrally equivalent to every A(mu) over a compact mu range
-            theta_bar = jnp.ones((d.op.A_diag.shape[0],),
-                                 d.op.A_diag.dtype)
+        theta_bar = _resolve_theta_bar(d)
     if jacobi_storage is None:
         jacobi_storage = ("bf16" if jax.default_backend() != "cpu"
                           else "native")
@@ -1204,7 +1210,7 @@ class InstationaryBlockModel:
             C, ci = self._mf_parab_coarse(dt, thetas[0], coarse_space,
                                           coarse_modes)
         if shared_preconditioner:
-            theta_bar = self._theta_bar()
+            theta_bar = _resolve_theta_bar(st)
             bf = bf_fn(st.op.A_diag, self.mass, dt * theta_bar)
             bf_ax = None
         else:
@@ -1222,18 +1228,6 @@ class InstationaryBlockModel:
         mus_stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in mus])
                        for k in mus[0]}
         return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mus_stacked)
-
-    def _theta_bar(self):
-        """theta at the estimator's reference parameter mu_bar (the frozen-
-        preconditioner anchor); all-ones component sum when unavailable."""
-        st = self.stationary
-        mu_bar = getattr(st, "mu_bar", None)
-        if mu_bar is None and st.estimator is not None:
-            mu_bar = getattr(st.estimator.data, "mu_bar", None)
-        try:
-            return st.theta(mu_bar or {})
-        except KeyError:
-            return jnp.ones((st.op.A_diag.shape[0],), st.op.A_diag.dtype)
 
     def operator_apply(self, U, mu):
         return self.stationary.operator_apply(U, mu)

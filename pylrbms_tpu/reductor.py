@@ -153,30 +153,29 @@ class ReducedModel:
                         self.G_AA.astype(wide), cf, cf)
         return jnp.sqrt(jnp.maximum(bb - 2.0 * Ab + AA, 0.0))
 
-    def local_quantities(self, c, mu, tensors=None):
+    def local_quantities(self, c, mu):
         """Reduced localized squared quantities; c [..., K, r_max] -> [..., K].
 
         Algebraically identical to the FOM estimator applied to the
         reconstruction (exact Galerkin projection), at N-independent cost.
-        ``tensors``: optional explicit tensor dict (jit-argument form, so the
-        Gramians never become HLO constants in a caller's compiled graph)."""
-        t = tensors if tensors is not None else {
-            n: getattr(self, n) for n in self._ARRAY_FIELDS}
+        (Batched callers that need the Gramians as jit ARGUMENTS rather
+        than HLO constants rebuild the model with tracer fields via
+        ``dataclasses.replace`` — see ``estimate_batch``.)"""
         theta = self.d.theta(mu)
         theta_f = self.d.theta_f(mu)
         ch = self._gather_neighborhood(c)              # [..., K, P]
 
-        eta_nc = jnp.einsum("...kp,kpr,...kr->...k", ch, t["G_nc"], ch)
+        eta_nc = jnp.einsum("...kp,kpr,...kr->...k", ch, self.G_nc, ch)
 
-        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, t["rf_qq"])
-        r_fd = jnp.einsum("f,q,fqkp,...kp->...k", theta_f, theta, t["DV"], ch)
-        r_dd = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["RD"], ch, ch)
-        scale = (1.0 / (jnp.pi ** 2) / t["min_ev"]) * t["diam"] ** 2
+        rf = jnp.einsum("p,r,prk->k", theta_f, theta_f, self.rf_qq)
+        r_fd = jnp.einsum("f,q,fqkp,...kp->...k", theta_f, theta, self.DV, ch)
+        r_dd = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.RD, ch, ch)
+        scale = (1.0 / (jnp.pi ** 2) / self.min_ev) * self.diam ** 2
         eta_r = (rf - 2.0 * r_fd + r_dd) * scale
 
-        aa = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["AA"], c, c)
-        bb = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["BBT"], ch, ch)
-        ab = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, t["ABT"], c, ch)
+        aa = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.AA, c, c)
+        bb = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.BBT, ch, ch)
+        ab = jnp.einsum("p,r,prkuv,...ku,...kv->...k", theta, theta, self.ABT, c, ch)
         eta_df = aa + bb + 2.0 * ab
         return eta_nc, eta_r, eta_df
 
@@ -1510,9 +1509,14 @@ class ReducedParabolicModel:
         a length-B list -> etas [B].  The POD-greedy training-sweep shape:
         the eager per-mu projected estimate costs one remote round-trip per
         einsum, here the whole sweep is one compiled program with the
-        reduced tensors as arguments (remote-compile safe)."""
+        reduced tensors as arguments (remote-compile safe).
+
+        Like the per-mu :meth:`estimate`, dt comes from the ATTACHED
+        instationary model's (T, nt) — cached per (T, nt, shapes), so
+        re-attaching a model with a different time grid retraces."""
         import dataclasses
         rd = self.elliptic
+        im = self._instationary
         d = rd.d
         mus = [dict(d.parse_parameter(m)) for m in mus]
         for m in mus:
@@ -1525,7 +1529,7 @@ class ReducedParabolicModel:
         cache = getattr(self, "_est_batch_cache", None)
         if cache is None:
             cache = self._est_batch_cache = {}
-        key = (tuple(map(int, cs.shape)),
+        key = (float(im.T), int(im.nt), tuple(map(int, cs.shape)),
                tuple((n, tuple(map(int, a.shape)))
                      for n, a in sorted(arrays.items())))
         fn = cache.get(key)

@@ -66,6 +66,8 @@ def main():
                          "coarse level — the only representation feasible at "
                          "s >= 8 in 3D (dense blocks are O(K s^6))")
     args = ap.parse_args()
+    if args.parabolic_batch and not args.parabolic:
+        ap.error("--parabolic-batch requires --parabolic NT")
 
     import jax
     import jax.numpy as jnp
