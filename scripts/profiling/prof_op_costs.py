@@ -3,7 +3,6 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 from pylrbms_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
@@ -75,13 +74,13 @@ print(f"in-graph apply_diag {t(diag):7.4f} ms/op")
 print(f"in-graph precond    {t(pc):7.4f} ms/op")
 
 # actual iteration count of the batched production solve
-from pylrbms_tpu.model import make_online_step, _resolve_theta_bar
+from pylrbms_tpu.model import _resolve_theta_bar
 theta_bar = _resolve_theta_bar(d)
 A_bar = jax.jit(lambda o, tb: o.assemble(tb))(op, theta_bar)
 from pylrbms_tpu.la.block import harvested_coarse_basis, prepare_coarse
 C_np = harvested_coarse_basis(A_bar, Minv, d.space, n_harvest=12, extra_modal=3)
 C_modes, Cinv = prepare_coarse(A_bar, C_np)
-rhs = jnp.einsum("q,qkn->kn", jnp.asarray([1.0], dtype), d.rhs_q)
+rhs = d.rhs(d.parse_parameter([1.0])).astype(dtype)
 
 
 @jax.jit

@@ -81,6 +81,8 @@ st = iter_body(thetas, x, x, x, x, jnp.ones(B, dtype))
 jax.block_until_ready(st)
 t0 = time.perf_counter()
 for _ in range(50):
-    st = iter_body(thetas, *st[:4], jnp.ones(B, dtype))
+    # carry the full 5-element state (x, r, z, p, rz) so the timed chain is
+    # a true PCG recurrence, not a constant-rz replay
+    st = iter_body(thetas, *st)
 jax.block_until_ready(st)
 print(f"iter_body  {(time.perf_counter()-t0)/50*1e3:7.3f} ms")
