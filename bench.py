@@ -19,7 +19,155 @@ import time
 import numpy as np
 
 
-def main(cfg=None):
+def aux_main():
+    """North-star metrics (run in an x64 subprocess — the serving section
+    needs f32 defaults, these need f64): a small-but-real SPE10 weak-greedy
+    iteration and an implicit-Euler parabolic trajectory, each against its
+    host-CPU floor.  Prints ONE JSON line consumed by :func:`main`.
+
+    Configs are reduced (24 576 dofs, contrast-clipped 1e4 pooled field) so
+    the bench stays bounded; the full-scale numbers live in
+    docs/results/spe10_greedy_tpu.txt / spe10_parabolic_tpu.txt."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from scipy.sparse.linalg import splu
+
+    from pylrbms_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    assert jax.config.jax_enable_x64, "aux bench requires JAX_ENABLE_X64=1"
+
+    from pylrbms_tpu.problems.spe10 import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg import discretize
+    from pylrbms_tpu.discretize_parabolic_block_swipdg import (
+        discretize as discretize_parabolic)
+    from pylrbms_tpu.la.block import AssembledBlockOp, to_scipy_csr
+    from pylrbms_tpu.greedy import weak_greedy
+    from pylrbms_tpu.utils.timers import GLOBAL_TIMINGS as T
+
+    out = {}
+    cfg = {'num_subdomains': [8, 8],
+           'half_num_fine_elements_per_subdomain_and_dim': 2,
+           'num_refinements': 2}
+    gpd = init_grid_and_problem(cfg, raster=(8, 8), raster_mode="nearest",
+                                max_contrast=1e4)
+    d, _ = discretize(gpd, dtype=jnp.float64)
+    K, N = d.space.K, d.space.N
+
+    # mu-independent offline artifacts for the host floors (same reuse
+    # policy as the serving baseline: affine-component CSRs prepared once)
+    Q = d.op.A_diag.shape[0]
+    eyeQ = np.eye(Q)
+    A_q = [to_scipy_csr(d.op.assemble(jnp.asarray(eyeQ[q]))).astype(np.float64)
+           for q in range(Q)]
+    mu0 = d.parse_parameter([1.0])
+    th0 = np.asarray(d.theta(mu0), np.float64)
+    b0 = np.asarray(d.rhs(mu0), np.float64).reshape(-1)
+
+    # ---- offline greedy: steady per-iteration wall-clock on device -------
+    training = d.parameter_space.sample_uniformly(6)
+    res = weak_greedy(d, training, target_error=1e-12, max_extensions=4)
+    names = ['greedy: surrogate sweep', 'greedy: FOM snapshot solve',
+             'greedy: basis extension (GS)',
+             'greedy: re-reduction (projection)']
+    lists = [T.spans.get(n, []) for n in names]
+    n_it = min(len(li) for li in lists)
+    totals = [sum(li[i] for li in lists) for i in range(n_it)]
+    steady = float(np.median(totals[1:]) if n_it > 1 else totals[0])
+    out["greedy_iteration_s"] = round(steady, 4)
+    out["greedy_iterations_timed"] = n_it
+    # host floor: ONE scipy-splu FOM snapshot solve (theta-weighted CSR
+    # assemble + factorize + solve) — every host greedy iteration pays at
+    # least this (the reference's ISTL pipeline re-factorizes per mu);
+    # CONSERVATIVE: the host iteration also pays sweep + GS + re-projection
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        A_mu = sum(float(t) * Aq for t, Aq in zip(th0, A_q))
+        lu = splu(A_mu.tocsc())
+        lu.solve(b0)
+        ts.append(time.perf_counter() - t0)
+    host_fom = float(np.median(ts))
+    out["greedy_host_fom_solve_s"] = round(host_fom, 4)
+    out["greedy_vs_host"] = round(host_fom / steady, 3)
+    print(f"aux bench: greedy steady iteration {steady:.3f} s "
+          f"({n_it} iterations, surrogate {res.max_etas[-1]:.2e}); host "
+          f"splu FOM-solve floor {host_fom:.3f} s", file=sys.stderr)
+
+    # ---- parabolic trajectory: warm ms/step (mixed-precision IR on
+    # accelerators — ops/ir.py) vs the host factorize-per-mu floor ---------
+    nt = 10
+    im, _ = discretize_parabolic(gpd, T=1.0, nt=nt)
+    dt = 1.0 / nt
+    traj = im._solve_mf(mu0, dt, two_level=True, coarse_modes=12)
+    np.asarray(traj)                       # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        traj = im._solve_mf(mu0, dt, two_level=True, coarse_modes=12)
+        np.asarray(traj)
+        ts.append(time.perf_counter() - t0)
+    step_ms = float(np.median(ts)) / nt * 1e3
+    out["parabolic_step_ms"] = round(step_ms, 3)
+    # host floor: per-mu splu factorize of G = M + dt A(mu) + nt solve steps
+    M_np = np.asarray(im.mass, np.float64)
+    import scipy.sparse as sp
+    M_csr = sp.block_diag([sp.csr_matrix(M_np[k]) for k in range(K)],
+                          format="csr")
+    t0 = time.perf_counter()
+    G_mu = M_csr + dt * sum(float(t) * Aq for t, Aq in zip(th0, A_q))
+    lu = splu(G_mu.tocsc())
+    u = np.zeros(K * N)
+    for _ in range(nt):
+        u = lu.solve(M_csr @ u + dt * b0)
+    host_step_ms = (time.perf_counter() - t0) / nt * 1e3
+    out["parabolic_host_step_ms"] = round(host_step_ms, 3)
+    out["parabolic_vs_host"] = round(host_step_ms / step_ms, 3)
+    # sanity: device trajectory final step == host implicit Euler
+    rel = float(np.abs(np.asarray(traj[-1]).reshape(-1) - u).max()
+                / max(np.abs(u).max(), 1e-300))
+    assert rel < 1e-5, f"device/host trajectory mismatch: {rel}"
+    print(f"aux bench: parabolic {step_ms:.1f} ms/step warm (nt={nt}, "
+          f"{K * N} dofs); host splu factorize-per-mu floor "
+          f"{host_step_ms:.1f} ms/step; final-step match {rel:.1e}",
+          file=sys.stderr)
+    print(json.dumps(out))
+    return out
+
+
+def run_aux():
+    """Run :func:`aux_main` in a fresh x64 subprocess BEFORE the parent
+    initializes its own device client (the remote-TPU tunnel serves one
+    client at a time), with a wall-clock bound; on any failure the serving
+    metrics still ship (aux fields are merely absent)."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_ENABLE_X64="1")
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--aux"], capture_output=True, text=True,
+                           timeout=3000, env=env)
+        sys.stderr.write(p.stderr[-4000:])
+        for line in reversed(p.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        print("bench: aux subprocess produced no JSON "
+              f"(rc={p.returncode})", file=sys.stderr)
+    except Exception:                                # noqa: BLE001
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+    return {}
+
+
+def main(cfg=None, aux=None):
+    # north-star metrics first, in their own x64 subprocess — BEFORE this
+    # process initializes its device client (one client at a time on the
+    # remote-tunnel chip)
+    if aux is None:
+        aux = run_aux()
+
     import jax
     import jax.numpy as jnp
 
@@ -166,17 +314,27 @@ def main(cfg=None):
         "streamed_query_ms": round(stream_s * 1e3, 3),
         "cpu_baseline_query_ms": round(cpu_s * 1e3, 3),
     }
+    # north-star metrics from the x64 aux subprocess (BASELINE.json claims):
+    # SPE10 weak-greedy steady iteration vs the host splu FOM-solve floor,
+    # and the implicit-Euler parabolic ms/step vs the host
+    # factorize-per-mu floor (reduced 24 576-dof configs — at-scale numbers
+    # in docs/results/)
+    result.update(aux or {})
     print(json.dumps(result))
     return result
 
 
 if __name__ == "__main__":
+    import sys
+    if "--aux" in sys.argv[1:]:
+        aux_main()
+        sys.exit(0)
     try:
         main()
     except Exception as e:                       # noqa: BLE001
-        import sys, traceback
+        import traceback
         traceback.print_exc(file=sys.stderr)
         print("bench: full config failed, falling back to 4x4", file=sys.stderr)
         main({'num_subdomains': [4, 4],
               'half_num_fine_elements_per_subdomain_and_dim': 2,
-              'num_refinements': 1})
+              'num_refinements': 1}, aux={})

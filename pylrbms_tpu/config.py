@@ -43,7 +43,7 @@ SOLVER_OPTION_KEYS = frozenset({
     "type", "precision", "max_iter", "post_check_solves_system",
     "fallback", "return_iters", "two_level",
     "coarse_space", "coarse_modes",
-    "mixed", "mixed_inner_tol", "mixed_rounds",
+    "mixed", "mixed_inner_tol", "mixed_rounds", "mixed_inner_maxiter",
 })
 SOLVER_TYPES = ("auto", "dense", "direct", "pcg", "mf_pcg")
 COARSE_SPACES = ("modal", "harvested", "geneo")

@@ -328,73 +328,44 @@ class StationaryBlockModel:
         coarse_modes = int(options.get("coarse_modes", 16))
         coarse_space = options.get("coarse_space", "harvested")
         return_iters = bool(options.get("return_iters", False))
-        # mixed-precision refinement (accelerator default for f64 models at
-        # MODERATE contrast): the Krylov iteration runs entirely in f32 —
-        # native-speed stencil matvecs instead of ~10x-slower f64-EMULATED
-        # ones — and f64 enters only through residual recomputation between
-        # restarts (solve_refined's scheme applied to the stencil path).
-        # The f32 matvec noise floor is ~eps_f32 * coefficient contrast, so
-        # past contrast ~1e4 the inner solve cannot converge (measured:
-        # stalls at relres 6e-3 at contrast 1e6) — the auto default checks
-        # the operator's diagonal span and keeps emulated-f64 Krylov at
-        # extreme (SPE10) contrast.
+        # mixed-precision iterative refinement (accelerator default for f64
+        # models): the Krylov iteration runs entirely in f32 — native-speed
+        # stencil matvecs instead of ~10x-slower f64-EMULATED ones — on the
+        # symmetrically Jacobi-scaled system, with f64 residual recomputation
+        # between restarts and an f64 PCG polish as the correctness anchor
+        # (ops/ir.py).  The scaling is what makes it contrast-safe: round 2's
+        # UNSCALED variant stalled at relres 6e-3 past contrast ~1e4 (the f32
+        # matvec noise floor is ~eps_f32 * contrast without it); the scaled
+        # inner's floor is relative per dof, and a stall at extreme
+        # conditioning now just hands the iterate to the f64 polish instead
+        # of failing.
         cache = self._mf_jit_cache
         mixed = options.get("mixed")
         if mixed is None:
             mixed = (self.op.A_diag.dtype == jnp.float64
                      and jax.default_backend() != "cpu")
-            if mixed:
-                contrast = cache.get("diag_contrast")
-                if contrast is None:
-                    # span over ALL affine components (a benign component 0
-                    # plus a high-contrast channel in component 1 must
-                    # still disable the f32 inner Krylov): elementwise
-                    # |diag| summed over Q bounds diag(A(theta)) up to the
-                    # theta range
-                    dvec = np.abs(np.asarray(jnp.diagonal(
-                        self.op.A_diag, axis1=-2, axis2=-1))).sum(axis=0)
-                    contrast = float(dvec.max() / max(dvec.min(), 1e-300))
-                    cache["diag_contrast"] = contrast
-                mixed = contrast < 1e4
         mixed = bool(mixed)
         key = (float(tol), int(maxiter), bool(two_level), coarse_modes,
                coarse_space, return_iters, mixed)
         if key not in cache:
             if mixed:
-                rounds = int(options.get("mixed_rounds", 4))
-                inner_tol = float(options.get("mixed_inner_tol", 1e-5))
+                from .ops.ir import solve_ir
+                rounds = int(options.get("mixed_rounds", 20))
+                inner_tol = float(options.get("mixed_inner_tol", 1e-4))
+                inner_maxiter = int(options.get("mixed_inner_maxiter", 300))
 
                 @jax.jit
                 @hp
-                def _solve(sop_, sop32_, theta, b, bf, C, ci):
-                    f32 = jnp.float32
+                def _solve(sop_, sop32_, theta, b, bf, C, ci, dq):
                     A64 = sop_.assemble(theta)
-                    A32 = sop32_.assemble(theta.astype(f32))
-                    bf32 = bf.astype(f32)
-                    C32 = None if C is None else C.astype(f32)
-                    ci32 = None if ci is None else ci.astype(f32)
-                    bn = jnp.linalg.norm(b.reshape(-1))
-
-                    # carry the f64 residual in the loop state: ONE
-                    # emulated-f64 matvec per round (they are the dominant
-                    # cost the mixed path exists to avoid)
-                    def cond(st):
-                        x, r64, it, rd = st
-                        r = jnp.linalg.norm(r64.reshape(-1))
-                        return jnp.logical_and(r > tol * bn, rd < rounds)
-
-                    def body(st):
-                        x, r64, it, rd = st
-                        dx, k = A32.solve_pcg(
-                            r64.astype(f32), tol=inner_tol, maxiter=maxiter,
-                            block_factors=bf32, coarse_inv=ci32,
-                            coarse_basis=C32, return_iters=True)
-                        x = x + dx.astype(b.dtype)
-                        return (x, b - A64.apply(x), it + k, rd + 1)
-
-                    x, _, it, _ = jax.lax.while_loop(
-                        cond, body, (jnp.zeros_like(b), b, 0, 0))
-                    return (x, it) if return_iters else x
+                    A32 = sop32_.assemble(theta.astype(jnp.float32))
+                    dvec = jnp.einsum("q,qkn->kn", theta, dq)
+                    x, it32, rd, it64 = solve_ir(
+                        A64, A32, b, dvec, tol=tol, maxiter=maxiter,
+                        block_factors=bf, coarse_inv=ci, coarse_basis=C,
+                        inner_tol=inner_tol, inner_maxiter=inner_maxiter,
+                        max_rounds=rounds, return_info=True)
+                    return (x, it32 + it64) if return_iters else x
             else:
                 @jax.jit
                 @hp
@@ -436,14 +407,18 @@ class StationaryBlockModel:
                 pre = (bf, C, ci)
                 cache[Pkey] = pre
         bf, C, ci = pre
-        sop32 = None
-        if mixed:
-            sop32 = cache.get("sop32")
-            if sop32 is None:
-                sop32 = type(sop)(self.space, jax.tree.map(
-                    lambda a: a.astype(jnp.float32), sop.stencils))
-                cache["sop32"] = sop32
-        return cache[key](sop, sop32, theta, b, bf, C, ci)
+        if not mixed:
+            return cache[key](sop, None, theta, b, bf, C, ci)
+        sop32 = cache.get("sop32")
+        if sop32 is None:
+            sop32 = type(sop)(self.space, jax.tree.map(
+                lambda a: a.astype(jnp.float32), sop.stencils))
+            cache["sop32"] = sop32
+        dq = cache.get("diag_q")
+        if dq is None:
+            dq = cache["diag_q"] = jnp.diagonal(self.op.A_diag,
+                                                axis1=-2, axis2=-1)
+        return cache[key](sop, sop32, theta, b, bf, C, ci, dq)
 
     @hp
     def estimate(self, U, mu, decompose: bool = False,
@@ -1037,7 +1012,7 @@ class InstationaryBlockModel:
     @hp
     def _solve_mf(self, mu, dt, tol: float = 1e-10, maxiter: int = 500,
                   two_level: bool = None, coarse_modes: int = 16,
-                  coarse_space: str = "harvested"):
+                  coarse_space: str = "harvested", precision: str = None):
         """Matrix-free implicit Euler at scale: the mass joins the affine
         stencil family as one extra component (G = M + dt A, see
         :func:`~pylrbms_tpu.ops.matrixfree.mass_stencil`), the per-mu
@@ -1051,7 +1026,13 @@ class InstationaryBlockModel:
         — the same spectral-equivalence freeze as the stationary solve.
         At SPE10-contrast coarse modes dominate block-Jacobi convergence
         even with the mass shift: measured 415 -> ~95 ms/step at the 98k
-        north-star config (docs/results/spe10_parabolic_tpu.txt)."""
+        north-star config (docs/results/spe10_parabolic_tpu.txt).
+
+        ``precision`` 'f64' | 'mixed' (default: 'mixed' on accelerators for
+        f64 models): 'mixed' runs each step's Krylov iteration in native f32
+        on the Jacobi-scaled system with f64 residual restarts + an f64
+        polish (ops/ir.py) — the emulated-f64 matvec is the measured
+        per-step bound at the 131k-dof 3D config."""
         G_sop, bf_fn, cache = self._mf_parab_setup()
         st = self.stationary
         theta = st.theta(mu)
@@ -1067,13 +1048,37 @@ class InstationaryBlockModel:
         if two_level:
             C, ci = self._mf_parab_coarse(dt, theta, coarse_space,
                                           coarse_modes)
+        precision = self._resolve_traj_precision(precision)
         key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
-               int(maxiter), bool(two_level))
+               int(maxiter), bool(two_level), precision)
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(
-                self._mf_traj_core(dt, tol, maxiter))
-        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu)
+                self._mf_traj_core(dt, tol, maxiter, precision))
+        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu,
+                  self._parab_diag_q())
+
+    def _resolve_traj_precision(self, precision):
+        if precision is None:
+            precision = ("mixed" if (self.stationary.dtype == jnp.float64
+                                     and jax.default_backend() != "cpu")
+                         else "f64")
+        if precision not in ("f64", "mixed"):
+            raise ValueError(f"unknown trajectory precision {precision!r}")
+        return precision
+
+    def _parab_diag_q(self):
+        """[1+Q, K, N] diagonals of (mass, A_1..A_Q): combined with theta_G
+        they give diag(G(theta)) — the IR Jacobi scaling vector."""
+        st = self.stationary
+        cache = st._mf_jit_cache
+        dq = cache.get("parab_diag_q")
+        if dq is None:
+            dq = jnp.concatenate([
+                jnp.diagonal(self.mass, axis1=-2, axis2=-1)[None],
+                jnp.diagonal(st.op.A_diag, axis1=-2, axis2=-1)])
+            cache["parab_diag_q"] = dq
+        return dq
 
     def _mf_parab_setup(self):
         """Shared mf machinery: G = M + dt A as one stencil family (mass is
@@ -1129,24 +1134,35 @@ class InstationaryBlockModel:
             cache[Pkey] = pre
         return pre
 
-    def _mf_traj_core(self, dt, tol, maxiter):
+    def _mf_traj_core(self, dt, tol, maxiter, precision="f64"):
         """The (unjitted) whole-trajectory core: one ``lax.scan`` of
         warm-started PCG solves with all model tensors as arguments.  Jitted
         directly for a single mu; ``jax.vmap`` over (theta_G, [bf,] mu) for
-        the batched-serving path (:meth:`solve_batch`)."""
+        the batched-serving path (:meth:`solve_batch`).
+
+        ``precision='mixed'``: the per-step Krylov runs in native f32 on the
+        Jacobi-scaled G (one f32 tree-cast of the assembled stencil, shared
+        by all nt steps) with f64 residual restarts and an f64 polish
+        (:func:`~pylrbms_tpu.ops.ir.solve_ir`) — same final residual
+        guarantee, without the emulated-f64 matvec inside the iteration."""
+        from .ops.ir import solve_ir, cast_f32
         st = self.stationary
         f_coeffs = st.f_coeffs
         K, N = st.space.K, st.space.N
         nt, dtype = self.nt, st.dtype
+        mixed = precision == "mixed"
 
         @hp
-        def _traj(G_sop_, theta_G_, bf_, C_, ci_, rhs_q, mu_):
+        def _traj(G_sop_, theta_G_, bf_, C_, ci_, rhs_q, mu_, dq_):
             G = G_sop_.assemble(theta_G_)
             # the mass apply = the family's first component assembled
             # alone (dimension-generic: works for 2D and 3D stencils)
             M_op = type(G_sop_)(G_sop_.space,
                                 (G_sop_.stencils[0],)).assemble(
                 jnp.ones((1,), theta_G_.dtype))
+            if mixed:
+                G32 = cast_f32(G)
+                dvec = jnp.einsum("q,qkn->kn", theta_G_, dq_)
 
             def theta_f_at(t):
                 mu_t = dict(mu_)
@@ -1157,10 +1173,16 @@ class InstationaryBlockModel:
                 t_next = (n + 1.0) * dt
                 f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
                 rhs = M_op.apply(u) + dt * f
-                u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                     block_factors=bf_, coarse_basis=C_,
-                                     coarse_inv=ci_, coarse_f32=True,
-                                     x0=u)
+                if mixed:
+                    u_next = solve_ir(G, G32, rhs, dvec, tol=tol,
+                                      maxiter=maxiter, block_factors=bf_,
+                                      coarse_basis=C_, coarse_inv=ci_,
+                                      x0=u)
+                else:
+                    u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
+                                         block_factors=bf_, coarse_basis=C_,
+                                         coarse_inv=ci_, coarse_f32=True,
+                                         x0=u)
                 return u_next, u_next
 
             u0 = jnp.zeros((K, N), dtype)
@@ -1173,7 +1195,7 @@ class InstationaryBlockModel:
     def solve_batch(self, mus, shared_preconditioner: bool = True,
                     tol: float = 1e-10, maxiter: int = 500,
                     two_level: bool = None, coarse_modes: int = 16,
-                    coarse_space: str = "harvested"):
+                    coarse_space: str = "harvested", precision: str = None):
         """Batched-mu parabolic serving: B implicit-Euler trajectories in ONE
         jitted dispatch — the parabolic analog of the elliptic batched online
         step (:func:`make_online_step`).  Returns [B, nt+1, K, N].
@@ -1217,17 +1239,19 @@ class InstationaryBlockModel:
             bf = jax.vmap(bf_fn, in_axes=(None, None, 0))(
                 st.op.A_diag, self.mass, dt * thetas)
             bf_ax = 0
+        precision = self._resolve_traj_precision(precision)
         key = ("parab_mf_traj_batched", K, N, self.nt, float(dt),
                float(tol), int(maxiter), bool(two_level), bf_ax,
-               thetas.shape[0])
+               thetas.shape[0], precision)
         fn = cache.get(key)
         if fn is None:
-            core = self._mf_traj_core(dt, tol, maxiter)
+            core = self._mf_traj_core(dt, tol, maxiter, precision)
             fn = cache[key] = jax.jit(jax.vmap(
-                core, in_axes=(None, 0, bf_ax, None, None, None, 0)))
+                core, in_axes=(None, 0, bf_ax, None, None, None, 0, None)))
         mus_stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in mus])
                        for k in mus[0]}
-        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mus_stacked)
+        return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mus_stacked,
+                  self._parab_diag_q())
 
     def operator_apply(self, U, mu):
         return self.stationary.operator_apply(U, mu)
