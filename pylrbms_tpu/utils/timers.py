@@ -34,11 +34,19 @@ class Timings:
         self.spans[name].append(time.perf_counter() - t0)
 
     def report(self) -> str:
+        # median is the headline column: a single remote-service stall (the
+        # axon tunnel occasionally inserts a multi-second RTT outlier) moves
+        # mean/max but not the median, so steady-state economics read off
+        # one run without cold/warm caveats
         lines = [f"{'span':40s} {'calls':>6s} {'total[s]':>10s} "
-                 f"{'mean[ms]':>10s} {'min[ms]':>10s} {'max[ms]':>10s}"]
+                 f"{'median[ms]':>11s} {'min[ms]':>10s} {'max[ms]':>10s}"]
         for name, ts in sorted(self.spans.items()):
-            lines.append(f"{name:40s} {len(ts):6d} {sum(ts):10.3f} "
-                         f"{1e3 * sum(ts) / len(ts):10.2f} "
+            st = sorted(ts)
+            n = len(st)
+            med = (st[n // 2] if n % 2 else 0.5 * (st[n // 2 - 1]
+                                                   + st[n // 2]))
+            lines.append(f"{name:40s} {n:6d} {sum(ts):10.3f} "
+                         f"{1e3 * med:11.2f} "
                          f"{1e3 * min(ts):10.2f} {1e3 * max(ts):10.2f}")
         return "\n".join(lines)
 
