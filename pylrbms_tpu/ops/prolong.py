@@ -84,9 +84,46 @@ def prolongation_gather(coarse: BlockDGSpace, fine: BlockDGSpace):
     return flat_tri, weights
 
 
+def prolongation_gather_3d(coarse, fine):
+    """3D hex analogue of :func:`prolongation_gather`: for each fine dof,
+    the flat coarse hex-cell block index and the coarse Q1/Q2 basis values
+    at the fine nodal point.  Nested tensor refinements keep every fine
+    node inside (or on the boundary of) exactly one coarse hex; one-sided
+    evaluation chosen by the fine cell centroid makes the embedding exact
+    for the discontinuous space.
+    """
+    gc, gf = coarse.grid, fine.grid
+    assert gc.grid_type == gf.grid_type == "hex"
+    assert np.allclose(gc.lower_left, gf.lower_left) and \
+        np.allclose(gc.upper_right, gf.upper_right)
+    xn = fine.node_coords_phys()                     # [Kf, s, s, s, nb, 3]
+    Mf = fine.K * fine.N
+    xn = xn.reshape(Mf, 3)
+    org = (fine.subdomain_origins[:, None, None, None, :]
+           + fine.cell_origins_local[None])          # [Kf, s, s, s, 3]
+    half = 0.5 * np.array([fine.hx, fine.hy, fine.hz])
+    cen = np.broadcast_to((org + half)[..., None, :],
+                          (fine.K, fine.s, fine.s, fine.s, fine.nb, 3)
+                          ).reshape(Mf, 3)
+    ll = np.asarray(gc.lower_left, dtype=float)
+    h = np.array([gc.hx, gc.hy, gc.hz])
+    nxyz = np.array([gc.global_nx, gc.global_ny, gc.global_nz])
+    cg = np.clip(((cen - ll) / h).astype(np.int64), 0, nxyz - 1)  # [Mf, 3]
+    pts = (xn - ll) / h - cg                         # unit coords in hex
+    weights = B.eval_basis_hex(coarse.order, pts)    # [Mf, nb_c]
+    cs, cc = cg // gc.s, cg % gc.s                   # subdomain / cell coords
+    k = (cs[:, 2] * gc.ky + cs[:, 1]) * gc.kx + cs[:, 0]
+    cell = (cc[:, 2] * gc.s + cc[:, 1]) * gc.s + cc[:, 0]
+    flat_cell = k * gc.s ** 3 + cell
+    return flat_cell, weights
+
+
 def prolong(coarse: BlockDGSpace, U_coarse, fine: BlockDGSpace):
     """[.., K_c, N_c] -> [.., K_f, N_f] exact nested-grid prolongation."""
-    src, wts = prolongation_gather(coarse, fine)
+    if getattr(coarse, "dim", 2) == 3:
+        src, wts = prolongation_gather_3d(coarse, fine)
+    else:
+        src, wts = prolongation_gather(coarse, fine)
     lead = U_coarse.shape[:-2]
     Uc = jnp.asarray(U_coarse).reshape(lead + (-1, coarse.nb))   # [.., tris, nb]
     vals = jnp.einsum("...tn,tn->...t", Uc[..., src, :], jnp.asarray(wts))

@@ -85,6 +85,29 @@ def pool_log_mean(perm: np.ndarray, ry: int, rx: int,
     return np.exp(out / np.maximum(cnt, 1.0))
 
 
+def pool_log_mean3d(perm: np.ndarray, rz: int, ry: int, rx: int,
+                    mode: str = "log-mean") -> np.ndarray:
+    """3D analogue of :func:`pool_log_mean`: pool a [nz, ny, nx] block to
+    [rz, ry, rx] so every grid level whose cell counts are multiples of the
+    raster resolves the SAME coefficient exactly (3D efficiency study)."""
+    nz, ny, nx = perm.shape
+    if mode == "nearest":
+        cz = np.clip(((np.arange(rz) + 0.5) / rz * nz).astype(int), 0, nz - 1)
+        cy = np.clip(((np.arange(ry) + 0.5) / ry * ny).astype(int), 0, ny - 1)
+        cx = np.clip(((np.arange(rx) + 0.5) / rx * nx).astype(int), 0, nx - 1)
+        return perm[cz[:, None, None], cy[None, :, None], cx[None, None, :]]
+    iz = np.minimum((np.arange(nz) * rz) // nz, rz - 1)
+    iy = np.minimum((np.arange(ny) * ry) // ny, ry - 1)
+    ix = np.minimum((np.arange(nx) * rx) // nx, rx - 1)
+    out = np.zeros((rz, ry, rx))
+    cnt = np.zeros((rz, ry, rx))
+    np.add.at(out, (iz[:, None, None], iy[None, :, None], ix[None, None, :]),
+              np.log(perm))
+    np.add.at(cnt, (iz[:, None, None], iy[None, :, None], ix[None, None, :]),
+              1.0)
+    return np.exp(out / np.maximum(cnt, 1.0))
+
+
 def init_grid_and_problem(config, layer: int = 42, mu_bar=(1,), mu_hat=(1,),
                           max_contrast: float = None, raster=None,
                           raster_mode: str = "log-mean"):
@@ -163,7 +186,8 @@ def load_spe10_block(layers=(40, 44), path: str | None = None,
 
 
 def init_grid_and_problem_3d(config, layers=(40, 44), mu_bar=(1,), mu_hat=(1,),
-                             max_contrast: float = None):
+                             max_contrast: float = None, raster=None,
+                             raster_mode: str = "log-mean"):
     """SPE10 model-2 in native 3D (beyond the 2D-only reference): a z-block
     of the 60 x 220 x 85 field on the unit-normalized box, cellwise-constant
     diffusion on the hex grid, 2-term affine split
@@ -177,6 +201,9 @@ def init_grid_and_problem_3d(config, layers=(40, 44), mu_bar=(1,), mu_hat=(1,),
                        config["half_num_fine_elements_per_subdomain_and_dim"],
                        num_refinements=config.get("num_refinements", 1))
     perm = load_spe10_block(layers)
+    if raster is not None:
+        perm = pool_log_mean3d(perm, raster[0], raster[1], raster[2],
+                               mode=raster_mode)
     nz, ny, nx = perm.shape
     iz = (np.arange(grid.global_nz) + 0.5) / grid.global_nz * nz
     iy = (np.arange(grid.global_ny) + 0.5) / grid.global_ny * ny

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""SPE10 model-2 estimator-efficiency study in NATIVE 3D (VERDICT r3
+missing #2): efficiency-vs-true-error at SPE10 contrast on the hex family,
+the 3D form of scripts/spe10_efficiency_study.py.
+
+Methodology (the reference repo's own, EOC.py:203-205,287-313, in its 3D
+form): true energy error against a degree-elevated Q2 reference on the
+finest grid via exact nested prolongation (ops/prolong.prolongation_gather_3d),
+estimator eta in the OS2015 paper convention, efficiency = error/estimate
+over >= 3 levels and >= 2 parameters.
+
+The permeability block (z-layers 40-44) is pooled to a (2, 4, 4) blockwise
+raster (problems/spe10.pool_log_mean3d, nearest mode — keeps the pointwise
+contrast) so EVERY level's grid resolves the SAME coefficient exactly: the
+measured efficiency is the estimator's, with no coefficient-resampling
+error mixed in.  Contrast after clipping is reported.
+
+Run (CPU f64): PYTHONPATH=/root/repo JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 \\
+                   python scripts/spe10_3d_efficiency_study.py
+"""
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+from pylrbms_tpu.problems.spe10 import init_grid_and_problem_3d
+from pylrbms_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
+RASTER = (2, 8, 8)               # (rz, ry, rx) — resolved by every level;
+#                                  nearest-pooled contrast 6.9e6, clipped 1e4
+#                                  (a (2,4,4) raster only retains 7.5e2)
+MAX_CONTRAST = 1e4
+CONFIG = {"num_subdomains": [8, 8, 2],
+          "half_num_fine_elements_per_subdomain_and_dim": 1}
+LEVELS = (0, 1, 2)               # s = 2^nref: cells 8x8x2 -> 32x32x8,
+#                                  Q1 dofs 1k/8k/65k; Q2 reference 221k
+# the Q2 reference lives on the SAME finest cell grid but with a finer
+# subdomain layout (s=2): the dense per-block tensors scale as K * (s^3
+# nb)^2, and prolongation only needs nested cells, not matching blocks
+REF_CONFIG = {"num_subdomains": [16, 16, 4],
+              "half_num_fine_elements_per_subdomain_and_dim": 1,
+              "num_refinements": 1}
+
+
+def main(mus=(1.0, 0.3)):
+    global LEVELS, REF_CONFIG
+    if "--smoke" in sys.argv:      # tiny end-to-end check of the plumbing
+        LEVELS = (0, 1)
+        REF_CONFIG = {"num_subdomains": [8, 8, 2],
+                      "half_num_fine_elements_per_subdomain_and_dim": 1,
+                      "num_refinements": 1}
+        mus = (1.0,)
+    import jax.numpy as jnp
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+    from pylrbms_tpu.ops.prolong import prolong
+    from pylrbms_tpu.la.block import to_scipy_csr
+
+    from pylrbms_tpu.problems.spe10 import load_spe10_block, pool_log_mean3d
+    init = partial(init_grid_and_problem_3d, raster=RASTER,
+                   raster_mode="nearest", max_contrast=MAX_CONTRAST)
+    field = pool_log_mean3d(load_spe10_block(), *RASTER, mode="nearest")
+    field = np.maximum(field / field.max(), 1.0 / MAX_CONTRAST)
+    print("SPE10 model-2 NATIVE-3D estimator-efficiency study "
+          "(paper convention)")
+    print(f"field: z-layers 40-44 pooled to {RASTER} (nearest), contrast "
+          f"after clip = {field.max() / field.min():.2e}")
+    print("reference: Q2 hex SWIPDG on the finest grid (RT_[1]-capable "
+          "space; host splu), exact nested Q1->Q2 prolongation")
+    print("efficiency column = ||u_ref - u_h||_energy / eta")
+    print()
+
+    # --- discretizations build once; only the solves are per-mu ------------
+    t0 = time.perf_counter()
+    gpd_ref = init(dict(REF_CONFIG))
+    d_ref, _ = discretize(gpd_ref, order=2, lean=True)
+    E_ref = d_ref.products["energy_mu_bar"]
+    ref_dofs = d_ref.space.K * d_ref.space.N
+    print(f"[Q2 reference discretized: {ref_dofs} dofs, "
+          f"{time.perf_counter() - t0:.1f} s]")
+    d_lvl = {}
+    for nref in LEVELS:
+        gpd = init(dict(CONFIG, num_refinements=nref))
+        d_lvl[nref] = (gpd, discretize(gpd)[0])
+
+    for mu_val in mus:
+        print(f"--- mu (switch) = {mu_val} ---")
+        t0 = time.perf_counter()
+        mu_ref = d_ref.parse_parameter({"switch": mu_val})
+        import scipy.sparse.linalg as spla
+        A = to_scipy_csr(d_ref.assemble(mu_ref)).tocsc()
+        b = np.asarray(d_ref.rhs(mu_ref), np.float64).ravel()
+        x = spla.splu(A).solve(b)
+        U_ref = jnp.asarray(x.reshape(d_ref.space.K, d_ref.space.N))
+        print(f"  [Q2 reference solved (splu): "
+              f"{time.perf_counter() - t0:.1f} s]")
+
+        rows = []
+        for nref in LEVELS:
+            gpd, d = d_lvl[nref]
+            mu = d.parse_parameter({"switch": mu_val})
+            U = d.solve(mu)
+            eta, (nc, r, df), _ = d.estimate(U, mu, decompose=True,
+                                             paper_convention=True)
+            diff = U_ref - prolong(d.space, U, d_ref.space)
+            err = float(jnp.sqrt(jnp.einsum("kn,knm,km->", diff, E_ref,
+                                            diff)))
+            n2 = lambda v: float(jnp.sqrt(jnp.sum(jnp.asarray(v) ** 2)))
+            rows.append((gpd["grid"].max_entity_diameter(),
+                         d.space.K * d.space.N, err, float(eta),
+                         n2(nc), n2(r), n2(df)))
+
+        print(f"  {'h':>9} {'dofs':>7} {'|e|_E':>10} {'eoc':>5} "
+              f"{'eta':>10} {'eoc':>5} {'eff':>6} {'eta_nc':>10} "
+              f"{'eta_r':>10} {'eta_df':>10}")
+        for i, (h, dofs, err, eta, nc, r, df) in enumerate(rows):
+            if i == 0:
+                e1 = e2 = "  --"
+            else:
+                hp_, _, errp, etap = rows[i - 1][:4]
+                e1 = f"{np.log(errp / err) / np.log(hp_ / h):5.2f}"
+                e2 = f"{np.log(etap / eta) / np.log(hp_ / h):5.2f}"
+            print(f"  {h:9.3e} {dofs:7d} {err:10.4e} {e1:>5} {eta:10.4e} "
+                  f"{e2:>5} {err / eta:6.3f} {nc:10.4e} {r:10.4e} "
+                  f"{df:10.4e}")
+        print()
+
+
+if __name__ == "__main__":
+    main()
