@@ -47,6 +47,11 @@ def main():
                          "enrichment parameters (3 rounds each) — the full "
                          "north-star pipeline (offline greedy + online "
                          "enrichment) in native 3D")
+    ap.add_argument("--online-target-rel", type=float, default=0.0,
+                    help="run each online enrichment to ITS OWN termination "
+                         "at target = REL * eta_FOM(mu) instead of a fixed "
+                         "3 rounds (closes the certification loop — "
+                         "reference online_enrichment.py:81-87)")
     ap.add_argument("--skip-estimate", action="store_true",
                     help="skip the FOM estimate (at --lean scale the "
                          "positive-form f64 integrals are an offline-grade "
@@ -224,20 +229,42 @@ def main():
         if args.online_mus:
             # the online leg of the north-star pipeline (<-> the 2D
             # scripts/spe10_greedy.py): adaptive local enrichment at unseen
-            # parameters, 3 rounds each
+            # parameters, 3 rounds each.  With --online-target-rel the loop
+            # instead runs to ITS OWN termination (reference
+            # online_enrichment.py:81-87): target = rel * eta_FOM(mu) — the
+            # ROM is certified within rel of the FOM's own estimator value,
+            # a target the continuity-factor-scaled absolute eta cannot
+            # poison (the model-reduction part of eta goes to zero under
+            # enrichment; the discretization part eta_FOM does not)
             from pylrbms_tpu.online_enrichment import AdaptiveEnrichment
-            online = AdaptiveEnrichment(gpd, d, d.space, res.reductor,
-                                        res.rd, target_error=1e-3,
-                                        marking_doerfler_theta=0.33,
-                                        marking_max_age=4)
             rng = np.random.default_rng(3)
+            rd_cur = res.rd
             for i, m in enumerate(rng.uniform(0.1, 1.0, args.online_mus)):
                 mu_i = {"switch": float(m)}
+                if args.online_target_rel:
+                    mu_p = d.parse_parameter(mu_i)
+                    eta_fom = float(d.estimate(d.solve(mu_p), mu_p))
+                    target = args.online_target_rel * eta_fom
+                    steps = 20
+                    print(f"online mu #{i} (switch={m:.3f}): eta_FOM = "
+                          f"{eta_fom:.4e}, target = {target:.4e}")
+                else:
+                    target, steps = 1e-3, 3
+                online = AdaptiveEnrichment(gpd, d, d.space, res.reductor,
+                                            rd_cur, target_error=target,
+                                            marking_doerfler_theta=0.33,
+                                            marking_max_age=4)
+                rounds = []
+                cb = lambda rd_, u_, mu_, st: rounds.append(
+                    (st["eta"], st["global RB size"]))
                 with T.span(f"online mu #{i}"):
-                    u, rd, _ = online.solve(mu_i, enrichment_steps=3)
+                    u, rd_cur, _ = online.solve(mu_i, enrichment_steps=steps,
+                                                callback=cb)
                 print(f"online mu #{i} (switch={m:.3f}): "
-                      f"eta {float(online.estimate(rd.solve(mu_i), mu_i)):.3e} "
-                      f"RB size {rd.solution_dim}")
+                      f"eta {rounds[-1][0]:.3e} RB size "
+                      f"{rd_cur.solution_dim} "
+                      f"({len(rounds) - 1} enrichment rounds: "
+                      + " -> ".join(f"{e:.3e}" for e, _ in rounds) + ")")
         print(T.report())
         return
 
