@@ -128,6 +128,20 @@ class EllipticEstimator:
     def __init__(self, data: EstimatorData, alpha_first_component_only: bool = True):
         self.data = data
         self.alpha_first_component_only = alpha_first_component_only
+        self._flux32 = None
+
+    def _flux_for(self, dtype):
+        """The flux reconstructor matching ``dtype``: at-scale f32
+        estimates (see :meth:`estimate`) rebuild the reconstructor's
+        static tables in f32 once — ``result_type(f32 U, f64 tables)``
+        would silently promote the whole apply back to emulated f64."""
+        f = self.data.flux
+        if dtype != jnp.float32 or f.dtype == jnp.float32:
+            return f
+        if self._flux32 is None:
+            self._flux32 = type(f)(f.space, f.kappa_fn, f.ipdg,
+                                   jnp.float32)
+        return self._flux32
 
     # -- continuity/coercivity factors (``estimators.py:114-130``) --------
     def _ratios(self, mu, mu_ref):
@@ -148,7 +162,8 @@ class EllipticEstimator:
     def reconstruct_flux(self, U, mu=None, per_component: bool = False):
         """Affine flux reconstruction; [..., K, Nrt] (or [Q, ..., K, Nrt])."""
         d = self.data
-        t_q = jnp.stack([d.flux.apply(lf, U) for lf in d.lambda_funcs])
+        flux = self._flux_for(U.dtype)
+        t_q = jnp.stack([flux.apply(lf, U) for lf in d.lambda_funcs])
         if per_component:
             return t_q
         theta = evaluate_coefficients(d.lambda_coeffs, mu)
@@ -239,7 +254,7 @@ class EllipticEstimator:
         theta_f = evaluate_coefficients(d.f_coeffs, mu)
         dtype = U.dtype
 
-        E_bar = (tensors or {}).get("E_bar", d.E_bar)
+        E_bar = (tensors or {}).get("E_bar", d.E_bar).astype(dtype)
         t_loc = self.reconstruct_flux(U, mu)                   # [..., K, Nrt]
         U_o = d.oswald.apply(U)
         eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, E_bar, U_o)
@@ -289,7 +304,7 @@ class EllipticEstimator:
         theta_f = evaluate_coefficients(d.f_coeffs, mu)
         dtype = U.dtype
 
-        E_bar = (tensors or {}).get("E_bar", d.E_bar)
+        E_bar = (tensors or {}).get("E_bar", d.E_bar).astype(dtype)
         t_loc = self.reconstruct_flux(U, mu)                   # [..., K, Nrt]
         U_o = d.oswald.apply(U)
         eta_nc = jnp.einsum("...kn,knm,...km->...k", U_o, E_bar, U_o)
@@ -342,6 +357,19 @@ class EllipticEstimator:
         if self.data.M_aa is None and not elliptic_reconstruction:
             # lean models skip the matrix-form tensors; the positive-form
             # integrals are mathematically identical (same quadrature)
+            sp = self.data.flux.space
+            if (Ub.dtype == jnp.float64 and sp.K * sp.N > 32768
+                    and jax.default_backend() != "cpu"):
+                # at-scale accelerator estimates run the integrals in f32:
+                # the positive forms are cancellation-free by construction
+                # (this method's raison d'etre), while emulated-f64 einsums
+                # are ~10x slower and 4x the HBM.  Same policy (and
+                # threshold) as the assembled est tensors in
+                # discretize_elliptic_block_swipdg.py:93-95 — this closes
+                # the lean-model gap where U arrived f64 and dragged the
+                # whole estimate back to emulated f64 (the measured
+                # 221-656 s FOM estimate at 131k dofs in 3D).
+                Ub = Ub.astype(jnp.float32)
             eta_nc, eta_r, eta_df = self.local_quantities_positive(Ub, mu)
         elif self.data.M_aa is None:
             raise ValueError(
