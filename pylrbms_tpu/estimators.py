@@ -166,7 +166,10 @@ class EllipticEstimator:
         t_q = jnp.stack([flux.apply(lf, U) for lf in d.lambda_funcs])
         if per_component:
             return t_q
-        theta = evaluate_coefficients(d.lambda_coeffs, mu)
+        # theta cast to the working dtype: a float64 numpy theta would
+        # silently promote the whole f32 at-scale estimate back to f64
+        theta = jnp.asarray(evaluate_coefficients(d.lambda_coeffs, mu),
+                            t_q.dtype)
         return jnp.einsum("q,q...->...", theta, t_q)
 
     @hp
@@ -250,9 +253,11 @@ class EllipticEstimator:
         sp = d.flux.space
         if getattr(sp, "dim", 2) == 3:
             return self._local_quantities_positive3(U, mu, tensors)
-        theta = evaluate_coefficients(d.lambda_coeffs, mu)
-        theta_f = evaluate_coefficients(d.f_coeffs, mu)
         dtype = U.dtype
+        # cast to the working dtype: f64 numpy thetas / f64 min_ev+diam
+        # would silently promote the f32 at-scale estimate back to f64
+        theta = jnp.asarray(evaluate_coefficients(d.lambda_coeffs, mu), dtype)
+        theta_f = jnp.asarray(evaluate_coefficients(d.f_coeffs, mu), dtype)
 
         E_bar = (tensors or {}).get("E_bar", d.E_bar).astype(dtype)
         t_loc = self.reconstruct_flux(U, mu)                   # [..., K, Nrt]
@@ -290,7 +295,7 @@ class EllipticEstimator:
         div_t = jnp.einsum(ein("...kyxte,tqe->...kyxtq"),
                            t_cell, jnp.asarray(div_q, dtype))
         res = f_mu - div_t
-        scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
+        scale = ((self.poincare_constant / d.min_ev) * d.diam ** 2).astype(dtype)
         eta_r = area * jnp.einsum(ein("tq,...kyxtq->...k"), w, res * res) * scale
         return eta_nc, eta_r, eta_df
 
@@ -300,9 +305,11 @@ class EllipticEstimator:
         from .ops import assembly3d as asm3
         d = self.data
         sp = d.flux.space
-        theta = evaluate_coefficients(d.lambda_coeffs, mu)
-        theta_f = evaluate_coefficients(d.f_coeffs, mu)
         dtype = U.dtype
+        # cast to the working dtype: f64 numpy thetas / f64 min_ev+diam
+        # would silently promote the f32 at-scale estimate back to f64
+        theta = jnp.asarray(evaluate_coefficients(d.lambda_coeffs, mu), dtype)
+        theta_f = jnp.asarray(evaluate_coefficients(d.f_coeffs, mu), dtype)
 
         E_bar = (tensors or {}).get("E_bar", d.E_bar).astype(dtype)
         t_loc = self.reconstruct_flux(U, mu)                   # [..., K, Nrt]
@@ -338,7 +345,7 @@ class EllipticEstimator:
         div_t = jnp.einsum("...kce,qe->...kcq", t_cell,
                            jnp.asarray(div_q, dtype))
         res = f_mu - div_t
-        scale = (self.poincare_constant / d.min_ev) * d.diam ** 2
+        scale = ((self.poincare_constant / d.min_ev) * d.diam ** 2).astype(dtype)
         eta_r = volc * jnp.einsum("q,...kcq->...k", w, res * res) * scale
         return eta_nc, eta_r, eta_df
 

@@ -127,3 +127,27 @@ def test_alpha_gamma_quirk_flag():
     est_fixed = EllipticEstimator(est.data, alpha_first_component_only=False)
     assert float(est_fixed.alpha(mu, est.data.mu_bar)) == pytest.approx(0.5)
     assert float(est.gamma(mu, est.data.mu_bar)) == pytest.approx(1.0)
+
+
+def test_positive_form_f32_matches_f64():
+    # the at-scale accelerator policy (estimate() casts lean-model U to f32
+    # before the positive-form integrals, estimators.py) relies on the
+    # positive forms being cancellation-free: the f32 evaluation must agree
+    # with f64 to f32 quadrature accuracy, including the f32-rebuilt flux
+    # reconstruction tables (_flux_for)
+    import jax.numpy as jnp
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd, lean=True)
+    mu = d.parse_parameter(0.7)
+    U = d.solve(mu)[None]
+    est = d.estimator
+    q64 = est.local_quantities_positive(U, mu)
+    q32 = est.local_quantities_positive(U.astype(jnp.float32), mu)
+    assert est._flux32 is not None          # the f32 tables were rebuilt
+    assert all(q.dtype == jnp.float32 for q in q32)
+    for a, b, name in zip(q64, q32, ("nc", "r", "df")):
+        rel = float(jnp.abs(a - b.astype(jnp.float64)).max()
+                    / (jnp.abs(a).max() + 1e-300))
+        assert rel < 5e-5, (name, rel)
