@@ -150,7 +150,17 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
                     A_div=A_div, R_dd=R_dd, d_vec=d_vec, rf_qq=rf_qq,
                     min_ev=min_ev)
 
-    built = jax.jit(hp(_build))()
+    # split trace / compile / execute so the cold-compile budget is
+    # attributable (VERDICT r4 #9; the 3D discretizer does the same)
+    from .utils.timers import GLOBAL_TIMINGS as _T
+    with _T.span("discretize: build trace"):
+        _lowered = jax.jit(hp(_build)).lower()
+    with _T.span("discretize: build compile"):
+        _compiled = _lowered.compile()
+    with _T.span("discretize: build execute") as _s:
+        built = _compiled()
+        _s["sync"] = built["rhs_q"]
+    del _lowered, _compiled
     from .ops.swipdg import SwipdgComponent
     from .la.block import BlockOpStatic
     comps = [SwipdgComponent(**cd) for cd in built["comps"]]

@@ -46,7 +46,9 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
     solver_options = validate_solver_options(solver_options)
     gpd = grid_and_problem_data
     grid: Grid3D = gpd["grid"]
-    space = BlockDGSpace3D(grid, order=order)
+    from .utils.timers import GLOBAL_TIMINGS as _T
+    with _T.span("discretize3d: tabulate space"):
+        space = BlockDGSpace3D(grid, order=order)
 
     lambda_funcs, lambda_coeffs = _affine(gpd["lambda"])
     f_funcs, f_coeffs = _affine(gpd["f"])
@@ -128,7 +130,16 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
                     A_div=A_div, R_dd=R_dd, d_vec=d_vec, rf_qq=rf_qq,
                     min_ev=min_ev)
 
-    built = jax.jit(hp(_build))()
+    # split trace / compile / execute so the cold-compile budget is
+    # attributable (VERDICT r4 #9: discretize was a 210-670 s opaque span)
+    with _T.span("discretize3d: build trace"):
+        _lowered = jax.jit(hp(_build)).lower()
+    with _T.span("discretize3d: build compile"):
+        _compiled = _lowered.compile()
+    with _T.span("discretize3d: build execute") as _s:
+        built = _compiled()
+        _s["sync"] = built["rhs_q"]
+    del _lowered, _compiled
     from .ops.swipdg3d import SwipdgComponent3
     comps = [SwipdgComponent3(**cd) for cd in built["comps"]]
     op = AffineBlockOp(static=BlockOpStatic.from_space(space),
@@ -148,12 +159,13 @@ def discretize(grid_and_problem_data: dict, solver_options=None, mpi_comm=None,
         E_bar_est = E_bar
     diam = jnp.full((space.K,), grid.subdomain_diameter(), dtype)
 
-    oswald = Oswald3D(space)
-    if order == 1:
-        flux = FluxReconstructor3D(space, kappa, ipdg, dtype)
-    else:
-        from .ops.rt1hex import FluxReconstructorRT1Hex
-        flux = FluxReconstructorRT1Hex(space, kappa, ipdg, dtype)
+    with _T.span("discretize3d: oswald+flux tables"):
+        oswald = Oswald3D(space)
+        if order == 1:
+            flux = FluxReconstructor3D(space, kappa, ipdg, dtype)
+        else:
+            from .ops.rt1hex import FluxReconstructorRT1Hex
+            flux = FluxReconstructorRT1Hex(space, kappa, ipdg, dtype)
 
     est_data = EstimatorData(
         E_bar=E_bar_est, L2=L2, M_aa=M_aa, BB=BB, M_ab=M_ab, A_div=A_div,
