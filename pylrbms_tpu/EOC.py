@@ -133,6 +133,10 @@ class StationaryEocStudy(EocStudy):
     indicators = ("eta_nc", "eta_r", "eta_df")
     estimates = (("eta", "elliptic_mu_bar"),)
     max_levels = 2
+    # above this p_ref dof count the reference switches from the monolithic
+    # view (dense [N, N] products — measured host OOM at 196k) to the
+    # re-layouted lean block view + host splu (see _reference)
+    ref_block_threshold = 20000
 
     def __init__(self, gp_initializer: Callable, disc: Callable, base_cfg: dict,
                  refine: Callable = default_refine, mu=1, p_ref: int = 2,
@@ -174,17 +178,47 @@ class StationaryEocStudy(EocStudy):
             return g.subdomain_diameter()
         raise KeyError(aid)
 
+    def _ref_dofs(self, cfg) -> int:
+        """p_ref dof count of a config WITHOUT building the space."""
+        from . import basis as B
+        gt = cfg.get("grid_type", "tri")
+        half = cfg["half_num_fine_elements_per_subdomain_and_dim"]
+        s = half * 2 ** cfg.get("num_refinements", 2)
+        k = int(np.prod(cfg["num_subdomains"]))
+        T = 1 if gt == "quad" else 2
+        nb = B.num_basis(self.p_ref, "Q" if gt == "quad" else "A")
+        return k * s * s * T * nb
+
     def _reference(self):
         if -1 in self._U:
             return
-        self._gpd[-1] = self._init(self._cfg[-1])
-        self._d[-1], self._data[-1] = discretize_elliptic_swipdg(self._gpd[-1], self.p_ref)
-        d_ref = self._d[-1]
-        mu = d_ref.parse_parameter(self.mu)
-        if d_ref.space.K * d_ref.space.N > 20000:
-            # the monolithic p=2 reference is ONE big block — its dense /
-            # block-Jacobi solvers are O(N^2) memory; a host sparse direct
-            # solve is the right tool at this size (offline, once per study)
+        if self._ref_dofs(self._cfg[-1]) > self.ref_block_threshold:
+            # at this size dense [N, N] tensors are the enemy: the
+            # monolithic view materializes products/operator as one block
+            # (309 GB at the --deep study's 196k-dof p=2 reference —
+            # measured host OOM).  Re-layout the SAME fine mesh into more,
+            # smaller subdomains (double k / halve s preserves every cell)
+            # until the per-block dense tensors are modest, discretize as
+            # a lean BLOCK p=2 model, and splu the exported CSR on the
+            # host (offline, once per study).  'elliptic_bar' (volume
+            # elliptic at mu_bar) of the block model IS the monolithic
+            # 'elliptic_mu_bar' form; prolongation is block-layout-
+            # agnostic, so every downstream consumer is unchanged.
+            cfg_ref = dict(self._cfg[-1])
+            half = cfg_ref["half_num_fine_elements_per_subdomain_and_dim"]
+            while (half * 2 ** cfg_ref.get("num_refinements", 2) > 8
+                   and cfg_ref.get("num_refinements", 2) > 0):
+                cfg_ref["num_subdomains"] = [
+                    2 * k for k in cfg_ref["num_subdomains"]]
+                cfg_ref["num_refinements"] = cfg_ref.get(
+                    "num_refinements", 2) - 1
+            self._gpd[-1] = self._init(cfg_ref)
+            from .discretize_elliptic_block_swipdg import \
+                discretize as discretize_block
+            d_ref, data = discretize_block(self._gpd[-1], order=self.p_ref,
+                                           lean=True)
+            self._d[-1], self._data[-1] = d_ref, data
+            mu = d_ref.parse_parameter(self.mu)
             import scipy.sparse.linalg as spla
             from .la.block import to_scipy_csr
             A = to_scipy_csr(d_ref.assemble(mu)).tocsc()
@@ -192,8 +226,12 @@ class StationaryEocStudy(EocStudy):
             x = spla.splu(A).solve(b)
             self._U[-1] = jnp.asarray(
                 x.reshape(d_ref.space.K, d_ref.space.N))
-        else:
-            self._U[-1] = d_ref.solve(mu)
+            return
+        self._gpd[-1] = self._init(self._cfg[-1])
+        self._d[-1], self._data[-1] = discretize_elliptic_swipdg(self._gpd[-1], self.p_ref)
+        d_ref = self._d[-1]
+        mu = d_ref.parse_parameter(self.mu)
+        self._U[-1] = d_ref.solve(mu)
 
     def _prolonged(self, level):
         if level in self._U_ref:
@@ -209,7 +247,11 @@ class StationaryEocStudy(EocStudy):
     def compute_norm(self, level, nid):
         self._reference()
         diff = self._U[-1] - self._prolonged(level)
-        P = self._d[-1].products["l2" if nid == "L2" else "elliptic_mu_bar"]
+        prods = self._d[-1].products
+        # the block-layout reference names the volume elliptic form at
+        # mu_bar 'elliptic_bar'; the monolithic one 'elliptic_mu_bar'
+        P = (prods["l2"] if nid == "L2"
+             else prods.get("elliptic_mu_bar", prods.get("elliptic_bar")))
         return float(jnp.sqrt(jnp.einsum("kn,knm,km->", diff, P, diff)))
 
     def _estimates(self, level):

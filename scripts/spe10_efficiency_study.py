@@ -48,10 +48,13 @@ def main(max_levels=2, mus=(1.0, 0.3), layer=42):
     global CONFIG
     import sys
     if "--deep" in sys.argv:
-        # 4 levels with smaller subdomains: coarsest 8x8 subdomains x s=2 ->
-        # 16x16 cells, refining to 128x128 (p=2 reference: 196k dofs, splu)
-        CONFIG = dict(CONFIG, num_subdomains=[8, 8],
-                      half_num_fine_elements_per_subdomain_and_dim=1)
+        # 4 levels with smaller subdomains: coarsest 8x8 subdomains x s=2
+        # -> 16x16 cells (the raster scale — half stays 2: with half=1 the
+        # coarsest grid is 8x8 cells and does NOT resolve the raster),
+        # refining to 128x128 cells (p=2 reference: 196 608 dofs, solved
+        # via the EOC harness's block-layout splu path — the monolithic
+        # view's dense [N, N] tensors are a measured host OOM there)
+        CONFIG = dict(CONFIG, num_subdomains=[8, 8])
         max_levels = 3
     perm = pool_log_mean(load_spe10_layer(layer), *RASTER, mode="nearest")
     perm = perm / perm.max()
