@@ -140,6 +140,9 @@ def main():
         eta = float(d.estimate(U, mu, paper_convention=True))
         print(f"FOM estimate: eta = {eta:.4e}  "
               f"({time.perf_counter()-t0:.1f} s)")
+        t0 = time.perf_counter()
+        float(d.estimate(U, mu, paper_convention=True))
+        print(f"  (warm repeat estimate: {time.perf_counter()-t0:.1f} s)")
 
     if args.parabolic:
         # the parabolic north-star leg in its native 3D form (<-> the 2D
