@@ -41,7 +41,7 @@ GRID_TYPES = GRID_TYPES_2D + GRID_TYPES_3D
 # dict gets — now it raises at the entry points
 SOLVER_OPTION_KEYS = frozenset({
     "type", "precision", "max_iter", "post_check_solves_system",
-    "fallback", "return_iters", "two_level",
+    "post_check", "fallback", "return_iters", "two_level",
     "coarse_space", "coarse_modes",
     "mixed", "mixed_inner_tol", "mixed_rounds", "mixed_inner_maxiter",
 })

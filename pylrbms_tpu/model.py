@@ -236,6 +236,38 @@ class StationaryBlockModel:
             # intact); callers that already synchronized on U can read it
             # cheaply for solver-economics logging
             object.__setattr__(self, "last_solve_iters", it)
+            # default divergence guard (one stencil matvec + one host
+            # sync): a PCG that exhausted its budget or hit preconditioner
+            # breakdown must NOT return silently — the 3D efficiency
+            # study's 65k level came back with |r|/|b| = 3.5e+02 and
+            # poisoned a whole study table before this check existed.
+            # Threshold is 1e3x the requested precision (a loose
+            # divergence gate, not an accuracy gate); opt out with
+            # {'post_check': False}, tighten with post_check_solves_system
+            # (checked against the dense operator below, as before).
+            if ((options or {}).get("post_check", True)
+                    and (options or {}).get(
+                        "post_check_solves_system") is None):
+                tol_eff = float((options or {}).get("precision", 1e-10))
+                gate = max(1e3 * tol_eff, 1e-6)
+                cj = self._mf_jit_cache
+                fn = cj.get("post_check_relres")
+                if fn is None:
+                    @jax.jit
+                    @hp
+                    def fn(sop_, th, b_, U_):
+                        r = sop_.assemble(th).apply(U_) - b_
+                        return jnp.sqrt(
+                            jnp.sum(r * r)
+                            / jnp.maximum(jnp.sum(b_ * b_), 1e-300))
+                    cj["post_check_relres"] = fn
+                rel = float(fn(self.mf_operator(), self.theta(mu), b, U))
+                if not np.isfinite(rel) or rel > gate:
+                    raise SolverError(
+                        f"mf solve diverged or stalled: |r|/|b| = "
+                        f"{rel:.3e} > {gate:.1e} (requested precision "
+                        f"{tol_eff:.1e}; iteration budget exhausted or "
+                        f"preconditioner breakdown)")
         else:
             A = self.assemble(mu)
             U = A.solve(b, options)

@@ -160,3 +160,23 @@ def test_solution_cache_keyed_by_options():
                                       "coarse_modes": 3})
     assert U3 is U2                        # same options DO hit the cache
     d.disable_caching()
+
+
+def test_mf_solve_divergence_guard():
+    # a silently non-converged mf solve poisoned the 3D efficiency study
+    # (65k level came back with |r|/|b| = 3.5e+02); model.solve's default
+    # post-check must raise SolverError instead of returning garbage
+    from pylrbms_tpu.model import SolverError
+    gpd = init_grid_and_problem({'num_subdomains': [2, 2],
+                                 'half_num_fine_elements_per_subdomain_and_dim': 1,
+                                 'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter(0.7)
+    opts = {"type": "mf_pcg", "precision": 1e-12, "max_iter": 1,
+            "two_level": False}
+    with pytest.raises(SolverError, match="diverged or stalled"):
+        d.solve(mu, inverse_options=opts)
+    # opt-out restores the old silent behaviour
+    opts_off = dict(opts, post_check=False)
+    U = d.solve(mu, inverse_options=opts_off)
+    assert np.all(np.isfinite(np.asarray(U)))
