@@ -260,6 +260,10 @@ class AssembledBlockOp:
         dim = getattr(space, "dim", 2)
         if space.s < 2:
             modes = min(modes, dim + 1)
+        # the monomial list is finite: 1 + 5 columns in 2D, 1 + 9 in 3D —
+        # clamp instead of IndexError when a caller asks for more (e.g.
+        # _mf_solve's coarse_modes default, sized for 'harvested')
+        modes = min(modes, 6 if dim == 2 else 10)
         C = np.ones((K, N, modes))
         if modes > 1:
             xn = space.node_coords_phys().reshape(K, N, dim)
@@ -674,7 +678,26 @@ def prepare_coarse(A: "AssembledBlockOp", C):
         jax.jit(hp(lambda A_, C_: A_.coarse_matrix_general(C_)))(
             A, jnp.asarray(C, A.A_diag.dtype)), np.float64)
     sd = 1.0 / np.sqrt(np.maximum(np.abs(np.diag(Ac)), 1e-300))
-    inv = np.linalg.inv(0.5 * (Ac + Ac.T) * sd[:, None] * sd[None, :])
+    S = 0.5 * (Ac + Ac.T) * sd[:, None] * sd[None, :]
+    # SPD-safe pseudo-inverse instead of a plain inv: a (numerically)
+    # rank-deficient basis makes the Galerkin matrix indefinite through
+    # cancellation — measured on the 3D SPE10 efficiency-study config
+    # (65k dofs, (2,8,8) raster): 81 negative eigenvalues down to -0.84
+    # AFTER Jacobi scaling, and inv() of that is an indefinite coarse
+    # correction that makes the outer CG DIVERGE (|r|/|b| 3.5e+02).
+    # Eigen-decompose the scaled matrix and drop non-positive/noise-level
+    # modes: the coarse correction stays PSD for ANY basis (degenerate
+    # columns simply contribute nothing) and equals inv() to rounding
+    # otherwise.  The cutoff must sit at f64-NOISE level, not higher: the
+    # genuinely valuable slow-space directions are exactly the SMALL
+    # eigenvalues of the scaled Galerkin matrix (that is what makes them
+    # slow), and an aggressive relative cutoff guts the preconditioner
+    # (measured: a 3e-7 cutoff broke harvested-beats-modal at contrast
+    # 1e6).
+    w, Q = np.linalg.eigh(S)
+    cut = 1e-12 * max(float(w.max()), 1e-300)
+    winv = np.where(w > cut, 1.0 / np.maximum(w, cut), 0.0)
+    inv = (Q * winv) @ Q.T
     inv = inv * sd[:, None] * sd[None, :]
     return (jnp.asarray(C, A.A_diag.dtype),
             jnp.asarray(inv, np.float64 if A.A_diag.dtype == jnp.float64
@@ -684,7 +707,7 @@ def prepare_coarse(A: "AssembledBlockOp", C):
 def harvested_coarse_basis(A: "AssembledBlockOp", factors, space,
                            n_harvest: int = 16, extra_modal: int = 3,
                            rounds: int = 3, deg: int = 30,
-                           interval=(0.25, 2.05), seed: int = 0) -> np.ndarray:
+                           interval=None, seed: int = 0) -> np.ndarray:
     """Spectral coarse space harvested from the operator itself
     [K, N, extra_modal + n_harvest].
 
@@ -711,6 +734,28 @@ def harvested_coarse_basis(A: "AssembledBlockOp", factors, space,
     import jax as _jax
 
     K, N = space.K, space.N
+    if interval is None:
+        # the filter interval [a, b] must CONTAIN the spectrum of M^-1 A
+        # above a, or the degree-``deg`` Chebyshev AMPLIFIES everything
+        # outside it exponentially instead of damping — measured on the 3D
+        # SPE10 (2,8,8)-raster 65k config: lambda_max = 2.45 vs the old
+        # fixed b = 2.05, amplification ~e^{deg*acosh(1.44)} ~ 1e11, a
+        # numerically degenerate basis, and a DIVERGED outer CG.  A short
+        # power iteration bounds lambda_max; the damping band keeps the
+        # historical a/b ratio (0.25/2.05).
+        @_jax.jit
+        def _pow(V, Ainv, A_):
+            def body(i, carry):
+                v, _ = carry
+                w = jnp.einsum("knm,km->kn", Ainv, A_.apply(v))
+                nrm = jnp.sqrt(jnp.sum(w * w))
+                return (w / jnp.maximum(nrm, 1e-300), nrm)
+            return _jax.lax.fori_loop(0, 30, body, (V, jnp.array(0.0, V.dtype)))
+        rng0 = np.random.default_rng(seed + 1)
+        v0 = jnp.asarray(rng0.normal(size=(K, N)), A.A_diag.dtype)
+        _, lam = _pow(v0, jnp.asarray(factors, A.A_diag.dtype), A)
+        bnd = 1.05 * float(lam)
+        interval = ((0.25 / 2.05) * bnd, bnd)
     a, bnd = interval
     e = (bnd + a) / 2.0
     c = (bnd - a) / 2.0

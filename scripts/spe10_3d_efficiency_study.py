@@ -100,7 +100,20 @@ def main(mus=(1.0, 0.3)):
         for nref in LEVELS:
             gpd, d = d_lvl[nref]
             mu = d.parse_parameter({"switch": mu_val})
-            U = d.solve(mu)
+            # level solves via host splu (this is the CPU truth-measurement
+            # path; what matters is 1e-12-grade accuracy, not solver
+            # economics).  The iterative path is NOT used here on purpose:
+            # this z-thin config (32x32x8 cells, 4:1 cell anisotropy,
+            # raster-aligned 1e4 jumps) is measured adversarial for the
+            # frozen two-level PCG — lambda_max(M^-1 A) = 2.45 and ~5000+
+            # iterations even after the round-4 adaptive-interval/PSD
+            # coarse fixes (la/block.py) — while splu at <= 65k dofs is
+            # minutes.  On-chip solver economics for 3D SPE10 live in
+            # spe10_3d_tpu.txt (isotropic-cell configs).
+            A_l = to_scipy_csr(d.assemble(mu)).tocsc()
+            b_l = np.asarray(d.rhs(mu), np.float64).ravel()
+            U = jnp.asarray(spla.splu(A_l).solve(b_l).reshape(
+                d.space.K, d.space.N))
             eta, (nc, r, df), _ = d.estimate(U, mu, decompose=True,
                                              paper_convention=True)
             diff = U_ref - prolong(d.space, U, d_ref.space)

@@ -253,3 +253,58 @@ def test_batched_online_step_matrix_free_matches_singles():
                                    rtol=1e-7, atol=1e-11)
         np.testing.assert_allclose(np.asarray(indb[i]), np.asarray(ind),
                                    rtol=1e-6, atol=1e-13)
+
+
+def test_prepare_coarse_degenerate_basis_stays_spd(hc_model):
+    """Round-4 robustness fix: a numerically rank-deficient coarse basis
+    (here: every harvested column duplicated) makes the Galerkin matrix
+    singular/indefinite through cancellation; the old plain ``inv`` then
+    produced an INDEFINITE coarse correction and the outer CG diverged
+    (measured |r|/|b| = 3.5e+02 on the 3D SPE10 efficiency-study config).
+    The eigh-based PSD pseudo-inverse must keep PCG convergent and
+    consistent with the clean basis."""
+    d = hc_model
+    A = d.assemble({})
+    b = d.rhs({})
+    bf = A.block_jacobi_factors()
+    C_np = harvested_coarse_basis(A, bf, d.space, n_harvest=8, extra_modal=3)
+    C_bad = np.concatenate([C_np, C_np], axis=-1)        # exactly dependent
+    C, ci = prepare_coarse(A, C_bad)
+    w = np.linalg.eigvalsh(0.5 * (np.asarray(ci) + np.asarray(ci).T))
+    assert w.min() >= -1e-10 * max(w.max(), 1.0)         # PSD pseudo-inverse
+    it, res, x = _pcg(A, b, C, ci)
+    assert res < 1e-8, (it, res)
+    _, _, x_ref = _pcg(A, b, *prepare_coarse(A, C_np))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_coarse_modes_basis_clamps_to_available_monomials(hc_model):
+    """modes beyond the monomial list (6 in 2D, 10 in 3D) clamp instead of
+    IndexError (the modal path crashed when handed _mf_solve's
+    harvested-sized coarse_modes default)."""
+    sp = hc_model.space
+    C = AssembledBlockOp.coarse_modes_basis(sp, 16)
+    assert C.shape == (sp.K, sp.N, 6)
+    np.testing.assert_allclose(C, AssembledBlockOp.coarse_modes_basis(sp, 6))
+
+
+def test_harvested_adaptive_interval_estimates_spectrum(hc_model):
+    """interval=None (the round-4 default) power-iterates lambda_max of the
+    block-Jacobi-preconditioned operator so the Chebyshev filter's band
+    CONTAINS the spectrum — a band below lambda_max amplifies the fast
+    modes exponentially and degenerates the basis (measured on the 3D
+    (2,8,8)-raster config: lambda_max 2.45 vs the old fixed 2.05 bound)."""
+    d = hc_model
+    A = d.assemble({})
+    bf = A.block_jacobi_factors()
+    # explicit too-narrow interval must still be accepted (back-compat)
+    C_narrow = harvested_coarse_basis(A, bf, d.space, n_harvest=4,
+                                      extra_modal=1, interval=(0.25, 2.05))
+    assert np.isfinite(C_narrow).all()
+    # adaptive: basis finite, orthonormal per block, and usable
+    C_ad = harvested_coarse_basis(A, bf, d.space, n_harvest=4, extra_modal=1)
+    assert np.isfinite(C_ad).all()
+    g = np.einsum("knj,knl->kjl", C_ad, C_ad)
+    np.testing.assert_allclose(g, np.broadcast_to(np.eye(g.shape[-1]), g.shape),
+                               atol=1e-10)
