@@ -45,13 +45,29 @@ REF_CONFIG = {"num_subdomains": [16, 16, 4],
 
 
 def main(mus=(1.0, 0.3)):
-    global LEVELS, REF_CONFIG
+    global LEVELS, REF_CONFIG, RASTER, CONFIG
     if "--smoke" in sys.argv:      # tiny end-to-end check of the plumbing
         LEVELS = (0, 1)
         REF_CONFIG = {"num_subdomains": [8, 8, 2],
                       "half_num_fine_elements_per_subdomain_and_dim": 1,
                       "num_refinements": 1}
         mus = (1.0,)
+    if "--finer-ref" in sys.argv:
+        # variant with NO reference-limited row: 2:1 cells (the geometry
+        # the at-scale on-chip configs use, spe10_3d_tpu.txt — the default
+        # study's 4:1 z-thin cells are measurably adversarial), raster
+        # (4,8,8) (retains the full 1e4 clipped contrast), levels 8x8x4 ->
+        # 16x16x8 cells, and the Q2 reference one refinement FINER than
+        # the finest level (32x32x16 cells, 442k dofs, block splu) — every
+        # level is measured against a reference 2x finer in h AND one
+        # order higher in p.
+        RASTER = (4, 8, 8)
+        CONFIG = {"num_subdomains": [8, 8, 4],
+                  "half_num_fine_elements_per_subdomain_and_dim": 1}
+        LEVELS = (0, 1)
+        REF_CONFIG = {"num_subdomains": [16, 16, 8],
+                      "half_num_fine_elements_per_subdomain_and_dim": 1,
+                      "num_refinements": 1}
     import jax.numpy as jnp
     from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
     from pylrbms_tpu.ops.prolong import prolong
