@@ -25,9 +25,13 @@ def aux_main():
     iteration and an implicit-Euler parabolic trajectory, each against its
     host-CPU floor.  Prints ONE JSON line consumed by :func:`main`.
 
-    Configs are reduced (24 576 dofs, contrast-clipped 1e4 pooled field) so
-    the bench stays bounded; the full-scale numbers live in
-    docs/results/spe10_greedy_tpu.txt / spe10_parabolic_tpu.txt."""
+    Config = the 2D north-star scale itself (98 304 dofs, contrast-clipped
+    1e4 pooled field — BASELINE.json's "faster wall-clock per greedy
+    iteration" sentence is about this configuration); the at-scale
+    artifact numbers live in docs/results/spe10_greedy_tpu.txt /
+    spe10_parabolic_tpu.txt.  The host floor stays deliberately
+    CONSERVATIVE (one splu FOM solve per greedy iteration; the real host
+    iteration also pays sweep + GS + re-projection)."""
     import sys
     import jax
     import jax.numpy as jnp
@@ -45,92 +49,136 @@ def aux_main():
     from pylrbms_tpu.greedy import weak_greedy
     from pylrbms_tpu.utils.timers import GLOBAL_TIMINGS as T
 
-    out = {}
-    cfg = {'num_subdomains': [8, 8],
-           'half_num_fine_elements_per_subdomain_and_dim': 2,
-           'num_refinements': 2}
-    gpd = init_grid_and_problem(cfg, raster=(8, 8), raster_mode="nearest",
-                                max_contrast=1e4)
-    d, _ = discretize(gpd, dtype=jnp.float64)
-    K, N = d.space.K, d.space.N
+    def build(cfg):
+        gpd = init_grid_and_problem(cfg, raster=(8, 8), raster_mode="nearest",
+                                    max_contrast=1e4)
+        d, _ = discretize(gpd, dtype=jnp.float64)
+        Q = d.op.A_diag.shape[0]
+        # mu-independent offline artifacts for the host floors (same reuse
+        # policy as the serving baseline: affine-component CSRs built once)
+        A_q = [to_scipy_csr(d.op.assemble(jnp.asarray(np.eye(Q)[q])))
+               .astype(np.float64) for q in range(Q)]
+        mu0 = d.parse_parameter([1.0])
+        th0 = np.asarray(d.theta(mu0), np.float64)
+        b0 = np.asarray(d.rhs(mu0), np.float64).reshape(-1)
+        return gpd, d, A_q, mu0, th0, b0
 
-    # mu-independent offline artifacts for the host floors (same reuse
-    # policy as the serving baseline: affine-component CSRs prepared once)
-    Q = d.op.A_diag.shape[0]
-    eyeQ = np.eye(Q)
-    A_q = [to_scipy_csr(d.op.assemble(jnp.asarray(eyeQ[q]))).astype(np.float64)
-           for q in range(Q)]
-    mu0 = d.parse_parameter([1.0])
-    th0 = np.asarray(d.theta(mu0), np.float64)
-    b0 = np.asarray(d.rhs(mu0), np.float64).reshape(-1)
+    def greedy_leg(cfg):
+        # ---- offline greedy: steady per-iteration wall-clock on device ---
+        out = {}
+        gpd, d, A_q, mu0, th0, b0 = build(cfg)
+        training = d.parameter_space.sample_uniformly(6)
+        res = weak_greedy(d, training, target_error=1e-12, max_extensions=4)
+        names = ['greedy: surrogate sweep', 'greedy: FOM snapshot solve',
+                 'greedy: basis extension (GS)',
+                 'greedy: re-reduction (projection)']
+        lists = [T.spans.get(n, []) for n in names]
+        n_it = min(len(li) for li in lists)
+        totals = [sum(li[i] for li in lists) for i in range(n_it)]
+        steady = float(np.median(totals[1:]) if n_it > 1 else totals[0])
+        out["greedy_iteration_s"] = round(steady, 4)
+        out["greedy_iterations_timed"] = n_it
+        out["greedy_dofs"] = d.space.K * d.space.N
+        # host floor: ONE scipy-splu FOM snapshot solve (theta-weighted CSR
+        # assemble + factorize + solve) — every host greedy iteration pays
+        # at least this (the reference's ISTL pipeline re-factorizes per
+        # mu); CONSERVATIVE: the host iteration also pays sweep + GS +
+        # re-projection
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            A_mu = sum(float(t) * Aq for t, Aq in zip(th0, A_q))
+            lu = splu(A_mu.tocsc())
+            lu.solve(b0)
+            ts.append(time.perf_counter() - t0)
+        host_fom = float(np.median(ts))
+        out["greedy_host_fom_solve_s"] = round(host_fom, 4)
+        out["greedy_vs_host"] = round(host_fom / steady, 3)
+        print(f"aux bench: greedy steady iteration {steady:.3f} s "
+              f"({n_it} iterations, surrogate {res.max_etas[-1]:.2e}); host "
+              f"splu FOM-solve floor {host_fom:.3f} s", file=sys.stderr)
+        return out
 
-    # ---- offline greedy: steady per-iteration wall-clock on device -------
-    training = d.parameter_space.sample_uniformly(6)
-    res = weak_greedy(d, training, target_error=1e-12, max_extensions=4)
-    names = ['greedy: surrogate sweep', 'greedy: FOM snapshot solve',
-             'greedy: basis extension (GS)',
-             'greedy: re-reduction (projection)']
-    lists = [T.spans.get(n, []) for n in names]
-    n_it = min(len(li) for li in lists)
-    totals = [sum(li[i] for li in lists) for i in range(n_it)]
-    steady = float(np.median(totals[1:]) if n_it > 1 else totals[0])
-    out["greedy_iteration_s"] = round(steady, 4)
-    out["greedy_iterations_timed"] = n_it
-    # host floor: ONE scipy-splu FOM snapshot solve (theta-weighted CSR
-    # assemble + factorize + solve) — every host greedy iteration pays at
-    # least this (the reference's ISTL pipeline re-factorizes per mu);
-    # CONSERVATIVE: the host iteration also pays sweep + GS + re-projection
-    ts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        A_mu = sum(float(t) * Aq for t, Aq in zip(th0, A_q))
-        lu = splu(A_mu.tocsc())
-        lu.solve(b0)
-        ts.append(time.perf_counter() - t0)
-    host_fom = float(np.median(ts))
-    out["greedy_host_fom_solve_s"] = round(host_fom, 4)
-    out["greedy_vs_host"] = round(host_fom / steady, 3)
-    print(f"aux bench: greedy steady iteration {steady:.3f} s "
-          f"({n_it} iterations, surrogate {res.max_etas[-1]:.2e}); host "
-          f"splu FOM-solve floor {host_fom:.3f} s", file=sys.stderr)
-
-    # ---- parabolic trajectory: warm ms/step (mixed-precision IR on
-    # accelerators — ops/ir.py) vs the host factorize-per-mu floor ---------
-    nt = 10
-    im, _ = discretize_parabolic(gpd, T=1.0, nt=nt)
-    dt = 1.0 / nt
-    traj = im._solve_mf(mu0, dt, two_level=True, coarse_modes=12)
-    np.asarray(traj)                       # compile + warm
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    def parabolic_leg(cfg):
+        # ---- parabolic trajectory: warm ms/step (mixed-precision IR on
+        # accelerators — ops/ir.py) vs the host factorize-per-mu floor ----
+        out = {}
+        gpd, d, A_q, mu0, th0, b0 = build(cfg)
+        K, N = d.space.K, d.space.N
+        nt = 10
+        im, _ = discretize_parabolic(gpd, T=1.0, nt=nt)
+        dt = 1.0 / nt
         traj = im._solve_mf(mu0, dt, two_level=True, coarse_modes=12)
-        np.asarray(traj)
-        ts.append(time.perf_counter() - t0)
-    step_ms = float(np.median(ts)) / nt * 1e3
-    out["parabolic_step_ms"] = round(step_ms, 3)
-    # host floor: per-mu splu factorize of G = M + dt A(mu) + nt solve steps
-    M_np = np.asarray(im.mass, np.float64)
-    import scipy.sparse as sp
-    M_csr = sp.block_diag([sp.csr_matrix(M_np[k]) for k in range(K)],
-                          format="csr")
-    t0 = time.perf_counter()
-    G_mu = M_csr + dt * sum(float(t) * Aq for t, Aq in zip(th0, A_q))
-    lu = splu(G_mu.tocsc())
-    u = np.zeros(K * N)
-    for _ in range(nt):
-        u = lu.solve(M_csr @ u + dt * b0)
-    host_step_ms = (time.perf_counter() - t0) / nt * 1e3
-    out["parabolic_host_step_ms"] = round(host_step_ms, 3)
-    out["parabolic_vs_host"] = round(host_step_ms / step_ms, 3)
-    # sanity: device trajectory final step == host implicit Euler
-    rel = float(np.abs(np.asarray(traj[-1]).reshape(-1) - u).max()
-                / max(np.abs(u).max(), 1e-300))
-    assert rel < 1e-5, f"device/host trajectory mismatch: {rel}"
-    print(f"aux bench: parabolic {step_ms:.1f} ms/step warm (nt={nt}, "
-          f"{K * N} dofs); host splu factorize-per-mu floor "
-          f"{host_step_ms:.1f} ms/step; final-step match {rel:.1e}",
-          file=sys.stderr)
+        np.asarray(traj)                       # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            traj = im._solve_mf(mu0, dt, two_level=True, coarse_modes=12)
+            np.asarray(traj)
+            ts.append(time.perf_counter() - t0)
+        step_ms = float(np.median(ts)) / nt * 1e3
+        out["parabolic_step_ms"] = round(step_ms, 3)
+        # host floor: per-mu splu factorize of G = M + dt A(mu) + nt steps
+        M_np = np.asarray(im.mass, np.float64)
+        import scipy.sparse as sp
+        M_csr = sp.block_diag([sp.csr_matrix(M_np[k]) for k in range(K)],
+                              format="csr")
+        t0 = time.perf_counter()
+        G_mu = M_csr + dt * sum(float(t) * Aq for t, Aq in zip(th0, A_q))
+        lu = splu(G_mu.tocsc())
+        u = np.zeros(K * N)
+        for _ in range(nt):
+            u = lu.solve(M_csr @ u + dt * b0)
+        host_step_ms = (time.perf_counter() - t0) / nt * 1e3
+        out["parabolic_host_step_ms"] = round(host_step_ms, 3)
+        out["parabolic_vs_host"] = round(host_step_ms / step_ms, 3)
+        # sanity: device trajectory final step == host implicit Euler
+        rel = float(np.abs(np.asarray(traj[-1]).reshape(-1) - u).max()
+                    / max(np.abs(u).max(), 1e-300))
+        assert rel < 1e-5, f"device/host trajectory mismatch: {rel}"
+        print(f"aux bench: parabolic {step_ms:.1f} ms/step warm (nt={nt}, "
+              f"{K * N} dofs); host splu factorize-per-mu floor "
+              f"{host_step_ms:.1f} ms/step; final-step match {rel:.1e}",
+              file=sys.stderr)
+        return out
+
+    # the EXACT north-star artifact config (spe10_greedy_tpu.txt): 16x16
+    # subdomains, s=8 -> K=256, N=384, 98 304 dofs.  NOT [8,8]+nref=3
+    # (same dofs, N=1536): the dense per-block tensors scale with N^2 and
+    # that layout is a measured RESOURCE_EXHAUSTED on the 16 GB chip.
+    CFG_98K = {'num_subdomains': [16, 16],
+               'half_num_fine_elements_per_subdomain_and_dim': 2,
+               'num_refinements': 2}
+    CFG_24K = {'num_subdomains': [8, 8],
+               'half_num_fine_elements_per_subdomain_and_dim': 2,
+               'num_refinements': 2}
+
+    # each leg is fault-isolated (a transient remote-compile/service error
+    # in one must not drop the other's fields), and the greedy leg falls
+    # back from the 98k artifact config to the bounded 24k one
+    import gc
+    import traceback
+    out = {}
+    for leg_cfg in (CFG_98K, CFG_24K):
+        try:
+            out.update(greedy_leg(leg_cfg))
+            break
+        except Exception:                            # noqa: BLE001
+            traceback.print_exc(file=sys.stderr)
+            print(f"aux bench: greedy leg failed at {leg_cfg}, "
+                  "falling back" if leg_cfg is CFG_98K else
+                  "aux bench: greedy leg failed at fallback config",
+                  file=sys.stderr)
+        finally:
+            gc.collect()                 # free the leg's device buffers
+    # the 98k greedy model + a second parabolic model do not fit one 16 GB
+    # chip together (measured RESOURCE_EXHAUSTED), so the parabolic leg
+    # always runs the bounded config after the greedy model is collected
+    # (at-scale parabolic numbers: docs/results/spe10_parabolic_tpu.txt)
+    try:
+        out.update(parabolic_leg(CFG_24K))
+    except Exception:                                # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
     print(json.dumps(out))
     return out
 
