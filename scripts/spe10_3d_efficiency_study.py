@@ -61,6 +61,11 @@ def main(mus=(1.0, 0.3)):
         # the finest level (32x32x16 cells, 442k dofs, block splu) — every
         # level is measured against a reference 2x finer in h AND one
         # order higher in p.
+        # MEASURED INFEASIBLE on a single host: the 442k Q2 splu dies in
+        # SuperLU itself after ~2 h of fill (`SystemError: gstrf was
+        # called with invalid arguments` — factor index overflow).  Kept
+        # for environments with a capable direct solver; see the artifact
+        # note in docs/results/spe10_3d_efficiency_study.txt.
         RASTER = (4, 8, 8)
         CONFIG = {"num_subdomains": [8, 8, 4],
                   "half_num_fine_elements_per_subdomain_and_dim": 1}
