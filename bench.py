@@ -68,11 +68,15 @@ def aux_main():
         out = {}
         gpd, d, A_q, mu0, th0, b0 = build(cfg)
         training = d.parameter_space.sample_uniformly(6)
-        res = weak_greedy(d, training, target_error=1e-12, max_extensions=4)
         names = ['greedy: surrogate sweep', 'greedy: FOM snapshot solve',
                  'greedy: basis extension (GS)',
                  'greedy: re-reduction (projection)']
-        lists = [T.spans.get(n, []) for n in names]
+        # GLOBAL_TIMINGS is cumulative across legs: a failed 98k attempt may
+        # already have logged spans, which must not leak into the fallback
+        # leg's totals — slice from this leg's starting offsets
+        offs = {n: len(T.spans.get(n, [])) for n in names}
+        res = weak_greedy(d, training, target_error=1e-12, max_extensions=4)
+        lists = [T.spans.get(n, [])[offs[n]:] for n in names]
         n_it = min(len(li) for li in lists)
         totals = [sum(li[i] for li in lists) for i in range(n_it)]
         steady = float(np.median(totals[1:]) if n_it > 1 else totals[0])
@@ -94,9 +98,29 @@ def aux_main():
         host_fom = float(np.median(ts))
         out["greedy_host_fom_solve_s"] = round(host_fom, 4)
         out["greedy_vs_host"] = round(host_fom / steady, 3)
+        # ---- the MEASURED full host iteration (VERDICT r4 #5): the same
+        # four phases (sweep + snapshot + GS + incremental re-projection)
+        # on the scipy/numpy path, every fairness lever pulled FOR the
+        # host (reference_impl/greedy_np.py docstring); median of the
+        # steady iterations.  Parity: surrogate maxima == device greedy.
+        from pylrbms_tpu.reference_impl.greedy_np import host_weak_greedy
+        n_host = max(int(len(res.max_etas)) - 1, 2)
+        host = host_weak_greedy(d, A_q, training, n_iter=n_host, b0=b0)
+        dev_etas = np.asarray(res.max_etas[:n_host])
+        hst_etas = np.asarray(host.max_etas[:n_host])
+        sur_rel = float(np.max(np.abs(dev_etas - hst_etas)
+                               / np.maximum(np.abs(dev_etas), 1e-300)))
+        assert sur_rel < 1e-6, f"host/device greedy surrogate drift {sur_rel}"
+        host_steady = float(np.median(host.iteration_s[1:])
+                            if n_host > 1 else host.iteration_s[0])
+        out["greedy_host_iteration_s"] = round(host_steady, 4)
+        out["greedy_vs_host_full"] = round(host_steady / steady, 3)
         print(f"aux bench: greedy steady iteration {steady:.3f} s "
               f"({n_it} iterations, surrogate {res.max_etas[-1]:.2e}); host "
-              f"splu FOM-solve floor {host_fom:.3f} s", file=sys.stderr)
+              f"splu FOM-solve floor {host_fom:.3f} s; MEASURED full host "
+              f"iteration {host_steady:.3f} s (phases "
+              f"{ {k: round(v, 3) for k, v in host.phase_s[-1].items()} }, "
+              f"surrogate parity {sur_rel:.1e})", file=sys.stderr)
         return out
 
     def parabolic_leg(cfg):
@@ -165,10 +189,11 @@ def aux_main():
             break
         except Exception:                            # noqa: BLE001
             traceback.print_exc(file=sys.stderr)
-            print(f"aux bench: greedy leg failed at {leg_cfg}, "
-                  "falling back" if leg_cfg is CFG_98K else
-                  "aux bench: greedy leg failed at fallback config",
-                  file=sys.stderr)
+            if leg_cfg is CFG_98K:
+                msg = f"aux bench: greedy leg failed at {leg_cfg}, falling back"
+            else:
+                msg = "aux bench: greedy leg failed at fallback config"
+            print(msg, file=sys.stderr)
         finally:
             gc.collect()                 # free the leg's device buffers
     # the 98k greedy model + a second parabolic model do not fit one 16 GB

@@ -754,25 +754,30 @@ def harvested_coarse_basis(A: "AssembledBlockOp", factors, space,
         rng0 = np.random.default_rng(seed + 1)
         v0 = jnp.asarray(rng0.normal(size=(K, N)), A.A_diag.dtype)
         _, lam = _pow(v0, jnp.asarray(factors, A.A_diag.dtype), A)
-        bnd = 1.05 * float(lam)
+        # 1.15 margin: a 30-step power iteration can undershoot lambda_max
+        # by >5% when the top spectrum is clustered, and any mode above the
+        # band is amplified ~e^{deg*acosh(1+2(lam-b)/(b-a))} by the filter —
+        # the same degenerate-basis failure the adaptive interval fixes
+        bnd = 1.15 * float(lam)
         interval = ((0.25 / 2.05) * bnd, bnd)
     a, bnd = interval
     e = (bnd + a) / 2.0
     c = (bnd - a) / 2.0
 
     @_jax.jit
-    def filt(V, Ainv, A_):
+    def filt(V, Ainv, A_, e_, c_):
         # A_ rides in as a pytree ARGUMENT — closure capture would embed
         # the operator tensors as HLO constants (breaks remote compilation
-        # at SPE10 scale: HTTP 413 request-size limit)
+        # at SPE10 scale: HTTP 413 request-size limit); e_/c_ are traced
+        # scalars so the widened-band refilter reuses the same executable
         def pa(X):
             return jnp.einsum("knm,vkm->vkn", Ainv, A_.apply(X))
 
-        Y = (pa(V) - e * V) / c
+        Y = (pa(V) - e_ * V) / c_
 
         def body(i, carry):
             Vm1, Vc = carry
-            return (Vc, 2.0 * (pa(Vc) - e * Vc) / c - Vm1)
+            return (Vc, 2.0 * (pa(Vc) - e_ * Vc) / c_ - Vm1)
 
         _, Vc = _jax.lax.fori_loop(0, deg - 1, body, (V, Y))
         return Vc
@@ -780,10 +785,25 @@ def harvested_coarse_basis(A: "AssembledBlockOp", factors, space,
     rng = np.random.default_rng(seed)
     V = jnp.asarray(rng.normal(size=(n_harvest, K, N)), A.A_diag.dtype)
     Ainv = jnp.asarray(factors, A.A_diag.dtype)
+    dt_ = A.A_diag.dtype
+    ec = (jnp.asarray(e, dt_), jnp.asarray(c, dt_))
     for _ in range(rounds):
-        V = filt(V, Ainv, A)
-        Q, _ = np.linalg.qr(np.asarray(V, np.float64).reshape(n_harvest, -1).T)
-        V = jnp.asarray(Q.T.reshape(n_harvest, K, N), A.A_diag.dtype)
+        V = filt(V, Ainv, A, *ec)
+        Vh = np.asarray(V, np.float64)
+        if not np.isfinite(Vh).all():
+            # residual spectrum above the band overwhelmed the filter
+            # (undershot lambda_max estimate) — widen once and refilter
+            # from fresh noise rather than QR-ing inf/nan garbage
+            ec = (ec[0] + ec[1], 2.0 * ec[1])    # band -> [a, 2*bnd - a]
+            Vh = np.asarray(
+                filt(jnp.asarray(rng.normal(size=(n_harvest, K, N)), dt_),
+                     Ainv, A, *ec), np.float64)
+            if not np.isfinite(Vh).all():
+                raise FloatingPointError(
+                    "harvested coarse filter overflow even after widening "
+                    "the Chebyshev band — lambda_max estimate unreliable")
+        Q, _ = np.linalg.qr(Vh.reshape(n_harvest, -1).T)
+        V = jnp.asarray(Q.T.reshape(n_harvest, K, N), dt_)
     cols = [np.moveaxis(np.asarray(V, np.float64), 0, -1)]       # [K, N, nh]
     if extra_modal:
         cols.insert(0, AssembledBlockOp.coarse_modes_basis(space, extra_modal))
