@@ -849,9 +849,9 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
 
     wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    @hp
-    def _core(arrays, theta, theta_f, mu):
-        b = jnp.einsum("q,qkn->kn", theta_f, arrays["rhs_q"])
+    def _build_solver(arrays, theta):
+        """(solve(rhs, **kw), apply_A) for the configured operator form —
+        shared by the online step and the iteration-count probe."""
         if matrix_free is True:
             if dim3:
                 from .ops.matrixfree3d import StencilOperator3 as _StOp
@@ -859,13 +859,14 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                 from .ops.matrixfree import StencilOperator as _StOp
             A_mf = _StOp(d.space, arrays["stencils"]).assemble(theta)
 
-            def solve(rhs):
+            def solve(rhs, **kw):
                 return A_mf.solve_pcg(rhs, tol=tol, maxiter=maxiter,
                                       block_factors=arrays.get("Minv_bar"),
                                       coarse_inv=arrays.get("Cinv_bar"),
-                                      coarse_basis=arrays.get("C_coarse"))
-            apply_A = A_mf.apply
-        elif matrix_free == "affine":
+                                      coarse_basis=arrays.get("C_coarse"),
+                                      **kw)
+            return solve, A_mf.apply
+        if matrix_free == "affine":
             # batched-serving apply: never materializes A(theta); under the
             # vmapped step the affine stacks stream once per CG iteration
             # SHARED across the whole query batch (la/block.AffineBlockApply)
@@ -875,13 +876,6 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                 arrays["C_R_io"], arrays["C_R_oi"],
                 arrays["C_U_io"], arrays["C_U_oi"], theta,
                 arrays.get("C_W_io"), arrays.get("C_W_oi"))
-
-            def solve(rhs):
-                return A.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                   factors=arrays.get("Minv_bar"),
-                                   coarse_inv=arrays.get("Cinv_bar"),
-                                   coarse_basis=arrays.get("C_coarse"))
-            apply_A = A.apply
         else:
             mixq = (lambda C: None if C is None
                     else jnp.einsum("q,qefij->efij", theta, C))
@@ -892,12 +886,17 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
                 mixq(arrays["C_U_io"]), mixq(arrays["C_U_oi"]),
                 mixq(arrays.get("C_W_io")), mixq(arrays.get("C_W_oi")))
 
-            def solve(rhs):
-                return A.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                   factors=arrays.get("Minv_bar"),
-                                   coarse_inv=arrays.get("Cinv_bar"),
-                                   coarse_basis=arrays.get("C_coarse"))
-            apply_A = A.apply
+        def solve(rhs, **kw):
+            return A.solve_pcg(rhs, tol=tol, maxiter=maxiter,
+                               factors=arrays.get("Minv_bar"),
+                               coarse_inv=arrays.get("Cinv_bar"),
+                               coarse_basis=arrays.get("C_coarse"), **kw)
+        return solve, A.apply
+
+    @hp
+    def _core(arrays, theta, theta_f, mu):
+        b = jnp.einsum("q,qkn->kn", theta_f, arrays["rhs_q"])
+        solve, apply_A = _build_solver(arrays, theta)
         U = solve(b)
         base = U.dtype
         if certify and wide != base:
@@ -938,6 +937,19 @@ def make_online_step(d: "StationaryBlockModel", tol: float = 1e-6,
             return _step_batched(arrays, theta, theta_f, mu)
         return _step(arrays, theta, theta_f, mu)
 
+    @jax.jit
+    @hp
+    def _iters(arrays, theta, theta_f):
+        b = jnp.einsum("q,qkn->kn", theta_f, arrays["rhs_q"])
+        solve, _ = _build_solver(arrays, theta)
+        _, it = solve(b, return_iters=True)
+        return it
+
+    # iteration-count probe for roofline/MFU accounting (bench.py): the
+    # SAME operator + preconditioner + tol/maxiter as the step itself
+    step.iters_probe = lambda theta, theta_f: int(
+        _iters(arrays, theta, theta_f))
+    step.arrays = arrays        # shapes for analytic FLOP/byte counting
     return step
 
 
@@ -1044,7 +1056,8 @@ class InstationaryBlockModel:
     @hp
     def _solve_mf(self, mu, dt, tol: float = 1e-10, maxiter: int = 500,
                   two_level: bool = None, coarse_modes: int = 16,
-                  coarse_space: str = "harvested", precision: str = None):
+                  coarse_space: str = "harvested", precision: str = None,
+                  extrapolate: bool = True):
         """Matrix-free implicit Euler at scale: the mass joins the affine
         stencil family as one extra component (G = M + dt A, see
         :func:`~pylrbms_tpu.ops.matrixfree.mass_stencil`), the per-mu
@@ -1082,11 +1095,12 @@ class InstationaryBlockModel:
                                           coarse_modes)
         precision = self._resolve_traj_precision(precision)
         key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
-               int(maxiter), bool(two_level), precision)
+               int(maxiter), bool(two_level), precision, bool(extrapolate))
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(
-                self._mf_traj_core(dt, tol, maxiter, precision))
+                self._mf_traj_core(dt, tol, maxiter, precision,
+                                   extrapolate=extrapolate))
         return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu,
                   self._parab_diag_q())
 
@@ -1166,7 +1180,8 @@ class InstationaryBlockModel:
             cache[Pkey] = pre
         return pre
 
-    def _mf_traj_core(self, dt, tol, maxiter, precision="f64"):
+    def _mf_traj_core(self, dt, tol, maxiter, precision="f64",
+                      extrapolate: bool = True):
         """The (unjitted) whole-trajectory core: one ``lax.scan`` of
         warm-started PCG solves with all model tensors as arguments.  Jitted
         directly for a single mu; ``jax.vmap`` over (theta_G, [bf,] mu) for
@@ -1176,7 +1191,14 @@ class InstationaryBlockModel:
         Jacobi-scaled G (one f32 tree-cast of the assembled stencil, shared
         by all nt steps) with f64 residual restarts and an f64 polish
         (:func:`~pylrbms_tpu.ops.ir.solve_ir`) — same final residual
-        guarantee, without the emulated-f64 matvec inside the iteration."""
+        guarantee, without the emulated-f64 matvec inside the iteration.
+
+        ``extrapolate``: warm-start each step from the LINEAR prediction
+        u + (u - u_prev) instead of the previous solution — for the smooth
+        trajectories implicit Euler produces, the prediction error is
+        O(dt^2) vs the O(dt) step increment, so the initial residual each
+        PCG sees drops by ~dt and the iteration count with it (same
+        converged answer; only the starting point changes)."""
         from .ops.ir import solve_ir, cast_f32
         st = self.stationary
         f_coeffs = st.f_coeffs
@@ -1201,24 +1223,26 @@ class InstationaryBlockModel:
                 mu_t["_t"] = t
                 return evaluate_coefficients(f_coeffs, mu_t)
 
-            def step(u, n):
+            def step(carry, n):
+                u_prev, u = carry
                 t_next = (n + 1.0) * dt
                 f = jnp.einsum("q,qkn->kn", theta_f_at(t_next), rhs_q)
                 rhs = M_op.apply(u) + dt * f
+                x0 = u + (u - u_prev) if extrapolate else u
                 if mixed:
                     u_next = solve_ir(G, G32, rhs, dvec, tol=tol,
                                       maxiter=maxiter, block_factors=bf_,
                                       coarse_basis=C_, coarse_inv=ci_,
-                                      x0=u)
+                                      x0=x0)
                 else:
                     u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
                                          block_factors=bf_, coarse_basis=C_,
                                          coarse_inv=ci_, coarse_f32=True,
-                                         x0=u)
-                return u_next, u_next
+                                         x0=x0)
+                return (u, u_next), u_next
 
             u0 = jnp.zeros((K, N), dtype)
-            _, traj = jax.lax.scan(step, u0, jnp.arange(nt))
+            _, traj = jax.lax.scan(step, (u0, u0), jnp.arange(nt))
             return jnp.concatenate([u0[None], traj], axis=0)
 
         return _traj
@@ -1227,7 +1251,8 @@ class InstationaryBlockModel:
     def solve_batch(self, mus, shared_preconditioner: bool = True,
                     tol: float = 1e-10, maxiter: int = 500,
                     two_level: bool = None, coarse_modes: int = 16,
-                    coarse_space: str = "harvested", precision: str = None):
+                    coarse_space: str = "harvested", precision: str = None,
+                    extrapolate: bool = True):
         """Batched-mu parabolic serving: B implicit-Euler trajectories in ONE
         jitted dispatch — the parabolic analog of the elliptic batched online
         step (:func:`make_online_step`).  Returns [B, nt+1, K, N].
@@ -1274,10 +1299,11 @@ class InstationaryBlockModel:
         precision = self._resolve_traj_precision(precision)
         key = ("parab_mf_traj_batched", K, N, self.nt, float(dt),
                float(tol), int(maxiter), bool(two_level), bf_ax,
-               thetas.shape[0], precision)
+               thetas.shape[0], precision, bool(extrapolate))
         fn = cache.get(key)
         if fn is None:
-            core = self._mf_traj_core(dt, tol, maxiter, precision)
+            core = self._mf_traj_core(dt, tol, maxiter, precision,
+                                      extrapolate=extrapolate)
             fn = cache[key] = jax.jit(jax.vmap(
                 core, in_axes=(None, 0, bf_ax, None, None, None, 0, None)))
         mus_stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in mus])
