@@ -115,6 +115,48 @@ def aux_main():
                             if n_host > 1 else host.iteration_s[0])
         out["greedy_host_iteration_s"] = round(host_steady, 4)
         out["greedy_vs_host_full"] = round(host_steady / steady, 3)
+        # ---- roofline for the snapshot-solve span (VERDICT r4 #3): the
+        # counted kernels are the IR inner loop's f32 stencil matvec +
+        # f32 block-Jacobi + f32 coarse apply + vector traffic, times the
+        # solver-reported inner-iteration count; rates over the median
+        # snapshot span.  Assembly/estimate work is not counted (lower
+        # bounds; counting rules in pylrbms_tpu/utils/roofline.py).
+        try:
+            from pylrbms_tpu.utils.roofline import (
+                pcg_iteration_cost, roofline)
+            its = d.last_solve_iters
+            snap_list = T.spans.get('greedy: FOM snapshot solve', [])
+            if its is not None and snap_list:
+                its = int(its)
+                snap_s = float(np.median(snap_list[offs[names[1]]:]))
+                cache = d._mf_jit_cache
+                sop32 = cache.get("sop32")
+                pre = next((v for k, v in cache.items()
+                            if isinstance(k, tuple) and k
+                            and k[0] == "precond"), None)
+                if sop32 is not None and pre is not None:
+                    bf, C, ci = pre
+                    A32 = jax.eval_shape(
+                        lambda s: s.assemble(
+                            jnp.zeros((len(A_q),), jnp.float32)), sop32)
+                    it_cost = pcg_iteration_cost(
+                        A32,
+                        factors=jax.eval_shape(
+                            lambda x: x.astype(jnp.float32), bf),
+                        coarse_basis=C, coarse_inv=ci)
+                    r = roofline(its * it_cost, snap_s)
+                    out["greedy_snapshot_iters"] = its
+                    out["greedy_snapshot_tflops"] = r["tflops"]
+                    out["greedy_snapshot_hbm_gbs"] = r["hbm_gbs"]
+                    out["greedy_mfu"] = r["mfu_vs_bf16_peak"]
+                    out["greedy_hbm_util"] = r["hbm_util"]
+                    print(f"aux roofline: snapshot solve {r['tflops']:.3f} "
+                          f"TFLOP/s, {r['hbm_gbs']:.0f} GB/s "
+                          f"({100 * r['hbm_util']:.1f}% HBM peak), "
+                          f"{its} inner iterations over {snap_s:.3f} s",
+                          file=sys.stderr)
+        except Exception:                            # noqa: BLE001
+            traceback.print_exc(file=sys.stderr)
         print(f"aux bench: greedy steady iteration {steady:.3f} s "
               f"({n_it} iterations, surrogate {res.max_etas[-1]:.2e}); host "
               f"splu FOM-solve floor {host_fom:.3f} s; MEASURED full host "
@@ -156,6 +198,39 @@ def aux_main():
         host_step_ms = (time.perf_counter() - t0) / nt * 1e3
         out["parabolic_host_step_ms"] = round(host_step_ms, 3)
         out["parabolic_vs_host"] = round(host_step_ms / step_ms, 3)
+        # ---- roofline for the trajectory step (VERDICT r4 #3): counted
+        # kernels = f32 G-stencil matvec + f32 block-Jacobi + f32 coarse
+        # + vector traffic, per solver-reported inner iteration
+        try:
+            from pylrbms_tpu.utils.roofline import (
+                pcg_iteration_cost, roofline)
+            _, its_t = im._solve_mf(mu0, dt, two_level=True,
+                                    coarse_modes=12, return_iters=True)
+            its_step = float(np.mean(np.asarray(its_t)))
+            G_sop, _, cache = im._mf_parab_setup()
+            G32 = jax.eval_shape(
+                lambda s: s.assemble(jnp.zeros((len(A_q) + 1,),
+                                               jnp.float32)), G_sop)
+            pre = next((v for k, v in cache.items()
+                        if isinstance(k, tuple) and k
+                        and k[0] == "parab_precond"), None)
+            bf_shape = jax.ShapeDtypeStruct((K, N, N), jnp.float32)
+            it_cost = pcg_iteration_cost(
+                G32, factors=bf_shape,
+                coarse_basis=pre[0] if pre else None,
+                coarse_inv=pre[1] if pre else None)
+            r = roofline(its_step * it_cost, step_ms / 1e3)
+            out["parabolic_step_iters"] = round(its_step, 1)
+            out["parabolic_tflops"] = r["tflops"]
+            out["parabolic_hbm_gbs"] = r["hbm_gbs"]
+            out["parabolic_mfu"] = r["mfu_vs_bf16_peak"]
+            out["parabolic_hbm_util"] = r["hbm_util"]
+            print(f"aux roofline: parabolic step {r['tflops']:.3f} TFLOP/s, "
+                  f"{r['hbm_gbs']:.0f} GB/s ({100 * r['hbm_util']:.1f}% HBM "
+                  f"peak), {its_step:.1f} inner iterations/step",
+                  file=sys.stderr)
+        except Exception:                            # noqa: BLE001
+            traceback.print_exc(file=sys.stderr)
         # sanity: device trajectory final step == host implicit Euler
         rel = float(np.abs(np.asarray(traj[-1]).reshape(-1) - u).max()
                     / max(np.abs(u).max(), 1e-300))
@@ -322,6 +397,43 @@ def main(cfg=None, aux=None):
     ind.block_until_ready()
     lat_s = time.perf_counter() - t0
 
+    # ---- roofline / MFU accounting (VERDICT r4 #3): analytic FLOPs and
+    # HBM bytes of the COUNTED kernels (lock-step PCG: affine matvec +
+    # block-Jacobi + coarse apply + vector traffic; counting rules in
+    # utils/roofline.py) over the measured per-query batched wall.  The
+    # assemble/estimate einsums are NOT counted, so the achieved rates are
+    # lower bounds of the hardware utilization of the full step.
+    roofl = {}
+    try:
+        import sys
+        from pylrbms_tpu.utils.roofline import (
+            KernelCost, pcg_iteration_cost, roofline)
+        its = fn.iters_probe(*args[B // 2][:2])
+        arr = fn.arrays
+        op_coeffs = {k: arr[k] for k in ("A_diag", "C_R_io", "C_R_oi",
+                                         "C_U_io", "C_U_oi")
+                     if arr.get(k) is not None}
+        it_cost = pcg_iteration_cost(op_coeffs, factors=arr.get("Minv_bar"),
+                                     coarse_basis=arr.get("C_coarse"),
+                                     coarse_inv=arr.get("Cinv_bar"),
+                                     lanes=B)
+        per_query = KernelCost((its + 1) * it_cost.flops / B,
+                               (its + 1) * it_cost.bytes / B)
+        r = roofline(per_query, tpu_s)
+        roofl = {"serving_pcg_iters": int(its),
+                 "serving_tflops": r["tflops"],
+                 "serving_hbm_gbs": r["hbm_gbs"],
+                 "serving_mfu": r["mfu_vs_bf16_peak"],
+                 "serving_hbm_util": r["hbm_util"]}
+        print(f"bench roofline: serving solve kernels {r['tflops']:.2f} "
+              f"TFLOP/s ({100 * r['mfu_vs_bf16_peak']:.1f}% bf16 peak), "
+              f"{r['hbm_gbs']:.0f} GB/s ({100 * r['hbm_util']:.1f}% HBM "
+              f"peak), {int(its)} lock-step PCG iterations",
+              file=sys.stderr)
+    except Exception:                                # noqa: BLE001
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+
     # ---- CPU baseline: the SAME streaming-mu queries on the host CPU —
     # per query: assemble A(mu) from the affine components, scipy sparse LU,
     # solve, numpy estimator (independent Oswald/flux oracles + quadratic
@@ -387,6 +499,7 @@ def main(cfg=None, aux=None):
         "streamed_query_ms": round(stream_s * 1e3, 3),
         "cpu_baseline_query_ms": round(cpu_s * 1e3, 3),
     }
+    result.update(roofl)
     # north-star metrics from the x64 aux subprocess (BASELINE.json claims):
     # SPE10 weak-greedy steady iteration vs the host splu FOM-solve floor,
     # and the implicit-Euler parabolic ms/step vs the host

@@ -1057,7 +1057,7 @@ class InstationaryBlockModel:
     def _solve_mf(self, mu, dt, tol: float = 1e-10, maxiter: int = 500,
                   two_level: bool = None, coarse_modes: int = 16,
                   coarse_space: str = "harvested", precision: str = None,
-                  extrapolate: bool = True):
+                  extrapolate: bool = True, return_iters: bool = False):
         """Matrix-free implicit Euler at scale: the mass joins the affine
         stencil family as one extra component (G = M + dt A, see
         :func:`~pylrbms_tpu.ops.matrixfree.mass_stencil`), the per-mu
@@ -1095,12 +1095,14 @@ class InstationaryBlockModel:
                                           coarse_modes)
         precision = self._resolve_traj_precision(precision)
         key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
-               int(maxiter), bool(two_level), precision, bool(extrapolate))
+               int(maxiter), bool(two_level), precision, bool(extrapolate),
+               bool(return_iters))
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(
                 self._mf_traj_core(dt, tol, maxiter, precision,
-                                   extrapolate=extrapolate))
+                                   extrapolate=extrapolate,
+                                   return_iters=return_iters))
         return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu,
                   self._parab_diag_q())
 
@@ -1181,7 +1183,7 @@ class InstationaryBlockModel:
         return pre
 
     def _mf_traj_core(self, dt, tol, maxiter, precision="f64",
-                      extrapolate: bool = True):
+                      extrapolate: bool = True, return_iters: bool = False):
         """The (unjitted) whole-trajectory core: one ``lax.scan`` of
         warm-started PCG solves with all model tensors as arguments.  Jitted
         directly for a single mu; ``jax.vmap`` over (theta_G, [bf,] mu) for
@@ -1230,20 +1232,24 @@ class InstationaryBlockModel:
                 rhs = M_op.apply(u) + dt * f
                 x0 = u + (u - u_prev) if extrapolate else u
                 if mixed:
-                    u_next = solve_ir(G, G32, rhs, dvec, tol=tol,
-                                      maxiter=maxiter, block_factors=bf_,
-                                      coarse_basis=C_, coarse_inv=ci_,
-                                      x0=x0)
+                    u_next, it32, _, it64 = solve_ir(
+                        G, G32, rhs, dvec, tol=tol,
+                        maxiter=maxiter, block_factors=bf_,
+                        coarse_basis=C_, coarse_inv=ci_,
+                        x0=x0, return_info=True)
+                    its = it32 + it64
                 else:
-                    u_next = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
-                                         block_factors=bf_, coarse_basis=C_,
-                                         coarse_inv=ci_, coarse_f32=True,
-                                         x0=x0)
-                return (u, u_next), u_next
+                    u_next, its = G.solve_pcg(rhs, tol=tol, maxiter=maxiter,
+                                              block_factors=bf_,
+                                              coarse_basis=C_,
+                                              coarse_inv=ci_, coarse_f32=True,
+                                              x0=x0, return_iters=True)
+                return (u, u_next), (u_next, its)
 
             u0 = jnp.zeros((K, N), dtype)
-            _, traj = jax.lax.scan(step, (u0, u0), jnp.arange(nt))
-            return jnp.concatenate([u0[None], traj], axis=0)
+            _, (traj, its) = jax.lax.scan(step, (u0, u0), jnp.arange(nt))
+            traj = jnp.concatenate([u0[None], traj], axis=0)
+            return (traj, its) if return_iters else traj
 
         return _traj
 

@@ -122,6 +122,91 @@ class ReducedModel:
     def reconstruct(self, c):
         return self.reductor.reconstruct(c)
 
+    def solve_sharded(self, mu, mesh, tol: float = 1e-12,
+                      maxiter: int = 2000):
+        """Block-row-sharded reduced solve — the TP analog (SURVEY §2.5):
+        the reduced block system's K axis is laid out over the device mesh,
+        each device owns its subdomains' block ROWS of A_red(theta) and the
+        matvec's gather of the replicated iterate rides the mesh (GSPMD
+        inserts the collectives).  The solver is block-Jacobi PCG on the
+        (SPD, identity-padded) reduced system: per-subdomain [r_max, r_max]
+        diagonal-block inverses precondition, so iteration counts stay small
+        while the memory/compute of the reduced solve scales 1/n_devices —
+        the scaling wall PARITY.md §2.5 previously listed as future work
+        (large K*r at model-2 scale).
+
+        Parity: == :meth:`solve` (dense replicated LU) at solver tolerance;
+        asserted in tests/test_reduced_sharded.py and the driver dryrun."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        mu = self.parse_parameter(mu)
+        theta = self.d.theta(mu)
+        theta_f = self.d.theta_f(mu)
+        K = len(self.sizes)
+        r = self.r_max
+        Q = self.A_red.shape[0]
+        A_rows = self.A_red.reshape(Q, K, r, K * r)
+        A_rows = jax.device_put(A_rows, NamedSharding(mesh, P(None, axis)))
+        b_rows = jax.device_put(self.b_red.reshape(-1, K, r),
+                                NamedSharding(mesh, P(None, axis)))
+        key = ("solve_sharded", Q, K, r, float(tol), int(maxiter), axis,
+               mesh.devices.size)
+        cache = _ONLINE_JIT_CACHE
+        fn = cache.get(key)
+        if fn is None:
+            @jax.jit
+            @hp
+            def fn(A_rows_, b_rows_, th, th_f):
+                A = jnp.einsum("q,qkrR->krR", th, A_rows_)
+                b = jnp.einsum("q,qkr->kr", th_f, b_rows_)
+                # per-subdomain diagonal blocks (identity on padding) ->
+                # the block-Jacobi preconditioner of the reduced system.
+                # One-hot contraction instead of a gather: the k axis of D
+                # inherits A's sharding with no cross-device movement.
+                A4 = A.reshape(K, r, K, r)
+                D = jnp.einsum("krCs,kC->krs", A4, jnp.eye(K, dtype=A.dtype))
+                dt_ = A.dtype
+                inv_dt = (jnp.float32
+                          if (dt_ == jnp.float64
+                              and jax.default_backend() != "cpu") else dt_)
+                Dinv = jnp.linalg.inv(D.astype(inv_dt)).astype(dt_)
+
+                def mv(c):
+                    return jnp.einsum("krR,R->kr", A, c.reshape(-1))
+
+                def M(rv):
+                    return jnp.einsum("krs,ks->kr", Dinv, rv)
+
+                def dot(u, v):
+                    return jnp.vdot(u, v)
+
+                atol2 = (tol ** 2) * jnp.maximum(dot(b, b), 1e-300)
+                x0 = jnp.zeros_like(b)
+                r0 = b - mv(x0)
+                z0 = M(r0)
+                st0 = (x0, r0, z0, z0, dot(r0, z0), 0)
+
+                def cond(st):
+                    return jnp.logical_and(dot(st[1], st[1]) > atol2,
+                                           st[5] < maxiter)
+
+                def body(st):
+                    x, rr, z, p, rz, it = st
+                    Ap = mv(p)
+                    alpha = rz / dot(p, Ap)
+                    x = x + alpha * p
+                    rr = rr - alpha * Ap
+                    z = M(rr)
+                    rzn = dot(rr, z)
+                    p = z + (rzn / rz) * p
+                    return (x, rr, z, p, rzn, it + 1)
+
+                out = jax.lax.while_loop(cond, body, st0)
+                return out[0]
+            cache[key] = fn
+        with mesh:
+            return fn(A_rows, b_rows, theta, theta_f)
+
     # ------------------------------------------------------------------
     def _gather_neighborhood(self, c):
         """c [..., K, r_max] -> chat [..., K, P*r_max] (zero-padded;

@@ -40,13 +40,15 @@ VEC_ROUNDTRIPS = 10     # axpy/dot passes over the iterate per PCG iteration
 
 
 def _leaf_stats(tree):
-    """(n_elements, n_bytes) over all array leaves of a pytree."""
+    """(n_elements, n_bytes) over all array leaves of a pytree (arrays or
+    jax.ShapeDtypeStruct / eval_shape results)."""
     elems = 0
     bytes_ = 0
     for leaf in jax.tree_util.tree_leaves(tree):
-        if hasattr(leaf, "size") and hasattr(leaf, "dtype"):
-            elems += int(leaf.size)
-            bytes_ += int(leaf.size) * np.dtype(leaf.dtype).itemsize
+        if hasattr(leaf, "dtype") and hasattr(leaf, "shape"):
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            elems += n
+            bytes_ += n * np.dtype(leaf.dtype).itemsize
     return elems, bytes_
 
 
@@ -104,7 +106,7 @@ def pcg_iteration_cost(op, factors=None, coarse_basis=None, coarse_inv=None,
     vec = KernelCost(0, 0)
     if factors is not None:
         leaves = jax.tree_util.tree_leaves(factors)
-        if leaves and leaves[0].ndim >= 3:
+        if leaves and len(leaves[0].shape) >= 3:
             K, N = leaves[0].shape[-3], leaves[0].shape[-1]
             vec = vector_cost(K, N, itemsize)
     matrix_stream = KernelCost(mv.flops * lanes + pc.flops * lanes
