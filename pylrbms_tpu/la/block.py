@@ -386,35 +386,8 @@ class AssembledBlockOp:
                 return jnp.einsum("knm,km->kn", Ainv, r,
                                   preferred_element_type=acc).astype(r.dtype)
 
-        def dot(u, v):
-            return jnp.vdot(u, v)
-
-        bnorm = jnp.sqrt(dot(b, b))
-        atol2 = (tol * jnp.maximum(bnorm, 1e-300)) ** 2
-
-        x0 = jnp.zeros_like(b)
-        r0 = b - self.apply(x0)
-        z0 = M(r0)
-        p0 = z0
-        rz0 = dot(r0, z0)
-
-        def cond(state):
-            x, r, z, p, rz, it = state
-            return jnp.logical_and(dot(r, r) > atol2, it < maxiter)
-
-        def body(state):
-            x, r, z, p, rz, it = state
-            Ap = self.apply(p)
-            alpha = rz / dot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M(r)
-            rz_new = dot(r, z)
-            beta = rz_new / rz
-            p = z + beta * p
-            return (x, r, z, p, rz_new, it + 1)
-
-        x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+        from .krylov import pcg_chunked
+        x, it = pcg_chunked(self.apply, M, b, tol, maxiter)
         return (x, it) if return_iters else x
 
     @hp

@@ -1057,7 +1057,8 @@ class InstationaryBlockModel:
     def _solve_mf(self, mu, dt, tol: float = 1e-10, maxiter: int = 500,
                   two_level: bool = None, coarse_modes: int = 16,
                   coarse_space: str = "harvested", precision: str = None,
-                  extrapolate: bool = True, return_iters: bool = False):
+                  extrapolate: bool = True, return_iters: bool = False,
+                  inner: str = None):
         """Matrix-free implicit Euler at scale: the mass joins the affine
         stencil family as one extra component (G = M + dt A, see
         :func:`~pylrbms_tpu.ops.matrixfree.mass_stencil`), the per-mu
@@ -1094,17 +1095,35 @@ class InstationaryBlockModel:
             C, ci = self._mf_parab_coarse(dt, theta, coarse_space,
                                           coarse_modes)
         precision = self._resolve_traj_precision(precision)
+        inner = self._resolve_traj_inner(inner, precision)
         key = ("parab_mf_traj", K, N, self.nt, float(dt), float(tol),
                int(maxiter), bool(two_level), precision, bool(extrapolate),
-               bool(return_iters))
+               bool(return_iters), inner)
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(
                 self._mf_traj_core(dt, tol, maxiter, precision,
                                    extrapolate=extrapolate,
-                                   return_iters=return_iters))
+                                   return_iters=return_iters, inner=inner))
+        extra = ((st.op, self.mass) if inner == "halo" else (None, None))
         return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mu,
-                  self._parab_diag_q())
+                  self._parab_diag_q(), *extra)
+
+    def _resolve_traj_inner(self, inner, precision):
+        """Auto policy for the mixed inner apply form: halo-dense at
+        mid-scale 2D on accelerators (the measured op-overhead-bound
+        regime — ops/halodense.py docstring), stencil elsewhere (its byte
+        advantage wins at 3D scale)."""
+        if inner is None:
+            st = self.stationary
+            dim2 = getattr(st.space, "dim", 2) == 2
+            inner = ("halo" if (precision == "mixed" and dim2
+                               and jax.default_backend() != "cpu"
+                               and st.space.K * st.space.N <= 131072)
+                     else "stencil")
+        if inner not in ("stencil", "halo"):
+            raise ValueError(f"unknown trajectory inner form {inner!r}")
+        return inner
 
     def _resolve_traj_precision(self, precision):
         if precision is None:
@@ -1183,7 +1202,8 @@ class InstationaryBlockModel:
         return pre
 
     def _mf_traj_core(self, dt, tol, maxiter, precision="f64",
-                      extrapolate: bool = True, return_iters: bool = False):
+                      extrapolate: bool = True, return_iters: bool = False,
+                      inner: str = "stencil"):
         """The (unjitted) whole-trajectory core: one ``lax.scan`` of
         warm-started PCG solves with all model tensors as arguments.  Jitted
         directly for a single mu; ``jax.vmap`` over (theta_G, [bf,] mu) for
@@ -1200,16 +1220,26 @@ class InstationaryBlockModel:
         trajectories implicit Euler produces, the prediction error is
         O(dt^2) vs the O(dt) step increment, so the initial residual each
         PCG sees drops by ~dt and the iteration count with it (same
-        converged answer; only the starting point changes)."""
+        converged answer; only the starting point changes).
+
+        ``inner='halo'`` (mixed only): the f32 inner Krylov runs through the
+        halo-dense form (ops/halodense.py — one gather + one batched MXU
+        matmul per apply) built once per mu from the DENSE affine family;
+        the f64 residual restarts/polish keep the byte-lean stencil.  The
+        measured win regime is mid-scale 2D, where the stencil iteration
+        body is op-overhead bound (module docstring)."""
         from .ops.ir import solve_ir, cast_f32
         st = self.stationary
         f_coeffs = st.f_coeffs
         K, N = st.space.K, st.space.N
         nt, dtype = self.nt, st.dtype
         mixed = precision == "mixed"
+        if inner == "halo" and not mixed:
+            raise ValueError("inner='halo' requires precision='mixed'")
 
         @hp
-        def _traj(G_sop_, theta_G_, bf_, C_, ci_, rhs_q, mu_, dq_):
+        def _traj(G_sop_, theta_G_, bf_, C_, ci_, rhs_q, mu_, dq_,
+                  op_=None, mass_=None):
             G = G_sop_.assemble(theta_G_)
             # the mass apply = the family's first component assembled
             # alone (dimension-generic: works for 2D and 3D stencils)
@@ -1217,8 +1247,20 @@ class InstationaryBlockModel:
                                 (G_sop_.stencils[0],)).assemble(
                 jnp.ones((1,), theta_G_.dtype))
             if mixed:
-                G32 = cast_f32(G)
                 dvec = jnp.einsum("q,qkn->kn", theta_G_, dq_)
+                if inner == "halo":
+                    from .la.block import AssembledBlockOp
+                    from .ops.halodense import halo_from_assembled
+                    A_mu = op_.assemble(theta_G_[1:] / dt)
+                    sdt = (lambda C: None if C is None else dt * C)
+                    G_dense = AssembledBlockOp(
+                        op_.static, mass_ + dt * A_mu.A_diag,
+                        dt * A_mu.C_R_io, dt * A_mu.C_R_oi,
+                        dt * A_mu.C_U_io, dt * A_mu.C_U_oi,
+                        sdt(A_mu.C_W_io), sdt(A_mu.C_W_oi))
+                    G32 = halo_from_assembled(G_dense, dtype=jnp.float32)
+                else:
+                    G32 = cast_f32(G)
 
             def theta_f_at(t):
                 mu_t = dict(mu_)
@@ -1258,7 +1300,7 @@ class InstationaryBlockModel:
                     tol: float = 1e-10, maxiter: int = 500,
                     two_level: bool = None, coarse_modes: int = 16,
                     coarse_space: str = "harvested", precision: str = None,
-                    extrapolate: bool = True):
+                    extrapolate: bool = True, inner: str = None):
         """Batched-mu parabolic serving: B implicit-Euler trajectories in ONE
         jitted dispatch — the parabolic analog of the elliptic batched online
         step (:func:`make_online_step`).  Returns [B, nt+1, K, N].
@@ -1303,19 +1345,26 @@ class InstationaryBlockModel:
                 st.op.A_diag, self.mass, dt * thetas)
             bf_ax = 0
         precision = self._resolve_traj_precision(precision)
+        # batched default stays on the stencil form: the lanes already
+        # amortize the per-op overhead the halo form exists to remove,
+        # while its extra bytes (and per-lane dense G) would multiply by B
+        inner = ("stencil" if inner is None
+                 else self._resolve_traj_inner(inner, precision))
         key = ("parab_mf_traj_batched", K, N, self.nt, float(dt),
                float(tol), int(maxiter), bool(two_level), bf_ax,
-               thetas.shape[0], precision, bool(extrapolate))
+               thetas.shape[0], precision, bool(extrapolate), inner)
         fn = cache.get(key)
         if fn is None:
             core = self._mf_traj_core(dt, tol, maxiter, precision,
-                                      extrapolate=extrapolate)
+                                      extrapolate=extrapolate, inner=inner)
             fn = cache[key] = jax.jit(jax.vmap(
-                core, in_axes=(None, 0, bf_ax, None, None, None, 0, None)))
+                core, in_axes=(None, 0, bf_ax, None, None, None, 0, None,
+                               None, None)))
         mus_stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in mus])
                        for k in mus[0]}
+        extra = ((st.op, self.mass) if inner == "halo" else (None, None))
         return fn(G_sop, theta_G, bf, C, ci, st.rhs_q, mus_stacked,
-                  self._parab_diag_q())
+                  self._parab_diag_q(), *extra)
 
     def operator_apply(self, U, mu):
         return self.stationary.operator_apply(U, mu)

@@ -416,8 +416,27 @@ class BatchedCorrector:
                 p = z * step[:, None, None] + beta[:, None, None] * p
                 return (x, r, z, p, rzn, it + 1, act)
 
-            x, *_ = jax.lax.while_loop(cond, body,
-                                       (x0, r0, z0, z0, rz0, 0, act0))
+            # chunked control flow (la/krylov.py rationale): the while
+            # loop's per-iteration control round is the measured bound at
+            # patch scale on the chip; the per-lane freeze logic above
+            # already makes extra body evaluations state-preserving, the
+            # select guard below keeps `it` and fully-converged states
+            # bitwise frozen too
+            from ..la.krylov import default_chunk
+            ch = default_chunk()
+            init = (x0, r0, z0, z0, rz0, 0, act0)
+            if ch <= 1:
+                x, *_ = jax.lax.while_loop(cond, body, init)
+            else:
+                def gbody(state):
+                    done = jnp.logical_not(cond(state))
+                    new = body(state)
+                    return jax.tree.map(
+                        lambda a, n: jnp.where(done, a, n), state, new)
+
+                x, *_ = jax.lax.while_loop(
+                    cond, lambda s: jax.lax.fori_loop(
+                        0, ch, lambda i, s_: gbody(s_), s), init)
             # slice each patch's own subdomain
             return x[jnp.arange(B), marked, :]             # [B, N]
 

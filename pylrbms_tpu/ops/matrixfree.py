@@ -398,34 +398,11 @@ class AssembledStencil:
                     xc = (C32 @ rc).astype(r.dtype)
                     return M_fine(r) + xc[:, None]
 
-        def dot(u, v):
-            return jnp.vdot(u, v)
-
-        bnorm2 = dot(b, b)
-        atol2 = (tol ** 2) * jnp.maximum(bnorm2, 1e-300)
-        # warm start (time stepping: the previous step's solution)
-        x0 = jnp.zeros_like(b) if x0 is None else x0
-        r0 = b - self.apply(x0)
-        z0 = M(r0)
-        state = (x0, r0, z0, z0, dot(r0, z0), 0)
-
-        def cond(st):
-            x, r, z, p, rz, it = st
-            return jnp.logical_and(dot(r, r) > atol2, it < maxiter)
-
-        def body(st):
-            x, r, z, p, rz, it = st
-            Ap = self.apply(p)
-            alpha = rz / dot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M(r)
-            rzn = dot(r, z)
-            p = z + (rzn / rz) * p
-            return (x, r, z, p, rzn, it + 1)
-
-        out = jax.lax.while_loop(cond, body, state)
-        return (out[0], out[5]) if return_iters else out[0]
+        # chunked control flow (la/krylov.py): the while-loop control round
+        # is the measured per-iteration bound at mid scale on the chip
+        from ..la.krylov import pcg_chunked
+        x, it = pcg_chunked(self.apply, M, b, tol, maxiter, x0=x0)
+        return (x, it) if return_iters else x
 
     @hp
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:

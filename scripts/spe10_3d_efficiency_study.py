@@ -89,14 +89,28 @@ def main(mus=(1.0, 0.3)):
           f"after clip = {field.max() / field.min():.2e}")
     print("reference: Q2 hex SWIPDG on the finest grid (RT_[1]-capable "
           "space; host splu), exact nested Q1->Q2 prolongation")
-    print("efficiency column = ||u_ref - u_h||_energy / eta")
+    print("efficiency column = ||u_ref - u_h||_elliptic(mu_bar) / eta  "
+          "(the norm the OS2015 bound controls; the penalty-inclusive DG "
+          "norm is the last column)")
     print()
 
     # --- discretizations build once; only the solves are per-mu ------------
     t0 = time.perf_counter()
     gpd_ref = init(dict(REF_CONFIG))
     d_ref, _ = discretize(gpd_ref, order=2, lean=True)
-    E_ref = d_ref.products["energy_mu_bar"]
+    # NORM CONVENTION (fixed in round 5 — the round-4 run measured the
+    # error in `energy_mu_bar` = elliptic + PENALTY product, which is NOT
+    # the norm the OS2015 bound controls: the sigma*lambda/h-weighted
+    # penalty of the coarse solution's jumps inflated the measured "true
+    # error" ~3-4x at 1e4 contrast, making a reliable estimator read as an
+    # underestimate.  The 2D study (EOC norm 'elliptic_mu_bar') and the
+    # smooth-3D studies (quadrature broken H1) always used the elliptic
+    # seminorm — as does the paper (OS2015 Thm. 4.6: energy seminorm;
+    # nonconformity enters through eta_nc, not through the measured norm).
+    # Headline = elliptic; the penalty-inclusive DG norm is kept as a
+    # transparency column.
+    E_ref = d_ref.products["elliptic_bar"]
+    E_ref_pen = d_ref.products["energy_mu_bar"]
     ref_dofs = d_ref.space.K * d_ref.space.N
     print(f"[Q2 reference discretized: {ref_dofs} dofs, "
           f"{time.perf_counter() - t0:.1f} s]")
@@ -140,15 +154,17 @@ def main(mus=(1.0, 0.3)):
             diff = U_ref - prolong(d.space, U, d_ref.space)
             err = float(jnp.sqrt(jnp.einsum("kn,knm,km->", diff, E_ref,
                                             diff)))
+            err_pen = float(jnp.sqrt(jnp.einsum("kn,knm,km->", diff,
+                                                E_ref_pen, diff)))
             n2 = lambda v: float(jnp.sqrt(jnp.sum(jnp.asarray(v) ** 2)))
             rows.append((gpd["grid"].max_entity_diameter(),
                          d.space.K * d.space.N, err, float(eta),
-                         n2(nc), n2(r), n2(df)))
+                         n2(nc), n2(r), n2(df), err_pen))
 
-        print(f"  {'h':>9} {'dofs':>7} {'|e|_E':>10} {'eoc':>5} "
+        print(f"  {'h':>9} {'dofs':>7} {'|e|_ell':>10} {'eoc':>5} "
               f"{'eta':>10} {'eoc':>5} {'eff':>6} {'eta_nc':>10} "
-              f"{'eta_r':>10} {'eta_df':>10}")
-        for i, (h, dofs, err, eta, nc, r, df) in enumerate(rows):
+              f"{'eta_r':>10} {'eta_df':>10} {'|e|_DG+pen':>11}")
+        for i, (h, dofs, err, eta, nc, r, df, err_pen) in enumerate(rows):
             if i == 0:
                 e1 = e2 = "  --"
             else:
@@ -157,7 +173,7 @@ def main(mus=(1.0, 0.3)):
                 e2 = f"{np.log(etap / eta) / np.log(hp_ / h):5.2f}"
             print(f"  {h:9.3e} {dofs:7d} {err:10.4e} {e1:>5} {eta:10.4e} "
                   f"{e2:>5} {err / eta:6.3f} {nc:10.4e} {r:10.4e} "
-                  f"{df:10.4e}")
+                  f"{df:10.4e} {err_pen:11.4e}")
         print()
 
 
