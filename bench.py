@@ -167,7 +167,12 @@ def aux_main():
 
     def parabolic_leg(cfg):
         # ---- parabolic trajectory: warm ms/step (mixed-precision IR on
-        # accelerators — ops/ir.py) vs the host factorize-per-mu floor ----
+        # accelerators — ops/ir.py) vs the host factorize-per-mu floor.
+        # Config = the 98k NORTH-STAR grid itself (round 5; measured 95
+        # ms/step device vs 170 ms/step host there): at the old bounded
+        # 24k config the host's splu factorize amortizes to ~24 ms/step
+        # and the leg sat at ~1x — a genuinely host-favorable small-size
+        # regime, reported as the fallback with its own fields ----
         out = {}
         gpd, d, A_q, mu0, th0, b0 = build(cfg)
         K, N = d.space.K, d.space.N
@@ -184,6 +189,7 @@ def aux_main():
             ts.append(time.perf_counter() - t0)
         step_ms = float(np.median(ts)) / nt * 1e3
         out["parabolic_step_ms"] = round(step_ms, 3)
+        out["parabolic_dofs"] = K * N
         # host floor: per-mu splu factorize of G = M + dt A(mu) + nt steps
         M_np = np.asarray(im.mass, np.float64)
         import scipy.sparse as sp
@@ -273,12 +279,22 @@ def aux_main():
             gc.collect()                 # free the leg's device buffers
     # the 98k greedy model + a second parabolic model do not fit one 16 GB
     # chip together (measured RESOURCE_EXHAUSTED), so the parabolic leg
-    # always runs the bounded config after the greedy model is collected
-    # (at-scale parabolic numbers: docs/results/spe10_parabolic_tpu.txt)
-    try:
-        out.update(parabolic_leg(CFG_24K))
-    except Exception:                                # noqa: BLE001
-        traceback.print_exc(file=sys.stderr)
+    # runs AFTER the greedy model is collected; round 5 moves it to the
+    # 98k north-star config (fault-isolated, 24k fallback — see the leg's
+    # comment; at-scale 3D numbers: docs/results/spe10_3d_parabolic_tpu.txt)
+    for leg_cfg in (CFG_98K, CFG_24K):
+        try:
+            out.update(parabolic_leg(leg_cfg))
+            break
+        except Exception:                            # noqa: BLE001
+            traceback.print_exc(file=sys.stderr)
+            if leg_cfg is CFG_98K:
+                msg = "aux bench: parabolic leg failed at 98k, falling back"
+            else:
+                msg = "aux bench: parabolic leg failed at fallback config"
+            print(msg, file=sys.stderr)
+        finally:
+            gc.collect()
     print(json.dumps(out))
     return out
 

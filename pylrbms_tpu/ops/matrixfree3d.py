@@ -276,10 +276,11 @@ class AssembledStencil3:
 
     # ------------------------------------------------------------------
     @hp
-    def cell_jacobi_factors(self) -> jnp.ndarray:
-        """Per-hex-cell nb x nb block inverses (vol + own-side face mm/pp
-        contributions + boundary strips): the O(K s^3 nb^2)-memory
-        matrix-free preconditioner."""
+    def cell_blocks(self) -> jnp.ndarray:
+        """Per-hex-cell nb x nb diagonal blocks (vol + own-side face mm/pp
+        contributions + boundary strips) [K, s, s, s, nb, nb] — the
+        UNINVERTED cell-Jacobi blocks; their diagonal is the (approximate,
+        in_in-strip) operator diagonal used e.g. for IR Jacobi scaling."""
         sp = self.space
         s, nb = sp.s, sp.nb
         K = sp.K
@@ -305,6 +306,12 @@ class AssembledStencil3:
         d = d.at[:, :, s - 1, :].add(Dm["top"])
         d = d.at[:, 0, :, :].add(Dm["near"])
         d = d.at[:, s - 1, :, :].add(Dm["far"])
+        return d
+
+    def cell_jacobi_factors(self) -> jnp.ndarray:
+        """Per-hex-cell nb x nb block inverses of :meth:`cell_blocks`:
+        the O(K s^3 nb^2)-memory matrix-free preconditioner."""
+        d = self.cell_blocks()
         dvec = jnp.abs(jnp.diagonal(d, axis1=-2, axis2=-1))
         sca = 1.0 / jnp.sqrt(jnp.maximum(dvec, 1e-300))
         cs = d * sca[..., :, None] * sca[..., None, :]

@@ -1,0 +1,353 @@
+"""Self-hosted truth references: large f64 solves with NO direct-solver
+dependence (VERDICT r4 missing #4 / next #7).
+
+The recorded single-host ceiling for 3D truth references is scipy SuperLU
+itself: the 442k-dof Q2 reference of the --finer-ref efficiency study dies
+inside gstrf after ~2 h of fill (commit c806956 / docs/results/
+spe10_3d_efficiency_study.txt).  This module replaces splu for large truth
+solves with the framework's own mixed-precision machinery, built entirely
+on the STENCIL representation (no dense [K, N, N] subdomain blocks are
+ever materialized — the dense route is what caps the existing
+`prepare_coarse`/`harvested_coarse_basis` at mid scale):
+
+- preconditioner: per-cell block-Jacobi factors
+  (``AssembledStencil3.cell_jacobi_factors`` — O(cells * nb^2) memory)
+  plus a harvested spectral coarse space filtered through the CELL-factor
+  preconditioned operator (:func:`harvested_coarse_cell`);
+- the coarse Galerkin matrix is assembled by 27-COLORED stencil applies
+  (:func:`prepare_coarse_mf`): masking the basis to one lattice color per
+  apply separates the 7-point neighbor contributions exactly, so the full
+  [K*m, K*m] matrix costs 27*m matrix-free applies instead of dense block
+  algebra;
+- the solve is :func:`pylrbms_tpu.ops.ir.solve_ir` — native-f32 inner
+  Krylov on the Jacobi-scaled system with f64 residual restarts and a
+  gated f64 polish — so the chip's hot loop is a NATIVE-f32 program (the
+  remote AOT ceiling measured at >=1M dofs was hit by fully f64-EMULATED
+  programs; the lean f64 share here is a few applies per solve).
+
+Solver recipe for the adversarial z-thin anisotropic configs (round-5
+measured, 65k z-thin SPE10: stalled at ~5000 its before): enough harvest
+vectors + f64 coarse apply — harvested(32/48/64, rounds>=2) + modal(6)
+converges in 2463/1762/965 iterations.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .utils.precision import hp
+from .utils.logging import getLogger
+
+logger = getLogger("pylrbms.truth")
+
+
+def _cell_precond_fn(space):
+    """(factors, r) -> z closure for cell-block factors (dim-generic)."""
+    s, nb = space.s, space.nb
+    dim = getattr(space, "dim", 2)
+    T = getattr(space, "T", 1)
+    if dim == 3:
+        shape = (space.K, s, s, s, nb)
+        eq = "kzyxij,kzyxj->kzyxi"
+    else:
+        cb = T * nb
+        shape = (space.K, s, s, cb)
+        eq = "kyxij,kyxj->kyxi"
+
+    def M(factors, r):
+        rc = r.reshape(r.shape[:-2] + shape[1:] if r.ndim > 2 else shape)
+        z = jnp.einsum(eq, factors, rc)
+        return z.reshape(r.shape)
+
+    return M
+
+
+def harvested_coarse_cell(S, cell_factors, space, n_harvest: int = 32,
+                          extra_modal: int = 6, rounds: int = 2,
+                          deg: int = 30, seed: int = 0) -> np.ndarray:
+    """Chebyshev-harvested slow modes of the CELL-Jacobi preconditioned
+    stencil operator — the stencil-representation analog of
+    :func:`pylrbms_tpu.la.block.harvested_coarse_basis` (which needs dense
+    subdomain factors).  Returns [K, N, extra_modal + n_harvest]."""
+    from .la.block import AssembledBlockOp
+    K, N = space.K, space.N
+    Mc = _cell_precond_fn(space)
+
+    @jax.jit
+    @hp
+    def _pow(v, F, S_):
+        def body(i, carry):
+            v, _ = carry
+            w = Mc(F, S_.apply(v))
+            nrm = jnp.sqrt(jnp.sum(w * w))
+            return (w / jnp.maximum(nrm, 1e-300), nrm)
+        return jax.lax.fori_loop(0, 30, body, (v, jnp.array(0.0, v.dtype)))
+
+    dt_ = cell_factors.dtype
+    rng = np.random.default_rng(seed)
+    v0 = jnp.asarray(rng.normal(size=(K, N)), dt_)
+    _, lam = _pow(v0, cell_factors, S)
+    bnd = 1.15 * float(lam)
+    a = (0.25 / 2.05) * bnd
+    e = (bnd + a) / 2.0
+    c = (bnd - a) / 2.0
+
+    @jax.jit
+    @hp
+    def filt(V, F, S_, e_, c_):
+        def pa(X):
+            return jax.vmap(lambda x: Mc(F, S_.apply(x)))(X)
+
+        Y = (pa(V) - e_ * V) / c_
+
+        def body(i, carry):
+            Vm1, Vc = carry
+            return (Vc, 2.0 * (pa(Vc) - e_ * Vc) / c_ - Vm1)
+
+        _, Vc = jax.lax.fori_loop(0, deg - 1, body, (V, Y))
+        return Vc
+
+    V = jnp.asarray(rng.normal(size=(n_harvest, K, N)), dt_)
+    ec = (jnp.asarray(e, dt_), jnp.asarray(c, dt_))
+    for _ in range(rounds):
+        V = filt(V, cell_factors, S, *ec)
+        Vh = np.asarray(V, np.float64)
+        if not np.isfinite(Vh).all():
+            ec = (ec[0] + ec[1], 2.0 * ec[1])
+            Vh = np.asarray(filt(
+                jnp.asarray(rng.normal(size=(n_harvest, K, N)), dt_),
+                cell_factors, S, *ec), np.float64)
+        Q, _ = np.linalg.qr(Vh.reshape(n_harvest, -1).T)
+        V = jnp.asarray(Q.T.reshape(n_harvest, K, N), dt_)
+    cols = [np.moveaxis(np.asarray(V, np.float64), 0, -1)]
+    if extra_modal:
+        cols.insert(0, AssembledBlockOp.coarse_modes_basis(space,
+                                                           extra_modal))
+    C = np.concatenate(cols, axis=-1)
+    return np.stack([np.linalg.qr(C[k])[0] for k in range(K)])
+
+
+def _lattice_coords(space):
+    K = space.K
+    grid = space.grid
+    kx = grid.kx
+    ky = grid.ky
+    kz = getattr(grid, "kz", 1)
+    k = np.arange(K)
+    ix = k % kx
+    iy = (k // kx) % ky
+    iz = k // (kx * ky)
+    return ix, iy, iz, kx, ky, kz
+
+
+def coarse_galerkin_mf(S, C) -> np.ndarray:
+    """Full [K*m, K*m] Galerkin coarse matrix from COLORED stencil applies.
+
+    Basis columns live per subdomain; a 3-periodic coloring of the
+    subdomain lattice per axis (27 colors in 3D, 9 in 2D) makes the
+    7-point neighbor of any subdomain the UNIQUE member of its color in
+    the subdomain's neighborhood, so ``C_k^T (A C_masked)_k`` separates
+    into exact Galerkin entries.  Cost: n_colors * m matrix-free applies
+    (batched), instead of the dense block algebra
+    ``coarse_matrix_general`` needs."""
+    space = S.space
+    K, N, m = C.shape
+    ix, iy, iz, kx, ky, kz = _lattice_coords(space)
+    dim3 = getattr(space, "dim", 2) == 3
+    color = (ix % 3) + 3 * (iy % 3) + (9 * (iz % 3) if dim3 else 0)
+    n_colors = 27 if dim3 else 9
+    # neighbor offsets in k-index per axis
+    offs = [0, +1, -1, +kx, -kx]
+    if dim3:
+        offs += [+kx * ky, -kx * ky]
+    Cd = jnp.asarray(C, S.vol.dtype if hasattr(S, "vol")
+                     else jnp.float64)
+
+    @jax.jit
+    @hp
+    def apply_cols(S_, X):
+        return jax.vmap(S_.apply)(X)            # [m, K, N]
+
+    Ac = np.zeros((K, m, K, m))
+    Cnp = np.asarray(C, np.float64)
+    for col in range(n_colors):
+        mask = (color == col).astype(np.float64)
+        if not mask.any():
+            continue
+        Xm = jnp.asarray(np.moveaxis(Cnp * mask[:, None, None], -1, 0))
+        Y = np.asarray(apply_cols(S, Xm.astype(Cd.dtype)), np.float64)
+        # entry: Ac[(k, i), (k', j)] = C[k,:,i] . Y[j, k] where k' is the
+        # unique color-`col` subdomain in k's 7-point neighborhood
+        blk = np.einsum("kni,jkn->kij", Cnp, Y)          # [K, m, m]
+        for off in offs:
+            kk = np.arange(K) + off
+            valid = (kk >= 0) & (kk < K)
+            if off in (+1, -1):
+                valid &= (ix + off >= 0) & (ix + off < kx)
+            elif off in (+kx, -kx):
+                valid &= (iy + np.sign(off) >= 0) & (iy + np.sign(off) < ky)
+            elif off != 0:
+                valid &= (iz + np.sign(off) >= 0) & (iz + np.sign(off) < kz)
+            kk = np.where(valid, kk, 0)
+            sel = valid & (color[kk] == col)
+            rows = np.nonzero(sel)[0]
+            if rows.size == 0:
+                continue
+            Ac[rows, :, kk[rows], :] += blk[rows]
+    return Ac.reshape(K * m, K * m)
+
+
+def prepare_coarse_mf(S, C):
+    """Stencil-representation variant of :func:`la.block.prepare_coarse`:
+    condition (unit-energy columns) + SPD-safe host-f64 pseudo-inverse of
+    the colored-apply Galerkin matrix.  Returns (C_cond, Ac_inv) device
+    arrays."""
+    C = np.asarray(C, np.float64)
+    # unit block-energy normalization via one colored pass would need the
+    # diag blocks only; the full Galerkin diag suffices and we need the
+    # matrix anyway — normalize after assembling once, then rescale.
+    Ac = coarse_galerkin_mf(S, C)
+    K, N, m = C.shape
+    d = np.sqrt(np.maximum(np.abs(np.diag(Ac)), 1e-300))
+    C = C / d.reshape(K, m)[:, None, :]
+    Ac = Ac / d[:, None] / d[None, :]
+    sd = 1.0 / np.sqrt(np.maximum(np.abs(np.diag(Ac)), 1e-300))
+    Ssym = 0.5 * (Ac + Ac.T) * sd[:, None] * sd[None, :]
+    w, V = np.linalg.eigh(Ssym)
+    wmax = max(float(w.max()), 1e-300)
+    keep = w > 1e-12 * wmax
+    inv_s = (V[:, keep] / w[keep]) @ V[:, keep].T
+    Ac_inv = inv_s * sd[:, None] * sd[None, :]
+    dt_ = jnp.float64
+    return jnp.asarray(C, dt_), jnp.asarray(Ac_inv, dt_)
+
+
+class SolveOnlyModel:
+    """Minimal model for truth solves at >= 1M dofs: space + affine
+    STENCILS + rhs only — none of the dense [K, N, N] per-subdomain
+    tensors (operators/products/estimator) that cap ``discretize3d`` at
+    mid scale (at the 1M-dof layouts a single [K, N, N] f64 product is
+    4+ GB of HBM; the full lean model materializes several)."""
+
+    def __init__(self, gpd, order: int = 1, dtype=jnp.float64):
+        from .grid3d import Grid3D
+        from .ops.spaces3d import BlockDGSpace3D
+        from .ops import assembly3d as asm3
+        from .ops.matrixfree3d import (assemble_swipdg_stencil3,
+                                       StencilOperator3)
+        from .parameters import parse_parameter, as_functional
+        from .discretize_elliptic_block_swipdg import _affine
+        grid: "Grid3D" = gpd["grid"]
+        self.space = BlockDGSpace3D(grid, order=order)
+        lambda_funcs, lambda_coeffs = _affine(gpd["lambda"])
+        f_funcs, f_coeffs = _affine(gpd["f"])
+        self.parameter_type = gpd.get("parameter_type")
+        self._lambda_coeffs = [as_functional(c) for c in lambda_coeffs]
+        self._f_coeffs = [as_functional(c) for c in f_coeffs]
+        self.op = None
+        sp = self.space
+
+        @jax.jit
+        @hp
+        def _build():
+            sten = tuple(assemble_swipdg_stencil3(sp, lf, None, dtype=dtype)
+                         for lf in lambda_funcs)
+            rhs_q = jnp.stack([asm3.volume_functional(sp, ff, dtype)
+                               for ff in f_funcs])
+            return sten, rhs_q
+
+        sten, self.rhs_q = _build()
+        self._sop = StencilOperator3(sp, sten)
+
+    def parse_parameter(self, mu):
+        from .parameters import parse_parameter
+        return parse_parameter(self.parameter_type, mu)
+
+    def theta(self, mu):
+        from .parameters import evaluate_coefficients
+        return evaluate_coefficients(self._lambda_coeffs,
+                                     self.parse_parameter(mu))
+
+    def rhs(self, mu):
+        from .parameters import evaluate_coefficients
+        th_f = evaluate_coefficients(self._f_coeffs,
+                                     self.parse_parameter(mu))
+        return jnp.einsum("q,qkn->kn", th_f, self.rhs_q)
+
+    def mf_operator(self):
+        return self._sop
+
+
+def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
+                n_harvest: int = 32, extra_modal: int = 6,
+                rounds: int = 2, verbose: bool = True):
+    """f64-accurate FOM solve through the stencil-only mixed-precision
+    path — the splu replacement for truth references past the SuperLU
+    ceiling.  Returns (U [K, N] np.float64, info dict)."""
+    import time
+    from .ops.ir import solve_ir, cast_f32, diag_of_blocks
+    st = d
+    space = st.space
+    mu = st.parse_parameter(mu)
+    theta = st.theta(mu)
+    sop = st.mf_operator()
+    t0 = time.perf_counter()
+    S = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
+    S32 = cast_f32(S)
+    F32 = jax.jit(hp(lambda s: s.cell_jacobi_factors()))(S32)
+    t_asm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    C_np = harvested_coarse_cell(S32, F32, space, n_harvest=n_harvest,
+                                 extra_modal=extra_modal, rounds=rounds)
+    C, ci = prepare_coarse_mf(S32, C_np)
+    t_coarse = time.perf_counter() - t0
+    b = jnp.asarray(np.asarray(st.rhs(mu), np.float64))
+    op = getattr(st, "op", None)
+    if op is not None and getattr(op, "A_diag", None) is not None:
+        dq = jnp.diagonal(op.A_diag, axis1=-2, axis2=-1)
+        dvec = jnp.einsum("q,qkn->kn", theta, dq)
+    elif hasattr(S, "cell_blocks"):
+        # diagonal from the (uninverted) cell blocks — includes the
+        # penalty contributions that dominate the SWIPDG diagonal (the
+        # in_in-strip approximation on interfaces is spectrally close,
+        # which is all the IR Jacobi scaling needs)
+        dvec = jnp.abs(jnp.diagonal(
+            jax.jit(hp(lambda s_: s_.cell_blocks()))(S),
+            axis1=-2, axis2=-1)).reshape(space.K, space.N)
+    else:
+        dvec = jnp.abs(jnp.diagonal(S.vol, axis1=-2, axis2=-1)).reshape(
+            space.K, space.N)
+    t0 = time.perf_counter()
+    # solve_ir's `factors` path applies the cell-block preconditioner via
+    # make_precond_f32's (factors, cell_shape) reshape
+    s = space.s
+    dim3 = getattr(space, "dim", 2) == 3
+    cell_shape = ((space.K, s, s, s, space.nb) if dim3
+                  else (space.K, s, s, getattr(space, "T", 1) * space.nb))
+
+    @jax.jit
+    @hp
+    def _solve2(S_, S32_, F_, C_, ci_, b_, dvec_):
+        return solve_ir(
+            S_, S32_, b_, dvec_, tol=tol, maxiter=maxiter,
+            factors=F_, cell_shape=cell_shape, coarse_inv=ci_,
+            coarse_basis=C_, inner_maxiter=4000, max_rounds=40,
+            return_info=True)
+
+    x, it32, rd, it64 = _solve2(S, S32, F32, C, ci, b, dvec)
+    jax.block_until_ready(x)
+    t_solve = time.perf_counter() - t0
+    rel = float(jnp.linalg.norm((b - S.apply(x)).reshape(-1))
+                / jnp.maximum(jnp.linalg.norm(b.reshape(-1)), 1e-300))
+    info = dict(relres=rel, it32=int(it32), rounds=int(rd),
+                it64=int(it64), t_assemble=t_asm, t_coarse=t_coarse,
+                t_solve=t_solve)
+    if verbose:
+        logger.info(f"truth_solve: relres {rel:.2e}, f32 its {info['it32']}"
+                    f" ({info['rounds']} rounds, f64 polish "
+                    f"{info['it64']}), assemble {t_asm:.1f} s, coarse "
+                    f"{t_coarse:.1f} s, solve {t_solve:.1f} s")
+    if not np.isfinite(rel) or rel > max(1e3 * tol, 1e-6):
+        raise RuntimeError(f"truth_solve did not converge: relres {rel}")
+    return np.asarray(x, np.float64), info

@@ -61,15 +61,21 @@ def main(mus=(1.0, 0.3)):
         # the finest level (32x32x16 cells, 442k dofs, block splu) — every
         # level is measured against a reference 2x finer in h AND one
         # order higher in p.
-        # MEASURED INFEASIBLE on a single host: the 442k Q2 splu dies in
-        # SuperLU itself after ~2 h of fill (`SystemError: gstrf was
-        # called with invalid arguments` — factor index overflow).  Kept
-        # for environments with a capable direct solver; see the artifact
-        # note in docs/results/spe10_3d_efficiency_study.txt.
+        # The 442k Q2 reference is PAST the single-host SuperLU ceiling
+        # (round 4: gstrf dies after ~2 h of fill).  Round 5: the
+        # reference (and the 524k level-2 solves) come from the
+        # SELF-HOSTED truth solver instead — run
+        #   scripts/spe10_3d_truth.py --config 442k-q2 --mus 1.0,0.3 \
+        #       --save ref442k.npz
+        #   scripts/spe10_3d_truth.py --config 524k-q1 --mus 1.0,0.3 \
+        #       --save lvl524k.npz
+        # on the chip, then this study with
+        #   --finer-ref --truth-file ref442k.npz --level-file lvl524k.npz
+        # (no SuperLU anywhere above 65k).
         RASTER = (4, 8, 8)
         CONFIG = {"num_subdomains": [8, 8, 4],
                   "half_num_fine_elements_per_subdomain_and_dim": 1}
-        LEVELS = (0, 1)
+        LEVELS = (0, 1, 2)
         REF_CONFIG = {"num_subdomains": [16, 16, 8],
                       "half_num_fine_elements_per_subdomain_and_dim": 1,
                       "num_refinements": 1}
@@ -119,17 +125,41 @@ def main(mus=(1.0, 0.3)):
         gpd = init(dict(CONFIG, num_refinements=nref))
         d_lvl[nref] = (gpd, discretize(gpd)[0])
 
+    truth_file = level_file = None
+    for i, a in enumerate(sys.argv):
+        if a == "--truth-file":
+            truth_file = np.load(sys.argv[i + 1])
+        if a == "--level-file":
+            level_file = np.load(sys.argv[i + 1])
+
     for mu_val in mus:
         print(f"--- mu (switch) = {mu_val} ---")
         t0 = time.perf_counter()
         mu_ref = d_ref.parse_parameter({"switch": mu_val})
         import scipy.sparse.linalg as spla
-        A = to_scipy_csr(d_ref.assemble(mu_ref)).tocsc()
-        b = np.asarray(d_ref.rhs(mu_ref), np.float64).ravel()
-        x = spla.splu(A).solve(b)
-        U_ref = jnp.asarray(x.reshape(d_ref.space.K, d_ref.space.N))
-        print(f"  [Q2 reference solved (splu): "
-              f"{time.perf_counter() - t0:.1f} s]")
+        if truth_file is not None:
+            # the truth solver may use a different BLOCK LAYOUT of the same
+            # cell mesh (smaller K keeps its coarse inverse host-eigh-able)
+            # — relayout via the exact same-mesh prolongation
+            from pylrbms_tpu.ops.spaces3d import BlockDGSpace3D
+            x = np.asarray(truth_file[f"u_{mu_val}"], np.float64)
+            gpd_t = init({"num_subdomains":
+                          [int(v) for v in truth_file["subs"]],
+                          "half_num_fine_elements_per_subdomain_and_dim": 1,
+                          "num_refinements": int(truth_file["nref"])})
+            sp_t = BlockDGSpace3D(gpd_t["grid"],
+                                  order=int(truth_file["order"]))
+            U_ref = prolong(sp_t, jnp.asarray(
+                x.reshape(sp_t.K, sp_t.N)), d_ref.space)
+            print("  [Q2 reference loaded from --truth-file (self-hosted "
+                  "on-chip solve, scripts/spe10_3d_truth.py)]")
+        else:
+            A = to_scipy_csr(d_ref.assemble(mu_ref)).tocsc()
+            b = np.asarray(d_ref.rhs(mu_ref), np.float64).ravel()
+            x = spla.splu(A).solve(b)
+            U_ref = jnp.asarray(x.reshape(d_ref.space.K, d_ref.space.N))
+            print(f"  [Q2 reference solved (splu): "
+                  f"{time.perf_counter() - t0:.1f} s]")
 
         rows = []
         for nref in LEVELS:
@@ -145,10 +175,22 @@ def main(mus=(1.0, 0.3)):
             # coarse fixes (la/block.py) — while splu at <= 65k dofs is
             # minutes.  On-chip solver economics for 3D SPE10 live in
             # spe10_3d_tpu.txt (isotropic-cell configs).
-            A_l = to_scipy_csr(d.assemble(mu)).tocsc()
-            b_l = np.asarray(d.rhs(mu), np.float64).ravel()
-            U = jnp.asarray(spla.splu(A_l).solve(b_l).reshape(
-                d.space.K, d.space.N))
+            n_dofs = d.space.K * d.space.N
+            if level_file is not None and n_dofs > 131072:
+                U = jnp.asarray(np.asarray(
+                    level_file[f"u_{mu_val}"], np.float64).reshape(
+                        d.space.K, d.space.N))
+                print(f"  [level {n_dofs}-dof solve loaded from "
+                      "--level-file (self-hosted on-chip solve)]")
+            elif level_file is None and n_dofs > 200000:
+                print(f"  [skipping {n_dofs}-dof level: past the splu "
+                      "ceiling and no --level-file given]")
+                continue
+            else:
+                A_l = to_scipy_csr(d.assemble(mu)).tocsc()
+                b_l = np.asarray(d.rhs(mu), np.float64).ravel()
+                U = jnp.asarray(spla.splu(A_l).solve(b_l).reshape(
+                    d.space.K, d.space.N))
             eta, (nc, r, df), _ = d.estimate(U, mu, decompose=True,
                                              paper_convention=True)
             diff = U_ref - prolong(d.space, U, d_ref.space)
