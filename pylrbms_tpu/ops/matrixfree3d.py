@@ -308,6 +308,81 @@ class AssembledStencil3:
         d = d.at[:, s - 1, :, :].add(Dm["far"])
         return d
 
+    def dense_subdomain_blocks(self) -> jnp.ndarray:
+        """EXACT dense per-SUBDOMAIN diagonal blocks [K, N, N] assembled
+        from the stencil: vol on the cell-block diagonal + intra-subdomain
+        X/Y/Z face quadruples + the interface quads' in_in/out_out strips
+        on the facing cell layers + Dirichlet strips on PHYSICAL boundary
+        subdomains only (matches the operator's own apply, so the blocks
+        equal fold_diag3's A_diag — the first draft added D_side on every
+        subdomain side, which poisons the block-Jacobi preconditioner:
+        measured relres 1.39 after 4000 its vs 1.5e-2 with exact blocks on
+        the z-thin 65k config).
+
+        This is what lets solve-only models (truth solves at >= 400k dofs,
+        ``pylrbms_tpu/truth.py``) use the contrast/anisotropy-robust
+        subdomain-block preconditioner without ever materializing the full
+        dense affine family: one [K, N, N] array in the stencil dtype."""
+        sp = self.space
+        s, nb, K = sp.s, sp.nb, sp.K
+        grid = sp.grid
+        kx, ky, kz = grid.kx, grid.ky, grid.kz
+        nc = s * s * s
+        import numpy as _np
+        cell = _np.arange(nc).reshape(s, s, s)
+        dt_ = self.vol.dtype
+        D = jnp.zeros((K, nc, nc, nb, nb), dt_)
+        ci = jnp.asarray(cell.reshape(-1))
+        D = D.at[:, ci, ci].add(self.vol.reshape(K, nc, nb, nb))
+        if s > 1:
+            fams = ((self.X, cell[:, :, :-1], cell[:, :, 1:]),
+                    (self.Y, cell[:, :-1, :], cell[:, 1:, :]),
+                    (self.Z, cell[:-1, :, :], cell[1:, :, :]))
+            for (Fmm, Fmp, Fpm, Fpp), cm_a, cp_a in fams:
+                cm = jnp.asarray(cm_a.reshape(-1))
+                cp = jnp.asarray(cp_a.reshape(-1))
+                nf = cm.shape[0]
+                D = D.at[:, cm, cm].add(Fmm.reshape(K, nf, nb, nb))
+                D = D.at[:, cm, cp].add(Fmp.reshape(K, nf, nb, nb))
+                D = D.at[:, cp, cm].add(Fpm.reshape(K, nf, nb, nb))
+                D = D.at[:, cp, cp].add(Fpp.reshape(K, nf, nb, nb))
+        # interface in_in / out_out strips -> the facing cell layers of
+        # the minus / plus subdomain (the off-diagonal io/oi strips belong
+        # to the coupling blocks, not these diagonal ones)
+        from .swipdg3d import edge_lists3
+        xlo, xhi, ylo, yhi, zlo, zhi = edge_lists3(grid)
+        ifams = (
+            (self.IX, xlo, xhi, cell[:, :, s - 1], cell[:, :, 0]),
+            (self.IY, ylo, yhi, cell[:, s - 1, :], cell[:, 0, :]),
+            (self.IZ, zlo, zhi, cell[s - 1, :, :], cell[0, :, :]),
+        )
+        for (Fii, Fio, Foi, Foo), klo, khi, cm_a, cp_a in ifams:
+            if Fii.shape[0] == 0:
+                continue
+            cm = jnp.asarray(cm_a.reshape(-1))      # [s^2] face-ordered
+            cp = jnp.asarray(cp_a.reshape(-1))
+            klo_j = jnp.asarray(_np.asarray(klo))
+            khi_j = jnp.asarray(_np.asarray(khi))
+            D = D.at[klo_j[:, None], cm[None, :], cm[None, :]].add(Fii)
+            D = D.at[khi_j[:, None], cp[None, :], cp[None, :]].add(Foo)
+        # Dirichlet strips on PHYSICAL boundary subdomains only
+        k = _np.arange(K)
+        ixk = k % kx
+        iyk = (k // kx) % ky
+        izk = k // (kx * ky)
+        sides = {"left": (ixk == 0, cell[:, :, 0]),
+                 "right": (ixk == kx - 1, cell[:, :, s - 1]),
+                 "bottom": (iyk == 0, cell[:, 0, :]),
+                 "top": (iyk == ky - 1, cell[:, s - 1, :]),
+                 "near": (izk == 0, cell[0, :, :]),
+                 "far": (izk == kz - 1, cell[s - 1, :, :])}
+        for name, (kmask, cells) in sides.items():
+            ks = jnp.asarray(_np.nonzero(kmask)[0])
+            cs = jnp.asarray(cells.reshape(-1))
+            D = D.at[ks[:, None], cs[None, :], cs[None, :]].add(
+                self.D_side[name].reshape(K, cs.shape[0], nb, nb)[ks])
+        return D.transpose(0, 1, 3, 2, 4).reshape(K, nc * nb, nc * nb)
+
     def cell_jacobi_factors(self) -> jnp.ndarray:
         """Per-hex-cell nb x nb block inverses of :meth:`cell_blocks`:
         the O(K s^3 nb^2)-memory matrix-free preconditioner."""

@@ -65,14 +65,24 @@ def _cell_precond_fn(space):
 
 def harvested_coarse_cell(S, cell_factors, space, n_harvest: int = 32,
                           extra_modal: int = 6, rounds: int = 2,
-                          deg: int = 30, seed: int = 0) -> np.ndarray:
-    """Chebyshev-harvested slow modes of the CELL-Jacobi preconditioned
-    stencil operator — the stencil-representation analog of
-    :func:`pylrbms_tpu.la.block.harvested_coarse_basis` (which needs dense
-    subdomain factors).  Returns [K, N, extra_modal + n_harvest]."""
+                          deg: int = 30, seed: int = 0,
+                          block_factors=None) -> np.ndarray:
+    """Chebyshev-harvested slow modes of the preconditioned stencil
+    operator — the stencil-representation analog of
+    :func:`pylrbms_tpu.la.block.harvested_coarse_basis` (which needs the
+    dense affine family).  The filter preconditioner is the CELL-Jacobi
+    factors by default, or the subdomain ``block_factors`` [K, N, N] when
+    given (the anisotropy/contrast-robust choice — the filter should see
+    the same M^-1 A the solve iterates).  Returns
+    [K, N, extra_modal + n_harvest]."""
     from .la.block import AssembledBlockOp
     K, N = space.K, space.N
-    Mc = _cell_precond_fn(space)
+    if block_factors is not None:
+        def Mc(F, r):
+            return jnp.einsum("knm,km->kn", F, r)
+        cell_factors = block_factors
+    else:
+        Mc = _cell_precond_fn(space)
 
     @jax.jit
     @hp
@@ -84,11 +94,20 @@ def harvested_coarse_cell(S, cell_factors, space, n_harvest: int = 32,
             return (w / jnp.maximum(nrm, 1e-300), nrm)
         return jax.lax.fori_loop(0, 30, body, (v, jnp.array(0.0, v.dtype)))
 
+    from .la.block import AssembledBlockOp as _ABO
+    if n_harvest == 0:
+        C = _ABO.coarse_modes_basis(space, extra_modal)
+        return np.stack([np.linalg.qr(C[k])[0] for k in range(K)])
     dt_ = cell_factors.dtype
     rng = np.random.default_rng(seed)
     v0 = jnp.asarray(rng.normal(size=(K, N)), dt_)
     _, lam = _pow(v0, cell_factors, S)
-    bnd = 1.15 * float(lam)
+    # 1.3 margin: the cell-preconditioned operator's spectrum is wider and
+    # more clustered at the top than the subdomain-block one — a 30-step
+    # power iteration undershoots lambda_max more easily, and any mode
+    # above the Chebyshev band is amplified exponentially (degenerate
+    # basis -> indefinite coarse -> diverging outer CG)
+    bnd = 1.3 * float(lam)
     a = (0.25 / 2.05) * bnd
     e = (bnd + a) / 2.0
     c = (bnd - a) / 2.0
@@ -279,29 +298,85 @@ class SolveOnlyModel:
         return self._sop
 
 
+def spd_block_inverse(D, floor_rel: float = 1e-6):
+    """SPD-GUARANTEED approximate block inverse via (Jacobi-scaled) eigh:
+    Binv = S V max(w, floor)^-1 V^T S.
+
+    Why not the LU inverse (``la.block.block_jacobi_factors``): on hardware
+    without f64 factorizations the f32 LU inverse of a block with internal
+    cond ~1e6 (z-thin anisotropy x contrast) carries ~eps_f32 * cond = O(0.1)
+    relative error and LOSES SYMMETRY/definiteness — CG with that as M
+    shows sustained residual GROWTH (measured round 5: relres 0.7 -> 1.75
+    over 4 chunks on the z-thin 65k).  The eigh form is symmetric PSD by
+    construction at ANY accuracy, so CG stays a descent method and the
+    factor error only costs iterations."""
+    dvec = jnp.abs(jnp.diagonal(D, axis1=-2, axis2=-1))
+    sca = 1.0 / jnp.sqrt(jnp.maximum(dvec, 1e-300))
+    cs = D * sca[..., :, None] * sca[..., None, :]
+    inv_dt = (jnp.float32 if (cs.dtype == jnp.float64
+                              and jax.default_backend() != "cpu")
+              else cs.dtype)
+    w, V = jnp.linalg.eigh(cs.astype(inv_dt))
+    wmax = jnp.max(w, axis=-1, keepdims=True)
+    winv = 1.0 / jnp.maximum(w, floor_rel * jnp.maximum(wmax, 1e-300))
+    inv_s = jnp.einsum("...nm,...m,...km->...nk", V, winv, V)
+    return (inv_s.astype(cs.dtype)
+            * sca[..., :, None] * sca[..., None, :])
+
+
 def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
                 n_harvest: int = 32, extra_modal: int = 6,
-                rounds: int = 2, verbose: bool = True):
+                rounds: int = 2, verbose: bool = True,
+                precond: str = None, jacobi_storage: str = None):
     """f64-accurate FOM solve through the stencil-only mixed-precision
     path — the splu replacement for truth references past the SuperLU
-    ceiling.  Returns (U [K, N] np.float64, info dict)."""
+    ceiling.  Returns (U [K, N] np.float64, info dict).
+
+    ``precond``: 'block' (subdomain-block Jacobi — the contrast/anisotropy
+    robust choice; needs [K, N, N] of factor storage) | 'cell' (per-cell
+    blocks — O(cells nb^2) memory, for configs whose block factors do not
+    fit) | None = auto by factor-storage budget.  The z-thin adversarial
+    configs REQUIRE 'block': measured round 5, cell-preconditioned Krylov
+    crawls (relres 0.69 after 2000 its) where block-preconditioned
+    converges (965-2463 its).  ``jacobi_storage='bf16'`` halves the factor
+    HBM stream (iteration-count cost only)."""
     import time
-    from .ops.ir import solve_ir, cast_f32, diag_of_blocks
+    from .ops.ir import cast_f32
+    from .la.block import block_jacobi_factors
     st = d
     space = st.space
     mu = st.parse_parameter(mu)
     theta = st.theta(mu)
     sop = st.mf_operator()
+    K, N = space.K, space.N
+    if precond is None:
+        precond = "block" if K * N * N * 4 <= 9e9 else "cell"
     t0 = time.perf_counter()
     S = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
     S32 = cast_f32(S)
-    F32 = jax.jit(hp(lambda s: s.cell_jacobi_factors()))(S32)
+    if precond == "block":
+        # SPD-safe eigh inverse of the f32 stencil-extracted blocks (see
+        # spd_block_inverse: the LU inverse of high-internal-cond blocks
+        # in f32 is indefinite enough to make CG grow; eigh keeps M SPD at
+        # any factor accuracy, and preconditioner accuracy only costs
+        # iterations — f32 blocks halve the [K, N, N] build memory)
+        D32 = jax.jit(hp(lambda s_: s_.dense_subdomain_blocks()))(S32)
+        BF = jax.jit(hp(spd_block_inverse))(D32)
+        del D32
+        F32 = None
+    else:
+        BF = None
+        F32 = jax.jit(hp(lambda s: s.cell_jacobi_factors()))(S32)
     t_asm = time.perf_counter() - t0
     t0 = time.perf_counter()
     C_np = harvested_coarse_cell(S32, F32, space, n_harvest=n_harvest,
-                                 extra_modal=extra_modal, rounds=rounds)
+                                 extra_modal=extra_modal, rounds=rounds,
+                                 block_factors=BF)
     C, ci = prepare_coarse_mf(S32, C_np)
     t_coarse = time.perf_counter() - t0
+    if BF is not None and jacobi_storage == "bf16":
+        BF = BF.astype(jnp.bfloat16)   # after the harvest: halve the
+        #                                per-iteration factor stream only
     b = jnp.asarray(np.asarray(st.rhs(mu), np.float64))
     op = getattr(st, "op", None)
     if op is not None and getattr(op, "A_diag", None) is not None:
@@ -326,22 +401,109 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
     cell_shape = ((space.K, s, s, s, space.nb) if dim3
                   else (space.K, s, s, getattr(space, "T", 1) * space.nb))
 
+    # ROBUST f64 Krylov, HOST-DRIVEN bounded dispatches WITH PERSISTENT
+    # KRYLOV STATE.  Round-5 findings that shaped this: (a) the
+    # adversarial z-thin configs DEFEAT an f32-inner IR even with frequent
+    # restarts (4000 f32 its contract |r| by 1.3%, then the f32 recurrence
+    # explodes) — the recurrence must be f64 with f32-applied factors +
+    # f64 coarse; (b) one monolithic dispatch at truth scale dies with
+    # UNAVAILABLE on the remote chip (RPC deadline) — the solve must be
+    # bounded dispatches; (c) RESTARTING CG at each dispatch boundary
+    # destroys convergence at this conditioning (measured: per-512-it
+    # restarts grow |r| 42x where the continuous recurrence converges) —
+    # the full (x, r, z, p, rz) state lives on device ACROSS dispatches,
+    # so the concatenation of chunks IS one continuous PCG.
+    chunk_iters = 512
+
+    def _mk_M(F_, C_, ci_):
+        f32 = jnp.float32
+
+        def M(r):
+            if BF is not None:
+                fine = jnp.einsum(
+                    "knm,km->kn",
+                    F_ if F_.dtype == jnp.bfloat16 else F_.astype(f32),
+                    r.astype(f32),
+                    preferred_element_type=f32).astype(r.dtype)
+            else:
+                rc = r.reshape(cell_shape)
+                fine = jnp.einsum("...ij,...j->...i", F_.astype(f32),
+                                  rc.astype(f32)).astype(r.dtype)
+                fine = fine.reshape(r.shape)
+            rcoarse = jnp.einsum("knm,kn->km", C_, r).reshape(-1)
+            xc = (ci_ @ rcoarse).reshape(C_.shape[0], C_.shape[2])
+            return fine + jnp.einsum("knm,km->kn", C_, xc)
+
+        return M
+
     @jax.jit
     @hp
-    def _solve2(S_, S32_, F_, C_, ci_, b_, dvec_):
-        return solve_ir(
-            S_, S32_, b_, dvec_, tol=tol, maxiter=maxiter,
-            factors=F_, cell_shape=cell_shape, coarse_inv=ci_,
-            coarse_basis=C_, inner_maxiter=4000, max_rounds=40,
-            return_info=True)
+    def _start(S_, F_, C_, ci_, b_):
+        M = _mk_M(F_, C_, ci_)
+        x0 = jnp.zeros_like(b_)
+        r0 = b_
+        z0 = M(r0)
+        return (x0, r0, z0, z0, jnp.vdot(r0, z0))
 
-    x, it32, rd, it64 = _solve2(S, S32, F32, C, ci, b, dvec)
+    @jax.jit
+    @hp
+    def _chunk(S_, F_, C_, ci_, b_, state, atol2_):
+        M = _mk_M(F_, C_, ci_)
+
+        def body(st):
+            x, r, z, p, rz = st
+            Ap = S_.apply(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rzn = jnp.vdot(r, z)
+            p = z + (rzn / rz) * p
+            return (x, r, z, p, rzn)
+
+        def gbody(st):
+            done = jnp.vdot(st[1], st[1]) <= atol2_
+            new = body(st)
+            return jax.tree.map(lambda a, n: jnp.where(done, a, n), st, new)
+
+        state = jax.lax.fori_loop(0, chunk_iters,
+                                  lambda i, st: gbody(st), state)
+        return state, jnp.vdot(state[1], state[1])
+
+    bn = float(jnp.linalg.norm(b.reshape(-1)))
+    atol = tol * max(bn, 1e-300)
+    atol2 = jnp.asarray(atol * atol)
+    F_use = BF if BF is not None else F32
+    state = _start(S, F_use, C, ci, b)
+    it_total = 0
+    rd = 0
+    rn = np.inf
+    rn_best = np.inf
+    since_best = 0
+    while it_total < maxiter:
+        state, rn2 = _chunk(S, F_use, C, ci, b, state, atol2)
+        rn = float(jnp.sqrt(rn2))
+        it_total += chunk_iters
+        rd += 1
+        if verbose:
+            logger.info(f"truth chunk {rd}: |r|/|b| {rn / bn:.2e}")
+        if rn <= atol * 1.001:
+            break
+        if rn < 0.95 * rn_best:
+            rn_best, since_best = rn, 0
+        else:
+            since_best += 1
+            if since_best >= 6:
+                logger.info("truth_solve: stalled (best |r|/|b| "
+                            f"{rn_best / bn:.2e}) — stopping")
+                break
+    x = state[0]
     jax.block_until_ready(x)
     t_solve = time.perf_counter() - t0
     rel = float(jnp.linalg.norm((b - S.apply(x)).reshape(-1))
                 / jnp.maximum(jnp.linalg.norm(b.reshape(-1)), 1e-300))
-    info = dict(relres=rel, it32=int(it32), rounds=int(rd),
-                it64=int(it64), t_assemble=t_asm, t_coarse=t_coarse,
+    info = dict(relres=rel, it32=it_total, rounds=rd,
+                it64=it_total, t_assemble=t_asm, t_coarse=t_coarse,
                 t_solve=t_solve)
     if verbose:
         logger.info(f"truth_solve: relres {rel:.2e}, f32 its {info['it32']}"

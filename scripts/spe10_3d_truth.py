@@ -62,8 +62,13 @@ def main():
     ap.add_argument("--check-splu", action="store_true",
                     help="also solve via host splu and compare (only "
                          "feasible below the SuperLU wall)")
+    ap.add_argument("--harvest", type=int, default=None,
+                    help="override the config's n_harvest (0 = modal-only "
+                         "coarse)")
     args = ap.parse_args()
     raster, subs, nref, order, nh, rounds, solve_only = CONFIGS[args.config]
+    if args.harvest is not None:
+        nh = args.harvest
 
     import jax
     import jax.numpy as jnp

@@ -41,6 +41,43 @@ def test_colored_coarse_galerkin_matches_dense(model3d):
     assert rel < 1e-10, rel
 
 
+def test_dense_subdomain_blocks_single_subdomain():
+    """On a 1-subdomain grid the stencil's dense subdomain block IS the
+    full operator matrix (no interfaces -> no in_in approximation)."""
+    from pylrbms_tpu.problems.academic3d import init_grid_and_problem
+    from pylrbms_tpu.discretize_elliptic_block_swipdg3d import discretize
+    from pylrbms_tpu.la.block import to_scipy_csr
+    gpd = init_grid_and_problem(
+        {'num_subdomains': [1, 1, 1],
+         'half_num_fine_elements_per_subdomain_and_dim': 1,
+         'num_refinements': 1})
+    d, _ = discretize(gpd)
+    mu = d.parse_parameter([1.0] if d.parameter_type else [])
+    theta = d.theta(mu)
+    S = jax.jit(hp(lambda s, th: s.assemble(th)))(d.mf_operator(), theta)
+    D = np.asarray(jax.jit(hp(
+        lambda s_: s_.dense_subdomain_blocks()))(S), np.float64)[0]
+    A = to_scipy_csr(d.assemble(mu)).toarray()
+    rel = np.abs(D - A).max() / max(np.abs(A).max(), 1e-300)
+    assert rel < 1e-12, rel
+
+
+def test_dense_subdomain_blocks_match_folded(model3d):
+    """Multi-subdomain: the stencil-extracted dense diagonal blocks equal
+    fold_diag3's assembled A_diag exactly (interface in_in/out_out strips
+    + boundary-only Dirichlet strips)."""
+    d = model3d
+    mu = d.parse_parameter({"switch": 0.8})
+    theta = d.theta(mu)
+    S = jax.jit(hp(lambda s, th: s.assemble(th)))(d.mf_operator(), theta)
+    D = np.asarray(jax.jit(hp(
+        lambda s_: s_.dense_subdomain_blocks()))(S), np.float64)
+    A = jax.jit(hp(lambda op, th: op.assemble(th)))(d.op, theta)
+    Ad = np.asarray(A.A_diag, np.float64)
+    rel = np.abs(D - Ad).max() / max(np.abs(Ad).max(), 1e-300)
+    assert rel < 1e-12, rel
+
+
 def test_truth_solve_matches_splu(model3d):
     from pylrbms_tpu.truth import truth_solve
     from pylrbms_tpu.la.block import to_scipy_csr
