@@ -43,7 +43,8 @@ from pylrbms_tpu.utils.precision import hp
 from pylrbms_tpu.utils.roofline import (
     KernelCost, matvec_cost, roofline, V5E_PEAK_BF16_FLOPS, V5E_PEAK_HBM_BPS)
 
-CHAIN = 32
+CHAIN = 256     # small-config kernels run ~20-200 us — a short chain
+#                 drowns in the ~25 ms tunnel RTT jitter
 
 
 def med_s(f, n=7):
