@@ -331,21 +331,41 @@ class AssembledStencil3:
         import numpy as _np
         cell = _np.arange(nc).reshape(s, s, s)
         dt_ = self.vol.dtype
-        D = jnp.zeros((K, nc, nc, nb, nb), dt_)
-        ci = jnp.asarray(cell.reshape(-1))
-        D = D.at[:, ci, ci].add(self.vol.reshape(K, nc, nb, nb))
+
+        # gather every (k, row_cell, col_cell, value-block) contribution
+        # into ONE flat list and scatter ONCE into the [K, N, N] layout:
+        # the chained-.at[].add form compiled to ~6 live full-size copies
+        # (measured 19.4 GB for a 3 GB result at the 442k Q2 config — a
+        # compile-time HBM OOM on the 16 GB chip)
+        ks_l, rc_l, cc_l = [], [], []
+        vals = []
+
+        def put(k_idx, row_cells, col_cells, V, nblk):
+            k_idx = _np.asarray(k_idx).reshape(-1)            # [E]
+            ks_l.append(_np.repeat(k_idx, nblk))              # [E*nblk]
+            rc_l.append(_np.asarray(row_cells).reshape(-1))
+            cc_l.append(_np.asarray(col_cells).reshape(-1))
+            vals.append(V.reshape(-1, nb, nb))
+
+        all_k = _np.arange(K)
+        # volume blocks
+        put(all_k, _np.broadcast_to(cell.reshape(1, -1), (K, nc)),
+            _np.broadcast_to(cell.reshape(1, -1), (K, nc)),
+            self.vol, nc)
         if s > 1:
             fams = ((self.X, cell[:, :, :-1], cell[:, :, 1:]),
                     (self.Y, cell[:, :-1, :], cell[:, 1:, :]),
                     (self.Z, cell[:-1, :, :], cell[1:, :, :]))
             for (Fmm, Fmp, Fpm, Fpp), cm_a, cp_a in fams:
-                cm = jnp.asarray(cm_a.reshape(-1))
-                cp = jnp.asarray(cp_a.reshape(-1))
-                nf = cm.shape[0]
-                D = D.at[:, cm, cm].add(Fmm.reshape(K, nf, nb, nb))
-                D = D.at[:, cm, cp].add(Fmp.reshape(K, nf, nb, nb))
-                D = D.at[:, cp, cm].add(Fpm.reshape(K, nf, nb, nb))
-                D = D.at[:, cp, cp].add(Fpp.reshape(K, nf, nb, nb))
+                cm = cm_a.reshape(1, -1)
+                cp = cp_a.reshape(1, -1)
+                nf = cm.shape[1]
+                cmb = _np.broadcast_to(cm, (K, nf))
+                cpb = _np.broadcast_to(cp, (K, nf))
+                put(all_k, cmb, cmb, Fmm, nf)
+                put(all_k, cmb, cpb, Fmp, nf)
+                put(all_k, cpb, cmb, Fpm, nf)
+                put(all_k, cpb, cpb, Fpp, nf)
         # interface in_in / out_out strips -> the facing cell layers of
         # the minus / plus subdomain (the off-diagonal io/oi strips belong
         # to the coupling blocks, not these diagonal ones)
@@ -356,15 +376,14 @@ class AssembledStencil3:
             (self.IY, ylo, yhi, cell[:, s - 1, :], cell[:, 0, :]),
             (self.IZ, zlo, zhi, cell[s - 1, :, :], cell[0, :, :]),
         )
+        F2 = s * s
         for (Fii, Fio, Foi, Foo), klo, khi, cm_a, cp_a in ifams:
             if Fii.shape[0] == 0:
                 continue
-            cm = jnp.asarray(cm_a.reshape(-1))      # [s^2] face-ordered
-            cp = jnp.asarray(cp_a.reshape(-1))
-            klo_j = jnp.asarray(_np.asarray(klo))
-            khi_j = jnp.asarray(_np.asarray(khi))
-            D = D.at[klo_j[:, None], cm[None, :], cm[None, :]].add(Fii)
-            D = D.at[khi_j[:, None], cp[None, :], cp[None, :]].add(Foo)
+            cm = _np.broadcast_to(cm_a.reshape(1, -1), (len(klo), F2))
+            cp = _np.broadcast_to(cp_a.reshape(1, -1), (len(khi), F2))
+            put(_np.asarray(klo), cm, cm, Fii, F2)
+            put(_np.asarray(khi), cp, cp, Foo, F2)
         # Dirichlet strips on PHYSICAL boundary subdomains only
         k = _np.arange(K)
         ixk = k % kx
@@ -377,11 +396,23 @@ class AssembledStencil3:
                  "near": (izk == 0, cell[0, :, :]),
                  "far": (izk == kz - 1, cell[s - 1, :, :])}
         for name, (kmask, cells) in sides.items():
-            ks = jnp.asarray(_np.nonzero(kmask)[0])
-            cs = jnp.asarray(cells.reshape(-1))
-            D = D.at[ks[:, None], cs[None, :], cs[None, :]].add(
-                self.D_side[name].reshape(K, cs.shape[0], nb, nb)[ks])
-        return D.transpose(0, 1, 3, 2, 4).reshape(K, nc * nb, nc * nb)
+            ks = _np.nonzero(kmask)[0]
+            if ks.size == 0:
+                continue
+            cs = _np.broadcast_to(cells.reshape(1, -1), (ks.size, F2))
+            put(ks, cs, cs,
+                self.D_side[name].reshape(K, F2, nb, nb)[
+                    jnp.asarray(ks)], F2)
+
+        ks_f = jnp.asarray(_np.concatenate(ks_l).astype(_np.int32))
+        rows0 = jnp.asarray((_np.concatenate(rc_l) * nb).astype(_np.int32))
+        cols0 = jnp.asarray((_np.concatenate(cc_l) * nb).astype(_np.int32))
+        V = jnp.concatenate(vals, axis=0)                 # [M, nb, nb]
+        ii = _np.arange(nb)
+        rows = rows0[:, None, None] + jnp.asarray(ii)[None, :, None]
+        cols = cols0[:, None, None] + jnp.asarray(ii)[None, None, :]
+        D = jnp.zeros((K, nc * nb, nc * nb), dt_)
+        return D.at[ks_f[:, None, None], rows, cols].add(V)
 
     def cell_jacobi_factors(self) -> jnp.ndarray:
         """Per-hex-cell nb x nb block inverses of :meth:`cell_blocks`:
