@@ -253,13 +253,11 @@ class SolveOnlyModel:
         from .grid3d import Grid3D
         from .ops.spaces3d import BlockDGSpace3D
         from .ops import assembly3d as asm3
-        from .ops.matrixfree3d import (assemble_swipdg_stencil3,
-                                       StencilOperator3)
-        from .parameters import parse_parameter, as_functional
+        from .parameters import as_functional
         from .discretize_elliptic_block_swipdg import _affine
         grid: "Grid3D" = gpd["grid"]
         self.space = BlockDGSpace3D(grid, order=order)
-        lambda_funcs, lambda_coeffs = _affine(gpd["lambda"])
+        self._lambda_funcs, lambda_coeffs = _affine(gpd["lambda"])
         f_funcs, f_coeffs = _affine(gpd["f"])
         self.parameter_type = gpd.get("parameter_type")
         self._lambda_coeffs = [as_functional(c) for c in lambda_coeffs]
@@ -269,15 +267,11 @@ class SolveOnlyModel:
 
         @jax.jit
         @hp
-        def _build():
-            sten = tuple(assemble_swipdg_stencil3(sp, lf, None, dtype=dtype)
-                         for lf in lambda_funcs)
-            rhs_q = jnp.stack([asm3.volume_functional(sp, ff, dtype)
-                               for ff in f_funcs])
-            return sten, rhs_q
+        def _rhs():
+            return jnp.stack([asm3.volume_functional(sp, ff, jnp.float64)
+                              for ff in f_funcs])
 
-        sten, self.rhs_q = _build()
-        self._sop = StencilOperator3(sp, sten)
+        self.rhs_q = _rhs()
 
     def parse_parameter(self, mu):
         from .parameters import parse_parameter
@@ -294,8 +288,35 @@ class SolveOnlyModel:
                                      self.parse_parameter(mu))
         return jnp.einsum("q,qkn->kn", th_f, self.rhs_q)
 
-    def mf_operator(self):
-        return self._sop
+    def stencil_at(self, mu, dtype):
+        """ONE assembled stencil at lam_mu(x) = sum_q theta_q lam_q(x) —
+        no persistent affine component family, no assembled copy: at >= 1M
+        dofs HBM cannot hold Q f64 component stencils AND the assembled
+        operator; re-assembling per (mu, dtype) is seconds of batched
+        quadrature."""
+        from .ops.matrixfree3d import (assemble_swipdg_stencil3,
+                                       AssembledStencil3)
+        theta = np.asarray(self.theta(self.parse_parameter(mu)), np.float64)
+        funcs = self._lambda_funcs
+        sp = self.space
+
+        def lam_mu(x):
+            out = None
+            for t, lf in zip(theta, funcs):
+                v = float(t) * lf(x)
+                out = v if out is None else out + v
+            return out
+
+        @jax.jit
+        @hp
+        def _asm():
+            c = assemble_swipdg_stencil3(sp, lam_mu, None, dtype=dtype)
+            return c
+
+        c = _asm()
+        return AssembledStencil3(space=sp, vol=c.vol, X=c.X, Y=c.Y, Z=c.Z,
+                                 IX=c.IX, IY=c.IY, IZ=c.IZ,
+                                 D_side=c.D_side)
 
 
 def spd_block_inverse(D, floor_rel: float = 1e-6):
@@ -347,13 +368,20 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
     space = st.space
     mu = st.parse_parameter(mu)
     theta = st.theta(mu)
-    sop = st.mf_operator()
     K, N = space.K, space.N
     if precond is None:
         precond = "block" if K * N * N * 4 <= 9e9 else "cell"
+    # HBM phasing at truth scale: the f32 stencil + preconditioner build
+    # (incl. the eigh transient) and the f64 stencil never coexist —
+    # solve-only models assemble ONE stencil at (mu, dtype) on demand
+    # (stencil_at), full models fall back to the cached affine family
     t0 = time.perf_counter()
-    S = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
-    S32 = cast_f32(S)
+    if hasattr(st, "stencil_at"):
+        S32 = st.stencil_at(mu, jnp.float32)
+    else:
+        sop = st.mf_operator()
+        S32 = cast_f32(jax.jit(hp(lambda s, th: s.assemble(th)))(
+            sop, theta))
     if precond == "block":
         # SPD-safe eigh inverse of the f32 stencil-extracted blocks (see
         # spd_block_inverse: the LU inverse of high-internal-cond blocks
@@ -361,7 +389,7 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
         # any factor accuracy, and preconditioner accuracy only costs
         # iterations — f32 blocks halve the [K, N, N] build memory)
         D32 = jax.jit(hp(lambda s_: s_.dense_subdomain_blocks()))(S32)
-        BF = jax.jit(hp(spd_block_inverse))(D32)
+        BF = jax.jit(hp(spd_block_inverse), donate_argnums=0)(D32)
         del D32
         F32 = None
     else:
@@ -377,25 +405,13 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
     if BF is not None and jacobi_storage == "bf16":
         BF = BF.astype(jnp.bfloat16)   # after the harvest: halve the
         #                                per-iteration factor stream only
-    b = jnp.asarray(np.asarray(st.rhs(mu), np.float64))
-    op = getattr(st, "op", None)
-    if op is not None and getattr(op, "A_diag", None) is not None:
-        dq = jnp.diagonal(op.A_diag, axis1=-2, axis2=-1)
-        dvec = jnp.einsum("q,qkn->kn", theta, dq)
-    elif hasattr(S, "cell_blocks"):
-        # diagonal from the (uninverted) cell blocks — includes the
-        # penalty contributions that dominate the SWIPDG diagonal (the
-        # in_in-strip approximation on interfaces is spectrally close,
-        # which is all the IR Jacobi scaling needs)
-        dvec = jnp.abs(jnp.diagonal(
-            jax.jit(hp(lambda s_: s_.cell_blocks()))(S),
-            axis1=-2, axis2=-1)).reshape(space.K, space.N)
+    if hasattr(st, "stencil_at"):
+        del S32                        # phase out the f32 operator before
+        S = st.stencil_at(mu, jnp.float64)   # the f64 one materializes
     else:
-        dvec = jnp.abs(jnp.diagonal(S.vol, axis1=-2, axis2=-1)).reshape(
-            space.K, space.N)
+        S = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
+    b = jnp.asarray(np.asarray(st.rhs(mu), np.float64))
     t0 = time.perf_counter()
-    # solve_ir's `factors` path applies the cell-block preconditioner via
-    # make_precond_f32's (factors, cell_shape) reshape
     s = space.s
     dim3 = getattr(space, "dim", 2) == 3
     cell_shape = ((space.K, s, s, s, space.nb) if dim3
