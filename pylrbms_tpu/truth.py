@@ -348,7 +348,8 @@ def spd_block_inverse(D, floor_rel: float = 1e-6):
 def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
                 n_harvest: int = 32, extra_modal: int = 6,
                 rounds: int = 2, verbose: bool = True,
-                precond: str = None, jacobi_storage: str = None):
+                precond: str = None, jacobi_storage: str = None,
+                chunk_iters: int = None):
     """f64-accurate FOM solve through the stencil-only mixed-precision
     path — the splu replacement for truth references past the SuperLU
     ceiling.  Returns (U [K, N] np.float64, info dict).
@@ -429,7 +430,10 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
     # restarts grow |r| 42x where the continuous recurrence converges) —
     # the full (x, r, z, p, rz) state lives on device ACROSS dispatches,
     # so the concatenation of chunks IS one continuous PCG.
-    chunk_iters = 512
+    if chunk_iters is None:
+        # bound the per-dispatch device time: a 512-it f64-emulated chunk
+        # at 442k Q2 crashed the TPU worker; scale inversely with dofs
+        chunk_iters = int(max(64, min(512, 512 * 131072 / (K * N))))
 
     def _mk_M(F_, C_, ci_):
         f32 = jnp.float32
