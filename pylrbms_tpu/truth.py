@@ -337,12 +337,28 @@ def spd_block_inverse(D, floor_rel: float = 1e-6):
     inv_dt = (jnp.float32 if (cs.dtype == jnp.float64
                               and jax.default_backend() != "cpu")
               else cs.dtype)
-    w, V = jnp.linalg.eigh(cs.astype(inv_dt))
-    wmax = jnp.max(w, axis=-1, keepdims=True)
-    winv = 1.0 / jnp.maximum(w, floor_rel * jnp.maximum(wmax, 1e-300))
-    inv_s = jnp.einsum("...nm,...m,...km->...nk", V, winv, V)
-    return (inv_s.astype(cs.dtype)
-            * sca[..., :, None] * sca[..., None, :])
+
+    def one_chunk(csk):
+        w, V = jnp.linalg.eigh(csk.astype(inv_dt))
+        wmax = jnp.max(w, axis=-1, keepdims=True)
+        winv = 1.0 / jnp.maximum(w, floor_rel * jnp.maximum(wmax, 1e-300))
+        return jnp.einsum("...nm,...m,...km->...nk", V, winv,
+                          V).astype(csk.dtype)
+
+    K, N = cs.shape[0], cs.shape[-1]
+    # chunk the batched eigh over K: its workspace is several [c, N, N]
+    # copies — the full-batch form at [256, 1728, 1728] exceeds HBM
+    c = max(1, min(K, int(2e9 / max(N * N * 4, 1))))
+    if c < K:
+        pad = (-K) % c
+        csp = jnp.concatenate(
+            [cs] + ([jnp.broadcast_to(jnp.eye(N, dtype=cs.dtype),
+                                      (pad, N, N))] if pad else []))
+        inv_s = jax.lax.map(one_chunk,
+                            csp.reshape(-1, c, N, N)).reshape(-1, N, N)[:K]
+    else:
+        inv_s = one_chunk(cs)
+    return inv_s * sca[..., :, None] * sca[..., None, :]
 
 
 def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
