@@ -361,11 +361,101 @@ def spd_block_inverse(D, floor_rel: float = 1e-6):
     return inv_s * sca[..., :, None] * sca[..., None, :]
 
 
+def _solve_f32ir(st, S, S32, BF, F32, C, ci, b, dvec, tol, maxiter,
+                 verbose, t_asm, t_coarse, space):
+    """Iterative-refinement solve for the NON-adversarial (near-isotropic)
+    configs: native-f32 inner Krylov on the Jacobi-scaled system (the
+    round-4 at-scale design, ops/ir.py) with ONE f64 residual pair per
+    round — the f64-emulated chunk recurrence the adversarial configs
+    need crashes the TPU worker at >= 442k Q2 (kernel fault), and the
+    near-isotropic contrast-1e4 configs don't need it (measured: the f32
+    inner converges at 131k-3D; it is the z-thin anisotropy that defeats
+    it)."""
+    import time
+    f32 = jnp.float32
+    s = space.s
+    dim3 = getattr(space, "dim", 2) == 3
+    cell_shape = ((space.K, s, s, s, space.nb) if dim3
+                  else (space.K, s, s, getattr(space, "T", 1) * space.nb))
+    from .ops.ir import pcg as _pcg
+
+    @jax.jit
+    @hp
+    def _round(S_, S32_, F_, C_, ci_, b_, dv_, x_):
+        s64 = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dv_), 1e-300))
+        s32 = s64.astype(f32)
+        si32 = (1.0 / s64).astype(f32)
+        C32 = C_.astype(f32)
+        ci32 = ci_.astype(f32)
+
+        def Mf(r):
+            if BF is not None:
+                fine = jnp.einsum("knm,km->kn", F_.astype(f32), r,
+                                  preferred_element_type=f32)
+            else:
+                rc = r.reshape(cell_shape)
+                fine = jnp.einsum("...ij,...j->...i", F_.astype(f32),
+                                  rc).reshape(r.shape)
+            rcoarse = jnp.einsum("knm,kn->km", C32, r).reshape(-1)
+            xc = (ci32 @ rcoarse).reshape(C32.shape[0], C32.shape[2])
+            return fine + jnp.einsum("knm,km->kn", C32, xc)
+
+        def matvec32(v):
+            return s32 * S32_.apply(s32 * v)
+
+        def M32(r):
+            return si32 * Mf(si32 * r)
+
+        r = b_ - S_.apply(x_)                       # the round's f64 pair
+        rt = s64 * r
+        nrm = jnp.maximum(jnp.max(jnp.abs(rt)), 1e-300)
+        rt32 = (rt / nrm).astype(f32)
+        dxt, k = _pcg(matvec32, M32, rt32, 1e-5, 3000)
+        x_new = x_ + nrm * s64 * dxt.astype(b_.dtype)
+        r_new = b_ - S_.apply(x_new)
+        return x_new, jnp.vdot(r_new, r_new), k
+
+    t0 = time.perf_counter()
+    bn = float(jnp.linalg.norm(b.reshape(-1)))
+    atol = tol * max(bn, 1e-300)
+    x = jnp.zeros_like(b)
+    F_use = BF if BF is not None else F32
+    it_total = 0
+    rd = 0
+    rn_prev = np.inf
+    while it_total < maxiter and rd < 40:
+        x, rn2, k = _round(S, S32, F_use, C, ci, b, dvec, x)
+        rn = float(jnp.sqrt(rn2))
+        it_total += int(k)
+        rd += 1
+        if verbose:
+            logger.info(f"truth IR round {rd}: |r|/|b| {rn / bn:.2e} "
+                        f"(+{int(k)} f32 its)")
+        if rn <= atol * 1.001:
+            break
+        if rn > 0.5 * rn_prev:
+            logger.info("truth_solve(f32ir): stalled — stopping")
+            break
+        rn_prev = rn
+    jax.block_until_ready(x)
+    t_solve = time.perf_counter() - t0
+    rel = float(jnp.linalg.norm((b - S.apply(x)).reshape(-1))
+                / jnp.maximum(jnp.linalg.norm(b.reshape(-1)), 1e-300))
+    info = dict(relres=rel, it32=it_total, rounds=rd, it64=0,
+                t_assemble=t_asm, t_coarse=t_coarse, t_solve=t_solve)
+    if verbose:
+        logger.info(f"truth_solve(f32ir): relres {rel:.2e}, f32 its "
+                    f"{it_total} ({rd} rounds), solve {t_solve:.1f} s")
+    if not np.isfinite(rel) or rel > max(1e3 * tol, 1e-6):
+        raise RuntimeError(f"truth_solve did not converge: relres {rel}")
+    return np.asarray(x, np.float64), info
+
+
 def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
                 n_harvest: int = 32, extra_modal: int = 6,
                 rounds: int = 2, verbose: bool = True,
                 precond: str = None, jacobi_storage: str = None,
-                chunk_iters: int = None):
+                chunk_iters: int = None, recurrence: str = "f64"):
     """f64-accurate FOM solve through the stencil-only mixed-precision
     path — the splu replacement for truth references past the SuperLU
     ceiling.  Returns (U [K, N] np.float64, info dict).
@@ -399,6 +489,10 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
         sop = st.mf_operator()
         S32 = cast_f32(jax.jit(hp(lambda s, th: s.assemble(th)))(
             sop, theta))
+    jax.block_until_ready(S32.vol)
+    if verbose:
+        logger.info(f"truth: f32 stencil assembled "
+                    f"({time.perf_counter() - t0:.1f} s)")
     if precond == "block":
         # SPD-safe eigh inverse of the f32 stencil-extracted blocks (see
         # spd_block_inverse: the LU inverse of high-internal-cond blocks
@@ -406,19 +500,37 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
         # any factor accuracy, and preconditioner accuracy only costs
         # iterations — f32 blocks halve the [K, N, N] build memory)
         D32 = jax.jit(hp(lambda s_: s_.dense_subdomain_blocks()))(S32)
+        jax.block_until_ready(D32)
+        if verbose:
+            logger.info(f"truth: dense blocks built "
+                        f"({time.perf_counter() - t0:.1f} s)")
+        dvec = jnp.abs(jnp.diagonal(D32, axis1=-2, axis2=-1))  # IR scaling
         BF = jax.jit(hp(spd_block_inverse), donate_argnums=0)(D32)
+        jax.block_until_ready(BF)
+        if verbose:
+            logger.info(f"truth: SPD block inverse done "
+                        f"({time.perf_counter() - t0:.1f} s)")
         del D32
         F32 = None
     else:
         BF = None
         F32 = jax.jit(hp(lambda s: s.cell_jacobi_factors()))(S32)
+        dvec = jnp.abs(jnp.diagonal(
+            jax.jit(hp(lambda s_: s_.cell_blocks()))(S32),
+            axis1=-2, axis2=-1)).reshape(K, N)
     t_asm = time.perf_counter() - t0
     t0 = time.perf_counter()
     C_np = harvested_coarse_cell(S32, F32, space, n_harvest=n_harvest,
                                  extra_modal=extra_modal, rounds=rounds,
                                  block_factors=BF)
+    if verbose:
+        logger.info(f"truth: harvested basis done "
+                    f"({time.perf_counter() - t0:.1f} s)")
     C, ci = prepare_coarse_mf(S32, C_np)
     t_coarse = time.perf_counter() - t0
+    if verbose:
+        logger.info(f"truth: coarse Galerkin + inverse done "
+                    f"({t_coarse:.1f} s)")
     if BF is not None and jacobi_storage == "bf16":
         BF = BF.astype(jnp.bfloat16)   # after the harvest: halve the
         #                                per-iteration factor stream only
@@ -430,6 +542,9 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
     b = jnp.asarray(np.asarray(st.rhs(mu), np.float64))
     t0 = time.perf_counter()
     s = space.s
+    if recurrence == "f32ir":
+        return _solve_f32ir(st, S, S32, BF, F32, C, ci, b, dvec, tol,
+                            maxiter, verbose, t_asm, t_coarse, space)
     dim3 = getattr(space, "dim", 2) == 3
     cell_shape = ((space.K, s, s, s, space.nb) if dim3
                   else (space.K, s, s, getattr(space, "T", 1) * space.nb))

@@ -34,17 +34,22 @@ from pylrbms_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
 
 CONFIGS = {
-    # name: (raster, subdomains, nref, order, harvest, rounds, solve_only)
+    # name: (raster, subdomains, nref, order, harvest, rounds, solve_only,
+    #        recurrence)
     # subdomain layouts keep K modest so the coarse inverse [K*m, K*m]
     # stays host-eigh-able; solve_only=True uses truth.SolveOnlyModel
-    # (stencils + rhs only — no dense [K,N,N] tensors at >= 400k dofs)
-    "65k": ((2, 8, 8), [8, 8, 2], 2, 1, 32, 2, False),
-    "131k-q1": ((4, 8, 8), [8, 8, 4], 2, 1, 32, 2, False),
-    "221k-q2": ((2, 8, 8), [16, 16, 4], 1, 2, 32, 2, False),
-    "442k-q2": ((4, 8, 8), [8, 8, 4], 2, 2, 32, 2, True),
-    "524k-q1": ((2, 8, 8), [8, 8, 2], 3, 1, 32, 2, True),
-    "1m-q1": ((4, 8, 8), [8, 8, 4], 3, 1, 32, 2, True),
-    "1.8m-q2": ((2, 8, 8), [8, 8, 2], 3, 2, 24, 2, True),
+    # (stencils + rhs only — no dense [K,N,N] tensors at >= 400k dofs).
+    # recurrence: 'f64' (emulated-f64 Krylov — REQUIRED on the z-thin
+    # adversarial configs, where the f32 inner diverges) | 'f32ir'
+    # (native-f32 inner + f64 restarts — the near-isotropic configs; the
+    # f64 chunk program crashes the TPU worker at >= 442k Q2)
+    "65k": ((2, 8, 8), [8, 8, 2], 2, 1, 32, 2, False, "f64"),
+    "131k-q1": ((4, 8, 8), [8, 8, 4], 2, 1, 32, 2, False, "f32ir"),
+    "221k-q2": ((2, 8, 8), [16, 16, 4], 1, 2, 32, 2, False, "f32ir"),
+    "442k-q2": ((4, 8, 8), [8, 8, 4], 2, 2, 32, 2, True, "f32ir"),
+    "524k-q1": ((2, 8, 8), [8, 8, 2], 3, 1, 32, 2, True, "f64"),
+    "1m-q1": ((4, 8, 8), [8, 8, 4], 3, 1, 32, 2, True, "f32ir"),
+    "1.8m-q2": ((2, 8, 8), [8, 8, 2], 3, 2, 24, 2, True, "f64"),
 }
 
 
@@ -66,7 +71,8 @@ def main():
                     help="override the config's n_harvest (0 = modal-only "
                          "coarse)")
     args = ap.parse_args()
-    raster, subs, nref, order, nh, rounds, solve_only = CONFIGS[args.config]
+    (raster, subs, nref, order, nh, rounds, solve_only,
+     recurrence) = CONFIGS[args.config]
     if args.harvest is not None:
         nh = args.harvest
 
@@ -100,7 +106,8 @@ def main():
         mu = {"switch": mv}
         t0 = time.perf_counter()
         U, info = truth_solve(d, mu, tol=1e-10, n_harvest=nh,
-                              rounds=rounds, verbose=False)
+                              rounds=rounds, verbose=True,
+                              recurrence=recurrence)
         print(f"mu={mv}: relres {info['relres']:.2e}; f32 its "
               f"{info['it32']} ({info['rounds']} rounds, f64 polish "
               f"{info['it64']}); assemble {info['t_assemble']:.1f} s, "
@@ -112,7 +119,8 @@ def main():
         # warm repeat (the steady economics once the graph is compiled)
         t0 = time.perf_counter()
         _, info2 = truth_solve(d, {"switch": mus[0] * 0.999}, tol=1e-10,
-                               n_harvest=nh, rounds=rounds, verbose=False)
+                               n_harvest=nh, rounds=rounds, verbose=False,
+                               recurrence=recurrence)
         print(f"warm second mu: solve {info2['t_solve']:.1f} s (+ coarse "
               f"{info2['t_coarse']:.1f} s), relres {info2['relres']:.2e}, "
               f"total {time.perf_counter() - t0:.1f} s")
