@@ -535,7 +535,8 @@ def truth_solve(d, mu, tol: float = 1e-10, maxiter: int = 20000,
         BF = BF.astype(jnp.bfloat16)   # after the harvest: halve the
         #                                per-iteration factor stream only
     if hasattr(st, "stencil_at"):
-        del S32                        # phase out the f32 operator before
+        if recurrence != "f32ir":
+            del S32                  # phase out the f32 operator before
         S = st.stencil_at(mu, jnp.float64)   # the f64 one materializes
     else:
         S = jax.jit(hp(lambda s, th: s.assemble(th)))(sop, theta)
