@@ -377,7 +377,49 @@ def _solve_f32ir(st, S, S32, BF, F32, C, ci, b, dvec, tol, maxiter,
     dim3 = getattr(space, "dim", 2) == 3
     cell_shape = ((space.K, s, s, s, space.nb) if dim3
                   else (space.K, s, s, getattr(space, "T", 1) * space.nb))
-    from .ops.ir import pcg as _pcg
+    def _pcg_safe(matvec, M, b_, tol_, maxiter_):
+        """Safeguarded f32 PCG: freezes on curvature/rz breakdown and
+        returns the BEST-residual iterate — an unguarded f32 recurrence at
+        Q2-442k internal conditioning breaks down mid-inner and explodes
+        (measured |r| -> 5e4 x |b| within 3000 its)."""
+        atol2 = (tol_ ** 2) * jnp.maximum(jnp.vdot(b_, b_),
+                                          jnp.finfo(b_.dtype).tiny)
+        x0 = jnp.zeros_like(b_)
+        r0 = b_
+        z0 = M(r0)
+        rz0 = jnp.vdot(r0, z0)
+        rn0 = jnp.vdot(r0, r0)
+        st0 = (x0, r0, z0, z0, rz0, 0, jnp.asarray(True), x0, rn0)
+
+        def body(st):
+            x, r, z, p, rz, it, ok, xb, rnb = st
+            Ap = matvec(p)
+            pAp = jnp.vdot(p, Ap)
+            ok_new = ok & (pAp > 0) & (rz > 0)
+            alpha = jnp.where(ok_new, rz / jnp.where(pAp > 0, pAp, 1.0),
+                              0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rzn = jnp.vdot(r, z)
+            beta = jnp.where(ok_new & (rz > 0),
+                             rzn / jnp.where(rz > 0, rz, 1.0), 0.0)
+            p = jnp.where(ok_new, z + beta * p, p)
+            rn = jnp.vdot(r, r)
+            better = ok_new & (rn < rnb)
+            xb = jnp.where(better, x, xb)
+            rnb = jnp.where(better, rn, rnb)
+            return (x, r, z, p, rzn, it + 1, ok_new, xb, rnb)
+
+        def gbody(st):
+            done = jnp.logical_not(
+                st[6] & (jnp.vdot(st[1], st[1]) > atol2))
+            new = body(st)
+            return jax.tree.map(lambda a, n: jnp.where(done, a, n), st,
+                                new)
+
+        out = jax.lax.fori_loop(0, maxiter_, lambda i, st: gbody(st), st0)
+        return out[7], out[5]                      # best x, iterations
 
     @jax.jit
     @hp
@@ -410,7 +452,7 @@ def _solve_f32ir(st, S, S32, BF, F32, C, ci, b, dvec, tol, maxiter,
         rt = s64 * r
         nrm = jnp.maximum(jnp.max(jnp.abs(rt)), 1e-300)
         rt32 = (rt / nrm).astype(f32)
-        dxt, k = _pcg(matvec32, M32, rt32, 1e-5, 3000)
+        dxt, k = _pcg_safe(matvec32, M32, rt32, 1e-5, 3000)
         x_new = x_ + nrm * s64 * dxt.astype(b_.dtype)
         r_new = b_ - S_.apply(x_new)
         return x_new, jnp.vdot(r_new, r_new), k
