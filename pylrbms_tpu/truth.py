@@ -382,38 +382,43 @@ def _solve_f32ir(st, S, S32, BF, F32, C, ci, b, dvec, tol, maxiter,
         returns the BEST-residual iterate — an unguarded f32 recurrence at
         Q2-442k internal conditioning breaks down mid-inner and explodes
         (measured |r| -> 5e4 x |b| within 3000 its)."""
-        atol2 = (tol_ ** 2) * jnp.maximum(jnp.vdot(b_, b_),
-                                          jnp.finfo(b_.dtype).tiny)
+        # dots accumulate in f64: an f32 reduction over 442k+ entries
+        # carries enough roundoff to flip the sign of a small pAp/rz and
+        # trip the breakdown guard on iteration 1 (measured)
+        def dot(u, v):
+            return jnp.vdot(u.astype(jnp.float64), v.astype(jnp.float64))
+
+        atol2 = (tol_ ** 2) * jnp.maximum(dot(b_, b_), 1e-300)
         x0 = jnp.zeros_like(b_)
         r0 = b_
         z0 = M(r0)
-        rz0 = jnp.vdot(r0, z0)
-        rn0 = jnp.vdot(r0, r0)
+        rz0 = dot(r0, z0)
+        rn0 = dot(r0, r0)
         st0 = (x0, r0, z0, z0, rz0, 0, jnp.asarray(True), x0, rn0)
 
         def body(st):
             x, r, z, p, rz, it, ok, xb, rnb = st
             Ap = matvec(p)
-            pAp = jnp.vdot(p, Ap)
+            pAp = dot(p, Ap)
             ok_new = ok & (pAp > 0) & (rz > 0)
             alpha = jnp.where(ok_new, rz / jnp.where(pAp > 0, pAp, 1.0),
-                              0.0)
+                              0.0).astype(b_.dtype)
             x = x + alpha * p
             r = r - alpha * Ap
             z = M(r)
-            rzn = jnp.vdot(r, z)
+            rzn = dot(r, z)
             beta = jnp.where(ok_new & (rz > 0),
-                             rzn / jnp.where(rz > 0, rz, 1.0), 0.0)
+                             rzn / jnp.where(rz > 0, rz, 1.0),
+                             0.0).astype(b_.dtype)
             p = jnp.where(ok_new, z + beta * p, p)
-            rn = jnp.vdot(r, r)
+            rn = dot(r, r)
             better = ok_new & (rn < rnb)
             xb = jnp.where(better, x, xb)
             rnb = jnp.where(better, rn, rnb)
             return (x, r, z, p, rzn, it + 1, ok_new, xb, rnb)
 
         def gbody(st):
-            done = jnp.logical_not(
-                st[6] & (jnp.vdot(st[1], st[1]) > atol2))
+            done = jnp.logical_not(st[6] & (dot(st[1], st[1]) > atol2))
             new = body(st)
             return jax.tree.map(lambda a, n: jnp.where(done, a, n), st,
                                 new)
