@@ -46,7 +46,7 @@ CONFIGS = {
     "65k": ((2, 8, 8), [8, 8, 2], 2, 1, 32, 2, False, "f64"),
     "131k-q1": ((4, 8, 8), [8, 8, 4], 2, 1, 32, 2, False, "f32ir"),
     "221k-q2": ((2, 8, 8), [16, 16, 4], 1, 2, 32, 2, False, "f32ir"),
-    "442k-q2": ((4, 8, 8), [8, 8, 4], 2, 2, 32, 2, True, "f32ir"),
+    "442k-q2": ((4, 8, 8), [8, 8, 4], 2, 2, 32, 2, True, "f64"),
     "524k-q1": ((2, 8, 8), [8, 8, 2], 3, 1, 32, 2, True, "f64"),
     "1m-q1": ((4, 8, 8), [8, 8, 4], 3, 1, 32, 2, True, "f32ir"),
     "1.8m-q2": ((2, 8, 8), [8, 8, 2], 3, 2, 24, 2, True, "f64"),
@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--check-splu", action="store_true",
                     help="also solve via host splu and compare (only "
                          "feasible below the SuperLU wall)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="override the per-dispatch Krylov chunk size")
     ap.add_argument("--harvest", type=int, default=None,
                     help="override the config's n_harvest (0 = modal-only "
                          "coarse)")
@@ -107,7 +109,8 @@ def main():
         t0 = time.perf_counter()
         U, info = truth_solve(d, mu, tol=1e-10, n_harvest=nh,
                               rounds=rounds, verbose=True,
-                              recurrence=recurrence)
+                              recurrence=recurrence,
+                              chunk_iters=args.chunk)
         print(f"mu={mv}: relres {info['relres']:.2e}; f32 its "
               f"{info['it32']} ({info['rounds']} rounds, f64 polish "
               f"{info['it64']}); assemble {info['t_assemble']:.1f} s, "
