@@ -319,7 +319,13 @@ class SolveOnlyModel:
                                  D_side=c.D_side)
 
 
-def spd_block_inverse(D, floor_rel: float = 1e-6):
+def spd_block_inverse(D, floor_rel: float = 1e-4):
+    # floor_rel 1e-4 (not 1e-6): the factor is APPLIED in f32, so its
+    # useful dynamic range is ~eps_f32^-1 * floor — a 1e-6 floor lets the
+    # stiff-mode amplification reach 1e6 and the f32 application noise
+    # (~1e-7 relative of the LARGE intermediates) swamps the result,
+    # making the preconditioner effectively indefinite at Q2-442k internal
+    # conditioning (measured: CG plateaus at |r|/|b| ~ 17)
     """SPD-GUARANTEED approximate block inverse via (Jacobi-scaled) eigh:
     Binv = S V max(w, floor)^-1 V^T S.
 
