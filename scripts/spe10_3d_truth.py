@@ -44,11 +44,11 @@ CONFIGS = {
     # (native-f32 inner + f64 restarts — the near-isotropic configs; the
     # f64 chunk program crashes the TPU worker at >= 442k Q2)
     "65k": ((2, 8, 8), [8, 8, 2], 2, 1, 32, 2, False, "f64"),
-    "131k-q1": ((4, 8, 8), [8, 8, 4], 2, 1, 32, 2, False, "f32ir"),
-    "221k-q2": ((2, 8, 8), [16, 16, 4], 1, 2, 32, 2, False, "f32ir"),
+    "131k-q1": ((4, 8, 8), [8, 8, 4], 2, 1, 32, 2, False, "f64"),
+    "221k-q2": ((2, 8, 8), [16, 16, 4], 1, 2, 32, 2, False, "f64"),
     "442k-q2": ((4, 8, 8), [8, 8, 4], 2, 2, 32, 2, True, "f64"),
     "524k-q1": ((2, 8, 8), [8, 8, 2], 3, 1, 32, 2, True, "f64"),
-    "1m-q1": ((4, 8, 8), [8, 8, 4], 3, 1, 32, 2, True, "f32ir"),
+    "1m-q1": ((4, 8, 8), [8, 8, 4], 3, 1, 32, 2, True, "f64"),
     "1.8m-q2": ((2, 8, 8), [8, 8, 2], 3, 2, 24, 2, True, "f64"),
 }
 
