@@ -286,6 +286,15 @@ def aux_main():
     # runs AFTER the greedy model is collected; round 5 moves it to the
     # 98k north-star config (fault-isolated, 24k fallback — see the leg's
     # comment; at-scale 3D numbers: docs/results/spe10_3d_parabolic_tpu.txt)
+    # drop the module-global online-step jit cache: its compiled closures
+    # capture the ReducedModel skeleton -> the reductor -> the WHOLE 98k
+    # greedy model, which otherwise stays in HBM through the parabolic leg
+    # (measured RESOURCE_EXHAUSTED at both parabolic configs)
+    from pylrbms_tpu import reductor as _red
+    _red._ONLINE_JIT_CACHE.clear()
+    import jax as _jax
+    _jax.clear_caches()       # compiled executables + their held constants
+    gc.collect()
     for leg_cfg in (CFG_98K, CFG_24K):
         try:
             out.update(parabolic_leg(leg_cfg))
