@@ -56,6 +56,59 @@ def block_matvec_pallas(A, x, interpret: bool = False):
     )(A, x)
 
 
+def _precond_dot_kernel(f_ref, r_ref, z_ref, rz_ref):
+    # grid over K: fused preconditioner apply + CG dot.  Per subdomain k:
+    #   z[k] = F[k] @ r[k];  rz[k] = r[k] . z[k]
+    # The dot rides the same VMEM residency as the matvec, so the [K, N]
+    # z / r arrays are not re-streamed from HBM for the reduction (the
+    # XLA form reads them once more).  The saving is O(K*N) against the
+    # O(K*N^2) factor stream — see docs/results/pallas_roofline_decision.md
+    # for why this bounds ALL PCG-body fusion gains at ~2/N.
+    k = pl.program_id(0)
+    rk = r_ref[pl.ds(k, 1), :]                            # [1, N]
+    z = jax.lax.dot_general(
+        rk, f_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    z_ref[pl.ds(k, 1), :] = z.astype(z_ref.dtype)
+    rz_ref[pl.ds(k, 1)] = jnp.sum(rk * z, axis=1).astype(rz_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def precond_dot_pallas(F, r, interpret: bool = False):
+    """Fused ``z[k] = F[k] @ r[k]``, ``rz[k] = r[k] . z[k]``.
+
+    The PCG-body fusion experiment named by the round-4 scale study
+    (docs/results/spe10_scale_tpu.txt conclusions): the preconditioner
+    apply IS the iteration's dominant HBM stream, so the only fusable
+    traffic beyond it is the vector pass of the r.z reduction.  Returns
+    (z [K, N], rz [K]); ``rz.sum()`` is the CG scalar.
+    """
+    K, N, _ = F.shape
+    return pl.pallas_call(
+        _precond_dot_kernel,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, N, N), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K,), lambda k: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((K, N), F.dtype),
+                   jax.ShapeDtypeStruct((K,), F.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * N * N + 2 * K * N,
+            bytes_accessed=(F.size + 2 * K * N + K) * F.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(F, r)
+
+
 import os
 
 # Measured on v5e (K=64, N=384, f32): the XLA batched-matvec einsum is

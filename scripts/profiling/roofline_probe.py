@@ -155,6 +155,33 @@ def main():
                 jax.jit(hp(lambda op, th: op.assemble(th)))(d98.op, th98))
             run_kernel("block-Jacobi apply f32 (98k dofs)", bf, x98,
                        lambda f_, y: jnp.einsum("kij,kj->ki", f_, y))
+            # ---- 4b. Pallas A/B on the SAME stream (VERDICT r4 #6): the
+            # hand-written VMEM kernel vs the XLA einsum, plus the fused
+            # preconditioner-apply + r.z reduction (the only PCG-body
+            # traffic fusable beyond the factor stream itself) ------------
+            from pylrbms_tpu.ops.pallas_kernels import (
+                block_matvec_pallas, precond_dot_pallas)
+            try:
+                run_kernel("block-Jacobi apply f32 PALLAS (98k dofs)", bf,
+                           x98, lambda f_, y: block_matvec_pallas(f_, y))
+            except Exception as e:                       # noqa: BLE001
+                emit(f"  pallas block matvec failed: {type(e).__name__}: "
+                     f"{str(e)[:200]}")
+            try:
+                run_kernel("fused precond+dot f32 PALLAS (98k dofs)", bf,
+                           x98, lambda f_, y: precond_dot_pallas(f_, y)[0])
+                # parity of the fused kernel against the XLA reference
+                z_ref = jnp.einsum("kij,kj->ki", bf, x98)
+                z_p, rz_p = precond_dot_pallas(bf, x98)
+                rel = float(jnp.abs(z_p - z_ref).max()
+                            / jnp.abs(z_ref).max())
+                rel_d = float(jnp.abs(rz_p.sum() - (x98 * z_ref).sum())
+                              / jnp.abs((x98 * z_ref).sum()))
+                emit(f"  pallas parity: |z - z_xla| rel {rel:.1e}, "
+                     f"r.z rel {rel_d:.1e}")
+            except Exception as e:                       # noqa: BLE001
+                emit(f"  fused precond+dot failed: {type(e).__name__}: "
+                     f"{str(e)[:200]}")
         del d98, sop, S
 
     # ---- 5. online projection einsum (re-reduction GEMM) ----------------

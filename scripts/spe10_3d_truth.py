@@ -72,11 +72,18 @@ def main():
     ap.add_argument("--harvest", type=int, default=None,
                     help="override the config's n_harvest (0 = modal-only "
                          "coarse)")
+    ap.add_argument("--recurrence", choices=("f64", "f32ir"), default=None,
+                    help="override the config's Krylov recurrence (f32ir "
+                         "is valid on the near-isotropic Q1 configs — "
+                         "truth_solver.txt finding 4)")
+    ap.add_argument("--tol", type=float, default=1e-10)
     args = ap.parse_args()
     (raster, subs, nref, order, nh, rounds, solve_only,
      recurrence) = CONFIGS[args.config]
     if args.harvest is not None:
         nh = args.harvest
+    if args.recurrence is not None:
+        recurrence = args.recurrence
 
     import jax
     import jax.numpy as jnp
@@ -107,7 +114,7 @@ def main():
     for i, mv in enumerate(mus):
         mu = {"switch": mv}
         t0 = time.perf_counter()
-        U, info = truth_solve(d, mu, tol=1e-10, n_harvest=nh,
+        U, info = truth_solve(d, mu, tol=args.tol, n_harvest=nh,
                               rounds=rounds, verbose=True,
                               recurrence=recurrence,
                               chunk_iters=args.chunk)
@@ -121,7 +128,7 @@ def main():
     if len(mus) == 1:
         # warm repeat (the steady economics once the graph is compiled)
         t0 = time.perf_counter()
-        _, info2 = truth_solve(d, {"switch": mus[0] * 0.999}, tol=1e-10,
+        _, info2 = truth_solve(d, {"switch": mus[0] * 0.999}, tol=args.tol,
                                n_harvest=nh, rounds=rounds, verbose=False,
                                recurrence=recurrence)
         print(f"warm second mu: solve {info2['t_solve']:.1f} s (+ coarse "
